@@ -1,13 +1,96 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator inventory (SURVEY.md §2b): each entry is a
+  * `(SparkSession, sfDir) => DataFrame` built from Spark primitives, and
+  * (where ANSI-SQL-expressible) `oracleSql` carries the DuckDB twin the
+  * driver hash-compares against. Column names and ordering are aligned on
+  * both sides; see `graft.ops` package doc for the cross-engine
+  * determinism rules.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship on sf0.001; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Joins.threeWay(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Aggregations
+    "agg_pricing_summary" -> (Aggregations.pricingSummary _),
+    "agg_count_distinct"  -> (Aggregations.countDistinct_ _),
+    "agg_stats_minmax"    -> (Aggregations.statsMinMax _),
+    "agg_rollup"          -> (Aggregations.rollup_ _),
+    "agg_cube"            -> (Aggregations.cube_ _),
+    "agg_monthly_orders"  -> (Aggregations.monthlyOrders _),
+    "agg_approx_distinct" -> (Aggregations.approxDistinct _),
+    // Joins
+    "join_inner_customer_orders" -> (Joins.innerCustomerOrders _),
+    "join_broadcast_dims"        -> (Joins.broadcastDims _),
+    "join_left_outer"            -> (Joins.leftOuter _),
+    "join_semi"                  -> (Joins.semi _),
+    "join_anti"                  -> (Joins.anti _),
+    "join_range_band"            -> (Joins.rangeBand _),
+    "join_three_way"             -> (Joins.threeWay _),
+    // Windows
+    "window_topk_per_group" -> (Windows.topkPerGroup _),
+    "window_lag_lead"       -> (Windows.lagLead _),
+    "window_running_sum"    -> (Windows.runningSum _),
+    "window_rank_dense"     -> (Windows.rankDense _),
+    "window_distribution"   -> (Windows.distribution _),
+    // Sorts / limits / top-k
+    "sort_topk"             -> (SortsLimits.topK _),
+    "sort_multi_col"        -> (SortsLimits.multiColSort _),
+    "sort_filtered_bottomk" -> (SortsLimits.filteredBottomK _),
+    // Set ops
+    "setop_union_all"      -> (SetOps.unionAll _),
+    "setop_intersect"      -> (SetOps.intersect_ _),
+    "setop_except"         -> (SetOps.except_ _),
+    "setop_union_distinct" -> (SetOps.unionDistinct _),
+    // Scalar functions
+    "scalar_string"      -> (Scalars.stringFuncs _),
+    "scalar_math"        -> (Scalars.mathFuncs _),
+    "scalar_datetime"    -> (Scalars.datetimeFuncs _),
+    "scalar_conditional" -> (Scalars.conditionalFuncs _),
+    "scalar_json"        -> (Scalars.jsonFuncs _),
+    "scalar_array"       -> (Scalars.arrayFuncs _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "agg_pricing_summary" -> Aggregations.pricingSummarySql,
+    "agg_count_distinct"  -> Aggregations.countDistinctSql,
+    "agg_stats_minmax"    -> Aggregations.statsMinMaxSql,
+    "agg_rollup"          -> Aggregations.rollupSql,
+    "agg_cube"            -> Aggregations.cubeSql,
+    "agg_monthly_orders"  -> Aggregations.monthlyOrdersSql,
+    // agg_approx_distinct: HLL sketch, not oracle-comparable (rows-only)
+    "join_inner_customer_orders" -> Joins.innerCustomerOrdersSql,
+    "join_broadcast_dims"        -> Joins.broadcastDimsSql,
+    "join_left_outer"            -> Joins.leftOuterSql,
+    "join_semi"                  -> Joins.semiSql,
+    "join_anti"                  -> Joins.antiSql,
+    "join_range_band"            -> Joins.rangeBandSql,
+    "join_three_way"             -> Joins.threeWaySql,
+    "window_topk_per_group" -> Windows.topkPerGroupSql,
+    "window_lag_lead"       -> Windows.lagLeadSql,
+    "window_running_sum"    -> Windows.runningSumSql,
+    "window_rank_dense"     -> Windows.rankDenseSql,
+    "window_distribution"   -> Windows.distributionSql,
+    "sort_topk"             -> SortsLimits.topKSql,
+    "sort_multi_col"        -> SortsLimits.multiColSortSql,
+    "sort_filtered_bottomk" -> SortsLimits.filteredBottomKSql,
+    "setop_union_all"      -> SetOps.unionAllSql,
+    "setop_intersect"      -> SetOps.intersectSql,
+    "setop_except"         -> SetOps.exceptSql,
+    "setop_union_distinct" -> SetOps.unionDistinctSql,
+    "scalar_string"      -> Scalars.stringFuncsSql,
+    "scalar_math"        -> Scalars.mathFuncsSql,
+    "scalar_datetime"    -> Scalars.datetimeFuncsSql,
+    "scalar_conditional" -> Scalars.conditionalFuncsSql,
+    "scalar_json"        -> Scalars.jsonFuncsSql,
+    "scalar_array"       -> Scalars.arrayFuncsSql,
+  )
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver's testdata tables (see TESTDATA.md / FIXTURES.md §2).
+  *
+  * One parquet file per table under `sfDir`. All loads are plain
+  * `spark.read.parquet` so Catalyst gets full pushdown/pruning freedom — no
+  * caching or eager materialization here; each query declares what it needs
+  * and the scan reads only that (verify with `.explain`: `ReadSchema` /
+  * `PushedFilters`).
+  *
+  * Scale posture: at 100 TB these would be partitioned/bucketed table paths
+  * instead of single files; the API (name → DataFrame) stays the same, so
+  * every operator in `graft.ops` is agnostic to the physical layout.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as
+    * raw long (legacy conf) and rebuild a microsecond TIMESTAMP_NTZ via
+    * integer division — `ts div 1000`, NOT `/` (double division would lose
+    * precision above 2^53 and shift values by up to ~256 ns). Truncation
+    * matches DuckDB's own TIMESTAMP_NS → TIMESTAMP(µs) cast, so oracle
+    * comparisons line up. NTZ (not LTZ) so the values stay naive like
+    * DuckDB's reading of the same file.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+  }
+}

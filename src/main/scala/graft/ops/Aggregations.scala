@@ -1,0 +1,151 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregation inventory (SURVEY.md §2b "Aggregations").
+  *
+  * Scale notes: every query here is a hash-aggregate with map-side partial
+  * aggregation (Spark plans `HashAggregate(partial) → shuffle → HashAggregate
+  * (final)`), so shuffle volume is O(groups × partitions), not O(rows) —
+  * the pattern that survives a 100 TB lineitem. Group-by keys are
+  * low-cardinality columns; no `collect`, no driver-side loops.
+  */
+object Aggregations {
+
+  /** TPC-H Q1-shaped pricing summary: multi-measure groupBy over lineitem. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** count / countDistinct per order status. */
+  def countDistinct_(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val countDistinctSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  COUNT(DISTINCT o_custkey) AS n_customers,
+      |  COUNT(DISTINCT o_orderpriority) AS n_priorities
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** min/max — exact on doubles and timestamps, no arithmetic involved. */
+  def statsMinMax(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        min(col("l_shipdate")).as("min_shipdate"),
+        max(col("l_shipdate")).as("max_shipdate"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val statsMinMaxSql: String =
+    """SELECT l_returnflag,
+      |  MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+      |  MIN(l_shipdate) AS min_shipdate, MAX(l_shipdate) AS max_shipdate,
+      |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** ROLLUP hierarchy totals. Group keys are COALESCEd to a sentinel so the
+    * subtotal rows sort identically in both engines (Spark default orders
+    * NULLS FIRST, DuckDB NULLS LAST). */
+  def rollup_(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+        col("n_rows"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+  }
+
+  val rollupSql: String =
+    """SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+      |  COALESCE(l_linestatus, '(all)') AS linestatus,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** CUBE over two dimensions. */
+  def cube_(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("orderstatus"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("orderpriority"),
+        col("n_orders"), col("sum_price"))
+      .orderBy(col("orderstatus"), col("orderpriority"))
+  }
+
+  val cubeSql: String =
+    """SELECT COALESCE(o_orderstatus, '(all)') AS orderstatus,
+      |  COALESCE(o_orderpriority, '(all)') AS orderpriority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY orderstatus, orderpriority""".stripMargin
+
+  /** Time-bucketed aggregation (the batch shape of a tumbling window).
+    * At scale this is the query that motivates date-partitioned layout:
+    * with `o_orderdate` as a partition column the scan prunes to the
+    * requested months instead of reading 100 TB. */
+  def monthlyOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.groupBy(date_trunc("month", col("o_orderdate")).as("month_start"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("month_start"))
+  }
+
+  val monthlyOrdersSql: String =
+    """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY 1 ORDER BY month_start""".stripMargin
+
+  /** approx_count_distinct (HyperLogLog++). Not DuckDB-comparable (different
+    * sketch), so registered without an oracle twin — rows-only check. At
+    * 100 TB this replaces exact COUNT(DISTINCT) for dashboards: one pass,
+    * fixed memory, no exploding distinct-shuffle. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+  }
+}

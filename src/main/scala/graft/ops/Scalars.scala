@@ -1,0 +1,178 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+/** Scalar-function inventory (SURVEY.md §2b "Scalar functions"): string,
+  * math, datetime, conditional, JSON and array functions. All are Spark
+  * built-ins (whole-stage-codegen'd); no UDFs anywhere — a deliberate
+  * 100 TB choice (UDFs break codegen and, for non-JVM ones, add per-row
+  * serialization).
+  *
+  * Cross-engine notes baked into the oracle twins:
+  *  - Spark `ceil`/`floor` return LONG, DuckDB's return DOUBLE → oracle casts.
+  *  - Spark `dayofweek` is 1=Sunday..7=Saturday; DuckDB `dayofweek` is
+  *    0=Sunday..6 → oracle adds 1.
+  *  - `ln`/transcendentals may differ in the last ulp between libm
+  *    implementations → rounded to 6 decimals on both sides.
+  */
+object Scalars {
+
+  /** String functions over part. */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    p.select(
+        col("p_partkey"),
+        lower(col("p_name")).as("name_lower"),
+        upper(col("p_brand")).as("brand_upper"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        expr("split_part(p_type, ' ', 1)").as("type_first_word"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+        expr("replace(p_name, ' ', '_')").as("name_snake"),
+        trim(col("p_name")).as("name_trim"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val stringFuncsSql: String =
+    """SELECT p_partkey,
+      |  lower(p_name) AS name_lower,
+      |  upper(p_brand) AS brand_upper,
+      |  CAST(length(p_name) AS INTEGER) AS name_len,
+      |  substring(p_name, 1, 8) AS name_prefix,
+      |  split_part(p_type, ' ', 1) AS type_first_word,
+      |  concat_ws('-', p_brand, p_type) AS brand_type,
+      |  regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+      |  replace(p_name, ' ', '_') AS name_snake,
+      |  trim(p_name) AS name_trim
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Math functions over customer balances. */
+  def mathFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    c.select(
+        col("c_custkey"),
+        abs(col("c_acctbal")).as("bal_abs"),
+        round(col("c_acctbal"), 1).as("bal_round1"),
+        ceil(col("c_acctbal")).as("bal_ceil"),
+        floor(col("c_acctbal")).as("bal_floor"),
+        round(sqrt(abs(col("c_acctbal"))), 6).as("bal_sqrt"),
+        round(log(abs(col("c_acctbal")) + lit(1.0)), 6).as("bal_ln"),
+        pmod(col("c_custkey"), lit(7L)).as("key_mod7"),
+        (col("c_acctbal") * 2.0 + 1.0).as("bal_affine"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val mathFuncsSql: String =
+    """SELECT c_custkey,
+      |  abs(c_acctbal) AS bal_abs,
+      |  round(c_acctbal, 1) AS bal_round1,
+      |  CAST(ceil(c_acctbal) AS BIGINT) AS bal_ceil,
+      |  CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
+      |  round(sqrt(abs(c_acctbal)), 6) AS bal_sqrt,
+      |  round(ln(abs(c_acctbal) + 1.0), 6) AS bal_ln,
+      |  c_custkey % 7 AS key_mod7,
+      |  c_acctbal * 2.0 + 1.0 AS bal_affine
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** Datetime functions over orders. */
+  def datetimeFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        quarter(col("o_orderdate")).as("qtr"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(lit("1998-12-31").cast("date"), col("o_orderdate").cast("date")).as("days_to_1998"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val datetimeFuncsSql: String =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+      |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+      |  CAST(day(o_orderdate) AS INTEGER) AS dom,
+      |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+      |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+      |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      |  CAST(DATE '1998-12-31' - CAST(o_orderdate AS DATE) AS INTEGER) AS days_to_1998
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** CASE WHEN / coalesce / nullif over orders. */
+  def conditionalFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.select(
+        col("o_orderkey"),
+        when(col("o_totalprice") >= 300000.0, "large")
+          .when(col("o_totalprice") >= 100000.0, "medium")
+          .otherwise("small").as("size_tier"),
+        nullif(col("o_orderstatus"), lit("O")).as("status_or_null"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_label"),
+        (col("o_orderstatus") === "F").cast(IntegerType).as("is_finished"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val conditionalFuncsSql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_totalprice >= 300000.0 THEN 'large'
+      |       WHEN o_totalprice >= 100000.0 THEN 'medium'
+      |       ELSE 'small' END AS size_tier,
+      |  NULLIF(o_orderstatus, 'O') AS status_or_null,
+      |  COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_label,
+      |  CAST(o_orderstatus = 'F' AS INTEGER) AS is_finished
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** JSON extraction from the events.props payload. */
+  def jsonFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k_int"),
+        get_json_object(col("props"), "$.missing").as("missing_val"))
+      .orderBy(col("event_id"))
+  }
+
+  val jsonFuncsSql: String =
+    """SELECT event_id,
+      |  json_extract_string(props, '$.k') AS k_str,
+      |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+      |  json_extract_string(props, '$.missing') AS missing_val
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Array (higher-order) functions over the embedding vectors: size,
+    * element access, element-wise transform + fold. Sums run left-to-right
+    * over doubles in both engines; rounded to 6 decimals anyway. */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val em = Tables.embeddings(spark, dir)
+    em.select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).cast(DoubleType).as("e0"),
+        round(aggregate(
+          transform(col("embedding"), x => x.cast(DoubleType) * x.cast(DoubleType)),
+          lit(0.0), (acc, x) => acc + x), 6).as("sq_norm"),
+        round(sqrt(aggregate(
+          transform(col("embedding"), x => x.cast(DoubleType) * x.cast(DoubleType)),
+          lit(0.0), (acc, x) => acc + x)), 6).as("l2_norm"))
+      .orderBy(col("vec_id"))
+  }
+
+  val arrayFuncsSql: String =
+    """SELECT vec_id,
+      |  CAST(len(embedding) AS INTEGER) AS dim,
+      |  CAST(embedding[1] AS DOUBLE) AS e0,
+      |  round(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sq_norm,
+      |  round(sqrt(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+}

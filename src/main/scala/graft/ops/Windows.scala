@@ -1,0 +1,117 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Window-function inventory (SURVEY.md §2b "Window functions").
+  *
+  * Each window partitions by a key and orders by a deterministic column
+  * list ending in a unique tiebreaker — required both for cross-engine
+  * reproducibility and for sane semantics at scale (a window over an
+  * ambiguous order is nondeterministic on any distributed engine).
+  * Scale note: window partitions must fit an executor; partition keys here
+  * (custkey, brand, status) are fine. A per-ALL-rows window (no
+  * partitionBy) would single-task at 100 TB — none are used.
+  */
+object Windows {
+
+  /** row_number top-k per group: top 3 orders by price per order status. */
+  def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderstatus"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderstatus"), col("rn"))
+  }
+
+  val topkPerGroupSql: String =
+    """SELECT o_orderstatus, rn, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_orderstatus, rn""".stripMargin
+
+  /** lag/lead: previous and next order price per customer over time. */
+  def lagLead(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    o.select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val lagLeadSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
+      |                             ORDER BY o_orderdate, o_orderkey) AS prev_price,
+      |  LEAD(o_totalprice, 1) OVER (PARTITION BY o_custkey
+      |                              ORDER BY o_orderdate, o_orderkey) AS next_price
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Running total with an explicit ROWS frame; the summed measure is cast
+    * to decimal so the running sum is exact in both engines. */
+  def runningSum(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w)
+          .cast(DoubleType).as("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val runningSumSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** rank / dense_rank with real ties (p_retailprice repeats within brand). */
+  def rankDense(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc)
+    p.select(
+        col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        rank().over(w).as("price_rank"),
+        dense_rank().over(w).as("price_dense_rank"))
+      .orderBy(col("p_brand"), col("p_retailprice").desc, col("p_partkey"))
+  }
+
+  val rankDenseSql: String =
+    """SELECT p_brand, p_partkey, p_retailprice,
+      |  RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_rank,
+      |  DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_dense_rank
+      |FROM part ORDER BY p_brand, p_retailprice DESC, p_partkey""".stripMargin
+
+  /** ntile + percent_rank distribution stats per nation over customers. */
+  def distribution(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    c.select(
+        col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        cume_dist().over(w).as("cdist"))
+      .orderBy(col("c_nationkey"), col("c_acctbal"), col("c_custkey"))
+  }
+
+  val distributionSql: String =
+    """SELECT c_nationkey, c_custkey, c_acctbal,
+      |  NTILE(4) OVER (PARTITION BY c_nationkey
+      |                 ORDER BY c_acctbal, c_custkey) AS quartile,
+      |  CUME_DIST() OVER (PARTITION BY c_nationkey
+      |                    ORDER BY c_acctbal, c_custkey) AS cdist
+      |FROM customer ORDER BY c_nationkey, c_acctbal, c_custkey""".stripMargin
+}
