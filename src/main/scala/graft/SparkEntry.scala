@@ -57,6 +57,22 @@ object SparkEntry {
     "scalar_conditional" -> (Scalars.conditionalFuncs _),
     "scalar_json"        -> (Scalars.jsonFuncs _),
     "scalar_array"       -> (Scalars.arrayFuncs _),
+    // Dedup (north-star)
+    "dedup_exact"         -> (Dedup.exact _),
+    "dedup_keep_first"    -> (Dedup.keepFirst _),
+    "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "dedup_minhash_lsh"   -> (Dedup.minhashLsh _),
+    "dedup_simhash"       -> (Dedup.simhash _),
+    // Similarity search (north-star)
+    "sim_cosine_topk"       -> (Similarity.cosineTopK _),
+    "sim_embedding_neardup" -> (Similarity.embeddingNearDup _),
+    "sim_ann_lsh_bucketed"  -> (Similarity.annLshBucketed _),
+    // Text analysis (north-star)
+    "text_token_stats"   -> (TextAnalysis.tokenStats _),
+    "text_quality_score" -> (TextAnalysis.qualityScore _),
+    "text_language_id"   -> (TextAnalysis.languageId _),
+    "text_fingerprint"   -> (TextAnalysis.fingerprint _),
+    "text_lang_profile"  -> (TextAnalysis.langProfile _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -92,5 +108,18 @@ object SparkEntry {
     "scalar_conditional" -> Scalars.conditionalFuncsSql,
     "scalar_json"        -> Scalars.jsonFuncsSql,
     "scalar_array"       -> Scalars.arrayFuncsSql,
+    "dedup_exact"         -> Dedup.exactSql,
+    "dedup_keep_first"    -> Dedup.keepFirstSql,
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
+    // dedup_minhash_lsh / dedup_simhash: Spark hash functions are not
+    // reproducible in DuckDB — rows-only checks
+    "sim_cosine_topk"       -> Similarity.cosineTopKSql,
+    "sim_embedding_neardup" -> Similarity.embeddingNearDupSql,
+    // sim_ann_lsh_bucketed: bucket assignment is engine-internal — rows-only
+    "text_token_stats"   -> TextAnalysis.tokenStatsSql,
+    "text_quality_score" -> TextAnalysis.qualityScoreSql,
+    "text_language_id"   -> TextAnalysis.languageIdSql,
+    "text_fingerprint"   -> TextAnalysis.fingerprintSql,
+    "text_lang_profile"  -> TextAnalysis.langProfileSql,
   )
 }

@@ -1,0 +1,128 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Embedding similarity search (north-star extensions): brute-force cosine
+  * top-k as the exact baseline, all-pairs near-dup, and a bucketed LSH
+  * variant as the sub-linear scale path.
+  *
+  * Scale design:
+  *  - Brute force broadcasts the (small) query set against the corpus:
+  *    one corpus scan, no corpus shuffle, per-partition top-k via window.
+  *    At 100 TB this is the right *exact* plan when queries are few.
+  *  - Random-hyperplane LSH (`annLshBucketed`) reduces each vector to a
+  *    sign-bit signature; only same-bucket vectors are compared. Buckets
+  *    are an equi-join key → shuffle on bucket id, linear in corpus size.
+  *  - Cosine math is done in double precision element-by-element
+  *    (left-to-right fold) and rounded to 6 decimals so both engines
+  *    produce the same value; ordering is on the *rounded* value with a
+  *    unique id tiebreaker.
+  */
+object Similarity {
+
+  /** Left-to-right double-precision dot product of two float vectors. */
+  private[ops] def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  private[ops] def sqNorm(a: Column): Column =
+    aggregate(
+      transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  private[ops] def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(sqNorm(a)) * sqrt(sqNorm(b)))
+
+  /** Exact brute-force cosine top-5 per query (queries = every 50th id).
+    * Corpus side is scanned once; the query side is broadcast. */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val em = Tables.embeddings(spark, dir)
+    val q = em.filter(pmod(col("vec_id"), lit(50L)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = em.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val cosineTopKSql: String =
+    """WITH e AS (SELECT vec_id, embedding,
+      |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS sq
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, embedding AS q_emb, sq AS q_sq
+      |  FROM e WHERE vec_id % 50 = 0),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    round(list_sum(list_transform(range(1, len(e.embedding)+1),
+      |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+      |      / (sqrt(q.q_sq) * sqrt(e.sq)), 6) AS cos_sim
+      |  FROM e JOIN q ON e.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, cos_sim,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |                       ORDER BY cos_sim DESC, vec_id) AS rnk
+      |  FROM scored)
+      |SELECT query_id, vec_id, cos_sim, rnk FROM ranked
+      |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  /** All-pairs embedding near-dup: top 20 most-similar distinct pairs.
+    * Quadratic — the exact tier; `annLshBucketed` is the scale tier. */
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), sqNorm(col("embedding")).as("sq"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("d1"), col("b.vec_id").as("d2"),
+        round(dot(col("a.embedding"), col("b.embedding")) /
+          (sqrt(col("a.sq")) * sqrt(col("b.sq"))), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("d1"), col("d2"))
+      .limit(20)
+  }
+
+  val embeddingNearDupSql: String =
+    """WITH e AS (SELECT vec_id, embedding,
+      |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS sq
+      |  FROM embeddings)
+      |SELECT a.vec_id AS d1, b.vec_id AS d2,
+      |  round(list_sum(list_transform(range(1, len(a.embedding)+1),
+      |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      |    / (sqrt(a.sq) * sqrt(b.sq)), 6) AS cos_sim
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |ORDER BY cos_sim DESC, d1, d2 LIMIT 20""".stripMargin
+
+  /** Approximate NN via sign-bit LSH. Hyperplanes are the first 8 corpus
+    * vectors (deterministic, data-derived — no RNG so the result is
+    * reproducible). Signature = 8 sign bits of plane dot products; only
+    * same-signature vectors are compared; top-3 neighbors per query.
+    * Rows-only check: expressible in SQL but the bucket assignment is an
+    * implementation detail, not a portable semantic. */
+  def annLshBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val em = Tables.embeddings(spark, dir)
+    val planes = em.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("plane_id"), col("embedding").as("plane"))
+    // signature per vector: 8 sign bits packed into a long
+    val sigs = em.crossJoin(broadcast(planes))
+      .select(col("vec_id"), col("embedding"),
+        when(dot(col("embedding"), col("plane")) >= 0,
+          expr("shiftleft(1L, cast(plane_id as int))")).otherwise(0L).as("bit"))
+      .groupBy(col("vec_id"), col("embedding"))
+      .agg(sum(col("bit")).as("bucket"))
+    val pairs = sigs.as("a").join(sigs.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+}

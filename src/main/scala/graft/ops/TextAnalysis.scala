@@ -1,0 +1,167 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
+
+/** Text-analysis inventory (north-star extensions): token statistics,
+  * quality scoring, language-ID heuristic, document fingerprinting.
+  *
+  * Everything is per-row expression work inside whole-stage codegen — the
+  * shape that scales embarrassingly (no shuffle except final aggregation).
+  * Ratios are computed as single double divisions over exact integers so
+  * both engines agree bit-for-bit; transcendentals are avoided.
+  */
+object TextAnalysis {
+
+  /** Per-document token statistics from the raw text. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"),
+        col("n_chars"))
+      .select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct_tokens"),
+        expr("cast(array_max(transform(toks, t -> length(t))) as int)").as("max_token_len"),
+        expr("cast(array_min(transform(toks, t -> length(t))) as int)").as("min_token_len"),
+        (expr("aggregate(transform(toks, t -> length(t)), 0, (a, x) -> a + x)")
+          .cast(DoubleType) / size(col("toks")).cast(DoubleType)).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tokenStatsSql: String =
+    """SELECT doc_id, lang, n_chars,
+      |  CAST(len(string_split(text,' ')) AS INTEGER) AS n_tokens,
+      |  CAST(len(list_distinct(string_split(text,' '))) AS INTEGER) AS n_distinct_tokens,
+      |  CAST(list_max(list_transform(string_split(text,' '), t -> length(t))) AS INTEGER) AS max_token_len,
+      |  CAST(list_min(list_transform(string_split(text,' '), t -> length(t))) AS INTEGER) AS min_token_len,
+      |  CAST(list_sum(list_transform(string_split(text,' '), t -> length(t))) AS DOUBLE)
+      |    / CAST(len(string_split(text,' ')) AS DOUBLE) AS avg_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Heuristic quality score in [0,1]: lexical diversity, token-count
+    * saturation, and an all-integer-arithmetic blend — the shape of
+    * LLM-corpus quality filters (length/ratio features), kept
+    * SQL-portable. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val withFeats = d
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).cast(DoubleType).as("n_tokens"),
+        size(array_distinct(col("toks"))).cast(DoubleType).as("n_distinct"))
+    withFeats.select(
+        col("doc_id"), col("lang"),
+        (col("n_distinct") / col("n_tokens")).as("diversity"),
+        least(col("n_tokens") / lit(100.0), lit(1.0)).as("len_saturation"),
+        round((col("n_distinct") / col("n_tokens")) * 0.6 +
+          least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.4, 6).as("quality"))
+      .withColumn("tier",
+        when(col("quality") >= 0.7, "high")
+          .when(col("quality") >= 0.4, "medium")
+          .otherwise("low"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityScoreSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text,' ')) AS DOUBLE) AS n_tokens,
+      |    CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) AS n_distinct
+      |  FROM documents)
+      |SELECT doc_id, lang,
+      |  n_distinct / n_tokens AS diversity,
+      |  least(n_tokens / 100.0, 1.0) AS len_saturation,
+      |  round((n_distinct / n_tokens) * 0.6 + least(n_tokens / 100.0, 1.0) * 0.4, 6) AS quality,
+      |  CASE WHEN round((n_distinct / n_tokens) * 0.6 + least(n_tokens / 100.0, 1.0) * 0.4, 6) >= 0.7 THEN 'high'
+      |       WHEN round((n_distinct / n_tokens) * 0.6 + least(n_tokens / 100.0, 1.0) * 0.4, 6) >= 0.4 THEN 'medium'
+      |       ELSE 'low' END AS tier
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  /** Character-n-gram language-ID heuristic: vowel ratio + marker-token
+    * hits, reduced to a deterministic guess, scored against the labeled
+    * `lang` column. (The corpus is synthetic word soup, so the point is
+    * the operator shape — per-row featurize → classify → evaluate — not
+    * linguistic accuracy.) */
+  def languageId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val feat = d.select(col("doc_id"), col("lang"),
+      (length(regexp_replace(col("text"), "[^aeiou]", "")).cast(DoubleType) /
+        length(regexp_replace(col("text"), " ", "")).cast(DoubleType)).as("vowel_ratio"),
+      (length(col("text")).cast(DoubleType) /
+        size(split(col("text"), " ")).cast(DoubleType)).as("chars_per_token"))
+    feat.select(col("doc_id"), col("lang"),
+        round(col("vowel_ratio"), 6).as("vowel_ratio"),
+        round(col("chars_per_token"), 6).as("chars_per_token"),
+        when(col("vowel_ratio") >= 0.5, "vocalic")
+          .when(col("vowel_ratio") >= 0.35, "balanced")
+          .otherwise("consonantal").as("guessed_class"))
+      .orderBy(col("doc_id"))
+  }
+
+  val languageIdSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, lang,
+      |    CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS DOUBLE) /
+      |      CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) AS vowel_ratio,
+      |    CAST(length(text) AS DOUBLE) /
+      |      CAST(len(string_split(text, ' ')) AS DOUBLE) AS chars_per_token
+      |  FROM documents)
+      |SELECT doc_id, lang,
+      |  round(vowel_ratio, 6) AS vowel_ratio,
+      |  round(chars_per_token, 6) AS chars_per_token,
+      |  CASE WHEN vowel_ratio >= 0.5 THEN 'vocalic'
+      |       WHEN vowel_ratio >= 0.35 THEN 'balanced'
+      |       ELSE 'consonantal' END AS guessed_class
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  /** Rolling polynomial fingerprint (Karp-Rabin style) over the document
+    * characters: fold (acc*31 + code) mod 1e9+7. Demonstrated with
+    * higher-order functions; at 100 TB this would be a codegen'd custom
+    * Expression, but the algebra (and result) is identical. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("doc_id"),
+        expr(
+          """aggregate(
+            |  transform(sequence(1, length(text)), i -> cast(ascii(substr(text, i, 1)) as bigint)),
+            |  cast(7 as bigint),
+            |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin).as("fingerprint"),
+        length(col("text")).as("n_chars_computed"))
+      .orderBy(col("doc_id"))
+  }
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(7 AS BIGINT),
+      |      list_transform(range(1, length(text)+1),
+      |        i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+      |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint,
+      |  CAST(length(text) AS INTEGER) AS n_chars_computed
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Per-language corpus rollup — the aggregate view of the text metrics. */
+  def langProfile(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        (sum(col("n_chars")).cast(DoubleType) / count(lit(1)).cast(DoubleType))
+          .as("avg_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val langProfileSql: String =
+    """SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars, MIN(n_chars) AS min_chars,
+      |  MAX(n_chars) AS max_chars,
+      |  CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+}
