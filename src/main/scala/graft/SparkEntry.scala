@@ -14,9 +14,18 @@ import graft.ops._
   */
 object SparkEntry {
 
-  /** Flagship on sf0.001; driver smoke-checks rows > 0. */
-  def entry(spark: SparkSession): DataFrame =
-    Joins.threeWay(spark, "/root/testdata/sf0.001")
+  /** Flagship: the reference's own capability — feature derivation
+    * (24 one-hot hours, 7 one-hot dows, duration, JFK flag) over the
+    * reference's ingest output. Falls back to the three-way join on
+    * sf0.001 if the reference parquet is unavailable. Driver smoke-checks
+    * rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val ref = "/root/reference/01.parquet"
+    if (new java.io.File(ref).exists())
+      graft.features.Features(spark.read.parquet(ref))
+    else
+      Joins.threeWay(spark, "/root/testdata/sf0.001")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Aggregations

@@ -1,0 +1,120 @@
+package graft.ingest
+
+import graft.schema.GreenTaxi
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Strictly-validated CSV → typed DataFrame ingest with the semantics of the
+  * reference's part 1 (/root/reference/01.py:168-240), re-expressed as a
+  * distributed Spark pipeline:
+  *
+  *   S2 header validation — driver reads ONLY the first line via Hadoop FS
+  *      (no whole-file buffering, unlike the reference's BytesIO at
+  *      01.py:255-258 which holds the dataset in RAM twice and would not
+  *      survive 100 TB).
+  *   S3 blank-line skip — `length(trim(value)) > 0` filter.
+  *   S4 row normalization — rows with >20 fields keep the first 20
+  *      (trailing-empty truncation, regex identical in spirit to
+  *      01.py:154-157); rows with <20 fields FAIL the job (strict mode),
+  *      mirroring InvalidDataError (01.py:164-165, 200-203).
+  *   S5 typed parse — from_csv with an all-string schema, then per-column
+  *      casts: Y/N → boolean (Arrow true_values/false_values,
+  *      01.py:215-221 — Spark CSV has no such option, so it is expression
+  *      level), '' → null, decimals parsed exactly (no double detour),
+  *   S6 naive timestamps attributed to America/New_York and stored as UTC
+  *      instants (01.py:71-86).
+  *
+  * Everything after the one-line header read is executor-side and scales
+  * with input splits; the strict-validation counts are computed in the same
+  * job graph (no extra pass over the raw text).
+  */
+object Ingest {
+
+  final class InvalidHeaderException(msg: String) extends RuntimeException(msg)
+  final class InvalidDataException(msg: String) extends RuntimeException(msg)
+
+  /** First `NumColumns` comma-separated fields; empty match ⇒ malformed. */
+  private[graft] val RowRegex = s"\\A((?:[^,]*,){${GreenTaxi.NumColumns - 1}}[^,\\r\\n]*)"
+
+  /** S2: read just the first line of the file (driver-side, bounded I/O). */
+  def readHeaderLine(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val reader = new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8"))
+      Option(reader.readLine()).getOrElse("")
+    } finally in.close()
+  }
+
+  def validateHeader(headerLine: String): Unit = {
+    val fields = headerLine.split(",", -1).toSeq
+    if (fields != GreenTaxi.CsvHeader)
+      throw new InvalidHeaderException(
+        s"header mismatch: expected ${GreenTaxi.CsvHeader.mkString(",")} got $headerLine")
+  }
+
+  /** Y/N → boolean; any other non-null value is invalid (checked in strict
+    * mode). '' was already nullified by from_csv's nullValue handling. */
+  private def ynBool(c: Column): Column =
+    when(c === "Y", lit(true)).when(c === "N", lit(false)).otherwise(lit(null).cast(BooleanType))
+
+  private def typed(name: String, dt: DataType, c: Column): Column = (dt match {
+    case BooleanType => ynBool(c)
+    case TimestampType =>
+      // Parse the naive string in the source zone, producing a UTC instant:
+      // to_utc_timestamp reinterprets the NTZ wall-clock as NY local time.
+      to_utc_timestamp(to_timestamp_ntz(c, lit(GreenTaxi.TimestampFormat)),
+        GreenTaxi.SourceTimeZone)
+    case dt => c.cast(dt)
+  }).as(name)
+
+  /** Full ingest: raw CSV path → typed DataFrame (S1–S6). */
+  def ingest(spark: SparkSession, path: String, strict: Boolean = true): DataFrame = {
+    validateHeader(readHeaderLine(spark, path))
+
+    val raw = spark.read.text(path)
+    val headerLit = GreenTaxi.CsvHeader.mkString(",")
+    val dataLines = raw
+      .filter(length(trim(col("value"))) > 0)       // S3 blank lines
+      .filter(col("value") =!= headerLit)           // drop header row
+    val normalized = dataLines
+      .select(regexp_extract(col("value"), RowRegex, 1).as("line"))
+
+    if (strict) {
+      // InvalidDataError analog: any non-blank row that did not yield
+      // exactly NumColumns fields aborts the job. One count over the same
+      // scan (Spark re-reads, but no driver buffering).
+      val bad = normalized.filter(col("line") === "").count()
+      if (bad > 0)
+        throw new InvalidDataException(s"$bad row(s) with fewer than ${GreenTaxi.NumColumns} fields")
+    }
+
+    val rawSchema = StructType(GreenTaxi.Columns.map(StructField(_, StringType, nullable = true)))
+    val parsed = normalized.select(
+      from_csv(col("line"), rawSchema,
+        Map("nullValue" -> "", "quote" -> "", "mode" -> "FAILFAST")).as("r"))
+
+    val typedCols = GreenTaxi.Columns.zip(GreenTaxi.ColumnTypes).map {
+      case (n, dt) => typed(n, dt, col(s"r.$n"))
+    }
+    val out = parsed.select(typedCols: _*)
+
+    if (strict) {
+      // Y/N-domain check (Arrow errors on unexpected boolean tokens).
+      val flagRaw = parsed.select(col("r.Store_and_fwd_flag").as("f"))
+      val badFlags = flagRaw.filter(col("f").isNotNull && col("f") =!= "Y" && col("f") =!= "N").count()
+      if (badFlags > 0)
+        throw new InvalidDataException(s"$badFlags invalid Store_and_fwd_flag value(s)")
+    }
+    out
+  }
+
+  /** S7: parquet sink (single file like the reference's golden output —
+    * coalesce(1) is ONLY for golden-parity; at scale, drop it). */
+  def writeParquet(df: DataFrame, outPath: String, singleFile: Boolean = false): Unit = {
+    val target = if (singleFile) df.coalesce(1) else df
+    target.write.mode("overwrite").parquet(outPath)
+  }
+}
