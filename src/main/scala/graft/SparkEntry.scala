@@ -82,6 +82,13 @@ object SparkEntry {
     "text_language_id"   -> (TextAnalysis.languageId _),
     "text_fingerprint"   -> (TextAnalysis.fingerprint _),
     "text_lang_profile"  -> (TextAnalysis.langProfile _),
+    // Multimodal columns (north-star; decode is a documented stub)
+    "multimodal_decode_stats" -> (graft.multimodal.Multimodal.decodeStats _),
+    "multimodal_frame_sample" -> (graft.multimodal.Multimodal.frameSample _),
+    // Streaming shapes (batch twins of the Structured Streaming plans)
+    "stream_tumbling_daily" -> (graft.streaming.StreamingOps.tumblingDaily _),
+    "stream_sliding_window" -> (graft.streaming.StreamingOps.slidingWindow _),
+    "stream_sessionize"     -> (graft.streaming.Sessionize.sessionsBatch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -130,5 +137,10 @@ object SparkEntry {
     "text_language_id"   -> TextAnalysis.languageIdSql,
     "text_fingerprint"   -> TextAnalysis.fingerprintSql,
     "text_lang_profile"  -> TextAnalysis.langProfileSql,
+    "multimodal_decode_stats" -> graft.multimodal.Multimodal.decodeStatsSql,
+    "multimodal_frame_sample" -> graft.multimodal.Multimodal.frameSampleSql,
+    "stream_tumbling_daily" -> graft.streaming.StreamingOps.tumblingDailySql,
+    "stream_sliding_window" -> graft.streaming.StreamingOps.slidingWindowSql,
+    "stream_sessionize"     -> graft.streaming.Sessionize.sessionsBatchSql,
   )
 }

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.Tables
+import graft.ops.dsum
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming inventory (SURVEY.md §2b "Streaming").
+  *
+  * The batch entries below are the oracle-checkable twins of the streaming
+  * plans; `streamingTumblingCounts` is the actual readStream pipeline
+  * (file source → watermark → tumbling window → append) exercised by
+  * StreamingSpec. In a deployment the same transform runs over a
+  * continuous source (Kafka etc.) with identical semantics — that
+  * batch/stream unification is Structured Streaming's contract.
+  */
+object StreamingOps {
+
+  /** Tumbling 1-day event-time window aggregation (batch shape). */
+  def tumblingDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("day_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("day_start"), col("event_type"))
+
+  val tumblingDailySql: String =
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY day_start, event_type""".stripMargin
+
+  /** Sliding window (1 day, advancing 12h): each event lands in 2 windows. */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 day", "12 hours").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("n_events"))
+      .orderBy(col("window_start"))
+
+  // Spark's window(ts, 1d, 12h) is epoch-aligned: event t lands in windows
+  // starting at floor12h(t) and floor12h(t) - 12h. Mirrored with integer
+  // epoch-microsecond arithmetic (make_timestamp keeps it naive/TZ-free).
+  val slidingWindowSql: String =
+    """WITH b AS (
+      |  SELECT make_timestamp((epoch_us(ts) // 43200000000) * 43200000000) AS hi
+      |  FROM events),
+      |windows AS (
+      |  SELECT hi AS window_start FROM b
+      |  UNION ALL
+      |  SELECT hi - INTERVAL 12 HOUR AS window_start FROM b)
+      |SELECT window_start, COUNT(*) AS n_events
+      |FROM windows GROUP BY 1 ORDER BY window_start""".stripMargin
+
+  /** The streaming pipeline proper: file source (schema locked to the batch
+    * table, nanos already normalized), 2-hour watermark for late data,
+    * tumbling 1-day window per event_type. Returned unstarted; callers
+    * attach a sink (`writeStream`). `eventsDir` must be a DIRECTORY of
+    * events parquet files (the file source tails directories). */
+  def streamingTumblingCounts(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    // Watermarks require TIMESTAMP (instant) event time; with a UTC session
+    // the wall-clock matches the NTZ batch twin, and the output window start
+    // is cast back to NTZ for comparability.
+    spark.readStream
+      .schema(schema)
+      .parquet(eventsDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").cast("timestamp_ntz").as("day_start"),
+        col("event_type"), col("n_events"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.streaming.{Sessionize, StreamingOps}
+import java.time.{LocalDateTime, ZoneOffset}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured-Streaming behavior: the streaming plans must agree with their
+  * batch twins on the same data. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streaming tumbling window over the file source equals the batch twin") {
+    // the file source tails a directory; stage the single parquet into one
+    val staged = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val stream = StreamingOps.streamingTumblingCounts(spark, staged.toString)
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("tumbling_test")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    // Append mode only emits windows the watermark has passed; the last
+    // day's window stays open, so compare on the common prefix.
+    val streamed = spark.table("tumbling_test")
+      .select(col("day_start"), col("event_type"), col("n_events"))
+    val batch = StreamingOps.tumblingDaily(spark, dir)
+      .select(col("day_start"), col("event_type"), col("n_events").cast("long").as("n_events"))
+    val maxClosed = streamed.agg(max(col("day_start"))).head().getAs[LocalDateTime](0)
+    assert(streamed.count() > 0)
+    val batchClosed = batch.filter(col("day_start") <= lit(maxClosed))
+    assert(streamed.exceptAll(batchClosed).count() === 0L)
+    assert(batchClosed.exceptAll(streamed).count() === 0L)
+  }
+
+  test("streaming sessionization emits the same closed sessions as the batch fold") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val base = LocalDateTime.of(2024, 3, 1, 0, 0, 0).toInstant(ZoneOffset.UTC)
+    val evs = Seq(
+      // user 1: two sessions separated by a 2.5h gap
+      Sessionize.Ev(1L, 1L, base),
+      Sessionize.Ev(1L, 2L, base.plusSeconds(600)),
+      Sessionize.Ev(1L, 3L, base.plusSeconds(3 * 3600)),
+      // user 2: one session
+      Sessionize.Ev(2L, 4L, base.plusSeconds(300)),
+      Sessionize.Ev(2L, 5L, base.plusSeconds(1200)))
+
+    val mem = MemoryStream[Sessionize.Ev]
+    val q = Sessionize.sessionizeStream(mem.toDS())
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(evs: _*)
+    q.processAllAvailable()
+    // advance watermark far past the horizon so open sessions time out
+    mem.addData(Sessionize.Ev(99L, 999L, base.plusSeconds(2 * 86400)))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sessions_test")
+      .filter(col("user_id") =!= 99L)
+      .select(col("user_id"), col("session_id"), col("session_start"),
+        col("session_end"), col("n_events"))
+    val batch = evs.groupBy(_.user_id).flatMap { case (u, es) =>
+      Sessionize.foldSessions(u, es.iterator)
+    }.toSeq.toDS().select(col("user_id"), col("session_id"),
+      col("session_start"), col("session_end"), col("n_events"))
+
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+  }
+}
