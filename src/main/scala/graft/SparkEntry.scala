@@ -35,7 +35,13 @@ object SparkEntry {
     "agg_rollup"          -> (Aggregations.rollup_ _),
     "agg_cube"            -> (Aggregations.cube_ _),
     "agg_monthly_orders"  -> (Aggregations.monthlyOrders _),
+    "agg_grouping_sets"   -> (Aggregations.groupingSets_ _),
     "agg_approx_distinct" -> (Aggregations.approxDistinct _),
+    "agg_custom_udaf"     -> (CustomAgg.weightedAvgDiscount _),
+    // Projections / filters
+    "filter_predicates"     -> (Filters.predicates _),
+    "filter_null_semantics" -> (Filters.nullSemantics _),
+    "filter_projection"     -> (Filters.projection _),
     // Joins
     "join_inner_customer_orders" -> (Joins.innerCustomerOrders _),
     "join_broadcast_dims"        -> (Joins.broadcastDims _),
@@ -88,6 +94,7 @@ object SparkEntry {
     // Streaming shapes (batch twins of the Structured Streaming plans)
     "stream_tumbling_daily" -> (graft.streaming.StreamingOps.tumblingDaily _),
     "stream_sliding_window" -> (graft.streaming.StreamingOps.slidingWindow _),
+    "stream_session_window" -> (graft.streaming.StreamingOps.sessionWindow _),
     "stream_sessionize"     -> (graft.streaming.Sessionize.sessionsBatch _),
   )
 
@@ -98,6 +105,11 @@ object SparkEntry {
     "agg_rollup"          -> Aggregations.rollupSql,
     "agg_cube"            -> Aggregations.cubeSql,
     "agg_monthly_orders"  -> Aggregations.monthlyOrdersSql,
+    "agg_grouping_sets"   -> Aggregations.groupingSetsSql,
+    "agg_custom_udaf"     -> CustomAgg.weightedAvgDiscountSql,
+    "filter_predicates"     -> Filters.predicatesSql,
+    "filter_null_semantics" -> Filters.nullSemanticsSql,
+    "filter_projection"     -> Filters.projectionSql,
     // agg_approx_distinct: HLL sketch, not oracle-comparable (rows-only)
     "join_inner_customer_orders" -> Joins.innerCustomerOrdersSql,
     "join_broadcast_dims"        -> Joins.broadcastDimsSql,
@@ -141,6 +153,7 @@ object SparkEntry {
     "multimodal_frame_sample" -> graft.multimodal.Multimodal.frameSampleSql,
     "stream_tumbling_daily" -> graft.streaming.StreamingOps.tumblingDailySql,
     "stream_sliding_window" -> graft.streaming.StreamingOps.slidingWindowSql,
+    "stream_session_window" -> graft.streaming.StreamingOps.sessionWindowSql,
     "stream_sessionize"     -> graft.streaming.Sessionize.sessionsBatchSql,
   )
 }

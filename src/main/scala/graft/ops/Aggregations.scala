@@ -136,6 +136,30 @@ object Aggregations {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY 1 ORDER BY month_start""".stripMargin
 
+  /** GROUPING SETS: two independent one-dimension rollups in one pass
+    * (status totals and priority totals) — Spark expands to a single
+    * aggregate over the union of sets, one scan instead of two. */
+  def groupingSets_(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("orderstatus"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("orderpriority"),
+        col("n_orders"), col("sum_price"))
+      .orderBy(col("orderstatus"), col("orderpriority"))
+  }
+
+  val groupingSetsSql: String =
+    """SELECT COALESCE(o_orderstatus, '(all)') AS orderstatus,
+      |  COALESCE(o_orderpriority, '(all)') AS orderpriority,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      |ORDER BY orderstatus, orderpriority""".stripMargin
+
   /** approx_count_distinct (HyperLogLog++). Not DuckDB-comparable (different
     * sketch), so registered without an oracle twin — rows-only check. At
     * 100 TB this replaces exact COUNT(DISTINCT) for dashboards: one pass,

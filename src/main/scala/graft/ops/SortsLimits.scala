@@ -17,15 +17,20 @@ object SortsLimits {
   /** Global top-100 lineitems by price, fully tie-broken. */
   def topK(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    li.select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_quantity"))
-      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    // (l_orderkey, l_linenumber) is not unique in the synthetic lineitem;
+    // include partkey/suppkey so the order (and hence the top-100 cut) is
+    // fully deterministic in both engines.
+    li.select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_extendedprice"), col("l_quantity"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
       .limit(100)
   }
 
   val topKSql: String =
-    """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice, l_quantity
       |FROM lineitem
-      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_partkey, l_suppkey
       |LIMIT 100""".stripMargin
 
   /** Multi-column mixed-direction sort with limit. */

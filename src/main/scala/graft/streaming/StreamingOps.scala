@@ -53,6 +53,43 @@ object StreamingOps {
       |SELECT window_start, COUNT(*) AS n_events
       |FROM windows GROUP BY 1 ORDER BY window_start""".stripMargin
 
+  /** Declarative session windows (gap 30 min) — the built-in counterpart of
+    * the flatMapGroups sessionization in Sessionize: a session extends to
+    * last_event + gap, so a new session starts when the inter-event
+    * difference is >= gap (vs the fold's strict >; both variants exposed
+    * deliberately). window end = last event + gap, per Spark semantics. */
+  def sessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val sessionWindowSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |flagged AS (
+      |  -- exact microsecond gap, matching Spark's full-precision merge rule
+      |  -- (new session iff ts - last >= gap; date_diff('second') would
+      |  -- count boundary crossings and disagree on sub-second offsets)
+      |  SELECT user_id, ts,
+      |    CASE WHEN epoch_us(ts) -
+      |        epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      |        >= 1800000000
+      |      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |    THEN 1 ELSE 0 END AS is_new
+      |  FROM e),
+      |islands AS (
+      |  SELECT user_id, ts,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL 1800 SECOND AS session_end, COUNT(*) AS n_events
+      |FROM islands GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** The streaming pipeline proper: file source (schema locked to the batch
     * table, nanos already normalized), 2-hour watermark for late data,
     * tumbling 1-day window per event_type. Returned unstarted; callers
