@@ -50,6 +50,10 @@ object SparkEntry {
     "join_anti"                  -> (Joins.anti _),
     "join_range_band"            -> (Joins.rangeBand _),
     "join_three_way"             -> (Joins.threeWay _),
+    "join_asof"                  -> (AdvancedJoins.asofPurchaseView _),
+    "agg_pivot"                  -> (AdvancedJoins.pivotStatusPriority _),
+    "agg_percentiles"            -> (AdvancedJoins.percentiles _),
+    "text_top_tokens"            -> (AdvancedJoins.topTokens _),
     // Windows
     "window_topk_per_group" -> (Windows.topkPerGroup _),
     "window_lag_lead"       -> (Windows.lagLead _),
@@ -118,6 +122,10 @@ object SparkEntry {
     "join_anti"                  -> Joins.antiSql,
     "join_range_band"            -> Joins.rangeBandSql,
     "join_three_way"             -> Joins.threeWaySql,
+    "join_asof"                  -> AdvancedJoins.asofPurchaseViewSql,
+    "agg_pivot"                  -> AdvancedJoins.pivotStatusPrioritySql,
+    "agg_percentiles"            -> AdvancedJoins.percentilesSql,
+    "text_top_tokens"            -> AdvancedJoins.topTokensSql,
     "window_topk_per_group" -> Windows.topkPerGroupSql,
     "window_lag_lead"       -> Windows.lagLeadSql,
     "window_running_sum"    -> Windows.runningSumSql,

@@ -1,0 +1,124 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Advanced join/reshape operators beyond the plain join inventory: as-of
+  * join, pivot, and lateral-view token explosion.
+  *
+  * The as-of join follows the compose-first rule (SURVEY.md: prefer
+  * composing existing ops over a custom SparkPlan when semantics allow):
+  * it is built as union → single window pass — one shuffle on the join
+  * key, O(n log n) per partition, no range self-join blowup. That is the
+  * scalable formulation (a custom physical operator would save constants,
+  * not complexity). The DuckDB twin uses native ASOF JOIN, so the oracle
+  * also cross-validates our composition against an independent as-of
+  * implementation.
+  */
+object AdvancedJoins {
+
+  /** For every purchase event: the user's most recent view event at or
+    * before it (left as-of semantics — purchases with no prior view keep
+    * nulls). Union-tag + last(ignoreNulls) over a time-ordered window;
+    * views sort before purchases at equal timestamps (kind 0 < 1) so ties
+    * match ASOF's `>=`. */
+  def asofPurchaseView(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(0).as("kind"), col("event_id").as("v_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit(1).as("kind"), lit(null).cast("long").as("v_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.union(purchases)
+      .withColumn("view_id", last(col("v_id"), ignoreNulls = true).over(w))
+      .withColumn("view_ts",
+        last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(
+        col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("view_id"), col("view_ts"),
+        (expr("unix_micros(cast(ts as timestamp))") -
+          expr("unix_micros(cast(view_ts as timestamp))")).as("gap_us"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val asofPurchaseViewSql: String =
+    """WITH v AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+      |  WHERE event_type = 'view'),
+      |p AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events
+      |  WHERE event_type = 'purchase')
+      |SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+      |  v.event_id AS view_id, v.ts AS view_ts,
+      |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+      |FROM p ASOF LEFT JOIN v
+      |  ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY purchase_id""".stripMargin
+
+  private val Priorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  /** Pivot (long → wide reshape): order counts per status × priority.
+    * Pivot values are declared explicitly — at scale an implicit pivot
+    * triggers a distinct-collect over the column; declared values keep the
+    * plan a single pass. */
+  def pivotStatusPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", Priorities)
+      .count()
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val pivotStatusPrioritySql: String =
+    """SELECT o_orderstatus,
+      |  COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS "1-URGENT",
+      |  COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS "2-HIGH",
+      |  COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS "3-MEDIUM",
+      |  COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS "4-NOT SPECIFIED",
+      |  COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS "5-LOW"
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Lateral view / UDTF shape: explode document tokens, global top-20
+    * token frequencies. Explode → partial-aggregated count: the shuffle
+    * carries (token, partial count), not the exploded rows. */
+  def topTokens(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+  }
+
+  val topTokensSql: String =
+    """SELECT token, COUNT(*) AS n FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+      |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
+
+  /** Exact percentiles (median / p90) per return flag — linear
+    * interpolation, same formula in both engines, rounded to 6. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        expr("round(percentile(l_quantity, 0.5), 6)").as("p50_qty"),
+        expr("round(percentile(l_quantity, 0.9), 6)").as("p90_qty"),
+        expr("round(percentile(l_extendedprice, 0.5), 6)").as("p50_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val percentilesSql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+      |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+      |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+}
