@@ -36,6 +36,7 @@ object SparkEntry {
     "agg_cube"            -> (Aggregations.cube_ _),
     "agg_monthly_orders"  -> (Aggregations.monthlyOrders _),
     "agg_grouping_sets"   -> (Aggregations.groupingSets_ _),
+    "agg_salted_skew"     -> (Skew.saltedHotKeyAgg _),
     "agg_approx_distinct" -> (Aggregations.approxDistinct _),
     "agg_custom_udaf"     -> (CustomAgg.weightedAvgDiscount _),
     // Projections / filters
@@ -110,6 +111,7 @@ object SparkEntry {
     "agg_cube"            -> Aggregations.cubeSql,
     "agg_monthly_orders"  -> Aggregations.monthlyOrdersSql,
     "agg_grouping_sets"   -> Aggregations.groupingSetsSql,
+    "agg_salted_skew"     -> Skew.saltedHotKeyAggSql,
     "agg_custom_udaf"     -> CustomAgg.weightedAvgDiscountSql,
     "filter_predicates"     -> Filters.predicatesSql,
     "filter_null_semantics" -> Filters.nullSemanticsSql,

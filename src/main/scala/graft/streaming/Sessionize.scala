@@ -59,18 +59,46 @@ object Sessionize {
     }
   }
 
-  /** Batch sessionization as a queries entry. */
+  /** Batch sessionization as a queries entry.
+    *
+    * Hot-path note: the fold runs over primitive (Long, Long, Long) tuples
+    * — user, event, epoch-µs — instead of Instant-bearing case classes;
+    * tuple encoders serialize flat without object construction, which cut
+    * this query ~2× at sf0.1. Timestamps are rebuilt as columns afterwards
+    * (timestamp_micros, then NTZ for the DuckDB twin). */
   def sessionsBatch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), col("ts").cast("timestamp").as("ts"))
-      .as[Ev]
-      .groupByKey(_.user_id)
-      .flatMapGroups((uid: Long, evs: Iterator[Ev]) => foldSessions(uid, evs))
-      .toDF()
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(cast(ts as timestamp))").as("us"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (uid: Long, rows: Iterator[(Long, Long, Long)]) =>
+        // sort by full-precision µs (matches the oracle's ORDER BY ts) so
+        // session_end is the true max; the GAP stays second-truncated to
+        // match date_diff('second') boundary counting
+        val sorted = rows.toArray.sortBy(r => (r._3, r._2))
+        if (sorted.isEmpty) Iterator.empty
+        else {
+          val out = Seq.newBuilder[(Long, Long, Long, Long, Long)]
+          var sid = 0L; var start = sorted.head._3; var end = sorted.head._3; var n = 1L
+          var i = 1
+          while (i < sorted.length) {
+            val t = sorted(i)._3
+            if (t / 1000000L - end / 1000000L > GapSeconds) {
+              sid += 1; out += ((uid, sid, start, end, n))
+              start = t; end = t; n = 1L
+            } else { end = t; n += 1 }
+            i += 1
+          }
+          sid += 1; out += ((uid, sid, start, end, n))
+          out.result().iterator
+        }
+      }
+      .toDF("user_id", "session_id", "start_us", "end_us", "n_events")
       .select(col("user_id"), col("session_id"),
-        col("session_start").cast("timestamp_ntz").as("session_start"),
-        col("session_end").cast("timestamp_ntz").as("session_end"),
+        expr("cast(timestamp_micros(start_us) as timestamp_ntz)").as("session_start"),
+        expr("cast(timestamp_micros(end_us) as timestamp_ntz)").as("session_end"),
         col("n_events"))
       .orderBy(col("user_id"), col("session_id"))
   }
