@@ -60,3 +60,47 @@ case class FloatVectorDot(left: Expression, right: Expression)
        """.stripMargin
     })
 }
+
+/** Squared L2 norm of a float vector: semantically `graft_vec_dot(x, x)`
+  * but evaluates its child ONCE and reads the array once per element.
+  * Normally produced by the optimizer rule `VecDotSelfToSqNorm` rather
+  * than written directly (see graft.functions.GraftExtensions). */
+case class FloatVectorSqNorm(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_vec_sqnorm"
+
+  override protected def withNewChildInternal(newChild: Expression): FloatVectorSqNorm =
+    copy(child = newChild)
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val v = x.getFloat(i).toDouble
+      s += v * v
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = (double) $a.getFloat($i);
+         |  $s += $v * $v;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+}

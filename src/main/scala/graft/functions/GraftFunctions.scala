@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.expr
 
 /** Registration for graft's native Catalyst expressions.
@@ -18,7 +20,8 @@ import org.apache.spark.sql.functions.expr
 object GraftFunctions {
 
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_vec_dot" -> { args => FloatVectorDot(args(0), args(1)) }
+    "graft_vec_dot" -> { args => FloatVectorDot(args(0), args(1)) },
+    "graft_vec_sqnorm" -> { args => FloatVectorSqNorm(args(0)) }
   )
 
   def register(spark: SparkSession): Unit = {
@@ -26,6 +29,10 @@ object GraftFunctions {
     fns.foreach { case (name, builder) =>
       registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
+    // idempotent: injected rules are deduplicated by reference equality of
+    // the batch, and experimental extraOptimizations replaces wholesale
+    spark.experimental.extraOptimizations =
+      Seq(VecDotSelfToSqNorm)
   }
 
   /** Dot product of two float-vector columns (see FloatVectorDot). The
@@ -34,13 +41,31 @@ object GraftFunctions {
     expr(s"graft_vec_dot(${a.toString}, ${b.toString})")
 }
 
-/** SparkSessionExtensions installer: injects graft's native functions at
-  * session build time. */
+/** Optimizer rule: `graft_vec_dot(x, x)` → `graft_vec_sqnorm(x)` when both
+  * sides are the same deterministic expression — halves the array reads
+  * and evaluates the child once. A small but genuine Catalyst rewrite:
+  * it fires on the similarity queries, which all build norms as dot(x,x).
+  */
+object VecDotSelfToSqNorm extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case FloatVectorDot(a, b) if a.deterministic && a.semanticEquals(b) =>
+        FloatVectorSqNorm(a)
+    }
+}
+
+/** SparkSessionExtensions installer: injects graft's native functions and
+  * optimizer rule at session build time. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_vec_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "graft_vec_dot"),
       (args: Seq[Expression]) => FloatVectorDot(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_vec_sqnorm"),
+      new ExpressionInfo(classOf[FloatVectorSqNorm].getName, "graft_vec_sqnorm"),
+      (args: Seq[Expression]) => FloatVectorSqNorm(args(0))))
+    ext.injectOptimizerRule(_ => VecDotSelfToSqNorm)
   }
 }

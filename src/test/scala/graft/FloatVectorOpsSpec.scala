@@ -1,0 +1,75 @@
+package graft
+
+import graft.functions.{FloatVectorDot, FloatVectorSqNorm, GraftFunctions}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native expression correctness: the codegen'd vector ops must agree
+  * bit-for-bit with the declarative higher-order-function folds they
+  * replace, in both codegen and interpreted evaluation, and the optimizer
+  * rule must rewrite self-dots into single-read square norms. */
+class FloatVectorOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def em = {
+    GraftFunctions.register(spark)
+    Tables.embeddings(spark, dir)
+  }
+
+  test("graft_vec_dot equals the declarative zip_with/aggregate fold bit-for-bit") {
+    val mismatch = em.select(
+        expr("graft_vec_dot(embedding, embedding)").as("native"),
+        aggregate(
+          zip_with(col("embedding"), col("embedding"),
+            (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x).as("hof"))
+      .filter(col("native") =!= col("hof"))
+      .count()
+    assert(mismatch === 0L)
+  }
+
+  test("interpreted eval matches codegen results") {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val arr = ArrayData.toArrayData(Array(1.5f, -2.25f, 3.0f))
+    val ref = Literal.create(arr, ArrayType(FloatType))
+    val dot = FloatVectorDot(ref, ref).eval(null).asInstanceOf[Double]
+    val sq = FloatVectorSqNorm(ref).eval(null).asInstanceOf[Double]
+    val expected = 1.5 * 1.5 + 2.25 * 2.25 + 3.0 * 3.0
+    assert(dot === expected)
+    assert(sq === expected)
+    assert(dot === sq)
+  }
+
+  test("optimizer rule rewrites dot(x, x) to sqnorm(x)") {
+    val df = em.select(expr("graft_vec_dot(embedding, embedding)").as("n"))
+    val optimized = df.queryExecution.optimizedPlan
+    val exprs = optimized.expressions.flatMap(_.collect {
+      case e: FloatVectorSqNorm => e
+      case e: FloatVectorDot => e
+    })
+    assert(exprs.exists(_.isInstanceOf[FloatVectorSqNorm]),
+      s"expected FloatVectorSqNorm in optimized plan, got: $optimized")
+    assert(!exprs.exists(_.isInstanceOf[FloatVectorDot]))
+  }
+
+  test("rule does NOT fire for distinct vectors") {
+    val two = em.as("a").crossJoin(em.as("b")).limit(10)
+      .select(expr("graft_vec_dot(a.embedding, b.embedding)").as("d"))
+    val exprs = two.queryExecution.optimizedPlan
+      .collect { case n => n.expressions }.flatten
+      .flatMap(_.collect { case e: FloatVectorDot => e })
+    assert(exprs.nonEmpty)
+  }
+
+  test("sqnorm rewrite preserves values") {
+    val r = em.select(
+        expr("graft_vec_dot(embedding, embedding)").as("via_rule"),
+        expr("graft_vec_sqnorm(embedding)").as("direct"))
+      .filter(col("via_rule") =!= col("direct"))
+      .count()
+    assert(r === 0L)
+  }
+}
