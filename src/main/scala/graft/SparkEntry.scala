@@ -77,6 +77,11 @@ object SparkEntry {
     "scalar_conditional" -> (Scalars.conditionalFuncs _),
     "scalar_json"        -> (Scalars.jsonFuncs _),
     "scalar_array"       -> (Scalars.arrayFuncs _),
+    "scalar_struct_map"  -> (Scalars.structMapFuncs _),
+    // Composite TPC-H shapes
+    "tpch_q3_shipping_priority" -> (TpchShapes.q3ShippingPriority _),
+    "tpch_q5_local_supplier"    -> (TpchShapes.q5LocalSupplierVolume _),
+    "multimodal_joined_pipeline" -> (TpchShapes.multimodalJoinedPipeline _),
     // Dedup (north-star)
     "dedup_exact"         -> (Dedup.exact _),
     "dedup_keep_first"    -> (Dedup.keepFirst _),
@@ -146,6 +151,10 @@ object SparkEntry {
     "scalar_conditional" -> Scalars.conditionalFuncsSql,
     "scalar_json"        -> Scalars.jsonFuncsSql,
     "scalar_array"       -> Scalars.arrayFuncsSql,
+    "scalar_struct_map"  -> Scalars.structMapFuncsSql,
+    "tpch_q3_shipping_priority" -> TpchShapes.q3ShippingPrioritySql,
+    "tpch_q5_local_supplier"    -> TpchShapes.q5LocalSupplierVolumeSql,
+    "multimodal_joined_pipeline" -> TpchShapes.multimodalJoinedPipelineSql,
     "dedup_exact"         -> Dedup.exactSql,
     "dedup_keep_first"    -> Dedup.keepFirstSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,

@@ -117,4 +117,62 @@ object Ingest {
     val target = if (singleFile) df.coalesce(1) else df
     target.write.mode("overwrite").parquet(outPath)
   }
+
+  /** The 100 TB strict path: ingest + validate + write in ONE pass.
+    *
+    * `ingest(strict = true)` above runs two extra counting jobs, i.e. three
+    * scans of the raw text — fine at golden-file scale, wrong at 100 TB.
+    * Here the validation counters ride on `Dataset.observe` (accumulator
+    * metrics computed DURING the write job), so the raw text is read
+    * exactly once; if any malformed row or boolean token was seen, the
+    * just-written output is deleted and the job fails with the same
+    * exceptions as the multi-pass path.
+    */
+  def ingestAndWriteSinglePass(spark: SparkSession, path: String,
+      outPath: String): Unit = {
+    validateHeader(readHeaderLine(spark, path))
+
+    val headerLit = GreenTaxi.CsvHeader.mkString(",")
+    val normalized = spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .filter(col("value") =!= headerLit)
+      .select(regexp_extract(col("value"), RowRegex, 1).as("line"))
+
+    val rawSchema = StructType(GreenTaxi.Columns.map(StructField(_, StringType, nullable = true)))
+    // PERMISSIVE here (not FAILFAST): a failed regex extract leaves an
+    // empty line that FAILFAST would explode on mid-job with a raw
+    // SparkException; the observe counters are the strictness gate and
+    // produce the same typed error AFTER the single pass completes.
+    val parsed = normalized.select(
+      col("line"),
+      from_csv(col("line"), rawSchema,
+        Map("nullValue" -> "", "quote" -> "", "mode" -> "PERMISSIVE")).as("r"))
+
+    val typedCols = GreenTaxi.Columns.zip(GreenTaxi.ColumnTypes).map {
+      case (n, dt) => typed(n, dt, col(s"r.$n"))
+    }
+    val flag = col("r.Store_and_fwd_flag")
+    val obs = new org.apache.spark.sql.Observation("ingest_validation")
+    val out = parsed
+      .observe(obs,
+        sum(when(col("line") === "", 1L).otherwise(0L)).as("bad_rows"),
+        sum(when(flag.isNotNull && flag =!= "Y" && flag =!= "N", 1L)
+          .otherwise(0L)).as("bad_flags"))
+      .select(typedCols: _*)
+
+    out.write.mode("overwrite").parquet(outPath)
+
+    val m = obs.get
+    val badRows = m("bad_rows").asInstanceOf[Long]
+    val badFlags = m("bad_flags").asInstanceOf[Long]
+    if (badRows > 0 || badFlags > 0) {
+      // poison output must not survive a failed validation
+      val p = new org.apache.hadoop.fs.Path(outPath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      if (badRows > 0)
+        throw new InvalidDataException(
+          s"$badRows row(s) with fewer than ${GreenTaxi.NumColumns} fields")
+      throw new InvalidDataException(s"$badFlags invalid Store_and_fwd_flag value(s)")
+    }
+  }
 }

@@ -148,6 +148,31 @@ object Scalars {
       |  json_extract_string(props, '$.missing') AS missing_val
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Struct and map construction + field access (nested types as per-row
+    * scalars, so the output stays oracle-comparable). */
+  def structMapFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val st = struct(col("p_brand").as("brand"), col("p_size").as("sz"))
+    val m = map(lit("brand"), col("p_brand"), lit("type"), col("p_type"))
+    p.select(
+        col("p_partkey"),
+        st.getField("sz").as("struct_size"),
+        st.getField("brand").as("struct_brand"),
+        element_at(m, "brand").as("map_brand"),
+        element_at(m, "type").as("map_type"),
+        size(map_keys(m)).as("n_keys"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val structMapFuncsSql: String =
+    """SELECT p_partkey,
+      |  struct_pack(brand := p_brand, sz := p_size).sz AS struct_size,
+      |  struct_pack(brand := p_brand, sz := p_size).brand AS struct_brand,
+      |  (MAP {'brand': p_brand, 'type': p_type})['brand'][1] AS map_brand,
+      |  (MAP {'brand': p_brand, 'type': p_type})['type'][1] AS map_type,
+      |  CAST(cardinality(MAP {'brand': p_brand, 'type': p_type}) AS INTEGER) AS n_keys
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   /** Array (higher-order) functions over the embedding vectors: size,
     * element access, element-wise transform + fold. Sums run left-to-right
     * over doubles in both engines; rounded to 6 decimals anyway. */

@@ -1,0 +1,113 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Composite TPC-H-shaped pipelines — multi-join + filter + aggregate +
+  * top-k in one plan, the end-to-end shapes a warehouse engine is graded
+  * on. Filters are written against scan columns (pushdown-eligible),
+  * small dimensions are broadcast, revenue sums are decimal-exact.
+  */
+object TpchShapes {
+
+  /** Q3 shape: top-10 highest-revenue unshipped orders for one segment.
+    * lineitem⋈orders⋈customer with date filters on both fact scans;
+    * TakeOrderedAndProject caps the result. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1997-06-30").cast("timestamp_ntz")
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
+    val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val q3ShippingPrioritySql: String =
+    """SELECT o_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-06-30'
+      |  AND l_shipdate > TIMESTAMP '1997-06-30'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** Q5 shape: revenue by nation where customer and supplier share the
+    * nation, within one region and year. Six-table join: facts shuffle on
+    * their keys, nation/region broadcast. */
+  def q5LocalSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp_ntz")
+    val hi = lit("1998-01-01").cast("timestamp_ntz")
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5LocalSupplierVolumeSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** The extension-table pipeline from SURVEY §2b "Multimodal": documents
+    * ⋈ embeddings (doc_id = vec_id) — text stats, array math (native
+    * sqnorm expression), and label scalars in one plan, rolled up by
+    * language. */
+  def multimodalJoinedPipeline(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val d = Tables.documents(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+    d.join(e, d("doc_id") === e("vec_id"))
+      .select(col("lang"), col("label"), col("n_chars"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        expr("graft_vec_dot(embedding, embedding)").as("sq"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("label")).as("n_labels"),
+        (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"),
+        round(max(sqrt(col("sq"))), 6).as("max_l2_norm"))
+      .orderBy(col("lang"))
+  }
+
+  val multimodalJoinedPipelineSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT label) AS n_labels,
+      |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+      |  round(MAX(sqrt(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS max_l2_norm
+      |FROM documents JOIN embeddings ON doc_id = vec_id
+      |GROUP BY lang ORDER BY lang""".stripMargin
+}

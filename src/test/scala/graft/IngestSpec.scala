@@ -72,6 +72,26 @@ class IngestSpec extends AnyFunSuite {
     assertThrows[Ingest.InvalidDataException] { Ingest.ingest(spark, path) }
   }
 
+  test("single-pass strict ingest writes valid files and matches the multi-pass path") {
+    val path = writeCsv(Seq(header, rowA, rowExtra))
+    val out = Files.createTempDirectory("taxi_sp").toString + "/out"
+    Ingest.ingestAndWriteSinglePass(spark, path, out)
+    val back = spark.read.parquet(out)
+    val multi = Ingest.ingest(spark, path)
+    assert(back.schema === GreenTaxi.Schema)
+    assert(back.exceptAll(multi).count() === 0L)
+    assert(multi.exceptAll(back).count() === 0L)
+  }
+
+  test("single-pass strict ingest fails on short rows and removes its output") {
+    val path = writeCsv(Seq(header, rowA, rowShort))
+    val out = Files.createTempDirectory("taxi_sp_bad").toString + "/out"
+    assertThrows[Ingest.InvalidDataException] {
+      Ingest.ingestAndWriteSinglePass(spark, path, out)
+    }
+    assert(!new java.io.File(out).exists(), "poison output must be deleted")
+  }
+
   test("round-trips through parquet with the exact declared schema") {
     val path = writeCsv(Seq(header, rowA, rowExtra))
     val out = Files.createTempDirectory("taxi_pq").toString + "/out"
