@@ -61,6 +61,8 @@ object SparkEntry {
     "window_running_sum"    -> (Windows.runningSum _),
     "window_rank_dense"     -> (Windows.rankDense _),
     "window_distribution"   -> (Windows.distribution _),
+    "window_range_frame"    -> (Windows.rangeFrame _),
+    "window_first_last_nth" -> (Windows.firstLastNth _),
     // Sorts / limits / top-k
     "sort_topk"             -> (SortsLimits.topK _),
     "sort_multi_col"        -> (SortsLimits.multiColSort _),
@@ -138,6 +140,8 @@ object SparkEntry {
     "window_running_sum"    -> Windows.runningSumSql,
     "window_rank_dense"     -> Windows.rankDenseSql,
     "window_distribution"   -> Windows.distributionSql,
+    "window_range_frame"    -> Windows.rangeFrameSql,
+    "window_first_last_nth" -> Windows.firstLastNthSql,
     "sort_topk"             -> SortsLimits.topKSql,
     "sort_multi_col"        -> SortsLimits.multiColSortSql,
     "sort_filtered_bottomk" -> SortsLimits.filteredBottomKSql,

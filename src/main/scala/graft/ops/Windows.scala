@@ -95,6 +95,55 @@ object Windows {
       |  DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_dense_rank
       |FROM part ORDER BY p_brand, p_retailprice DESC, p_partkey""".stripMargin
 
+  /** RANGE frame (value-based, not row-based): for each order, how many of
+    * the customer's orders fall within ±10000 of its price, and their
+    * exact sum — the frame every sliding-value analytic needs. */
+  def rangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"))
+      .rangeBetween(-10000L, 10000L)
+    o.select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        count(lit(1)).over(w).as("n_near_price"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w)
+          .cast(DoubleType).as("sum_near_price"))
+      .orderBy(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+  }
+
+  val rangeFrameSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  COUNT(*) OVER w AS n_near_price,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_near_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+      |             RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)
+      |ORDER BY o_custkey, o_totalprice, o_orderkey""".stripMargin
+
+  /** first_value / last_value / nth_value over a fully-specified frame. */
+  def firstLastNth(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    o.select(
+        col("o_custkey"), col("o_orderkey"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(w).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val firstLastNthSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  FIRST_VALUE(o_totalprice) OVER w AS first_price,
+      |  LAST_VALUE(o_totalprice) OVER w AS last_price,
+      |  NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** ntile + percent_rank distribution stats per nation over customers. */
   def distribution(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)

@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the physical properties the 100 TB design
+  * depends on must survive refactors — filter/projection pushdown,
+  * broadcast joins on dimensions, TakeOrderedAndProject for top-k, and
+  * map-side partial aggregation. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planString(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filtered bottom-k: pushed filters + pruned scan + TakeOrderedAndProject") {
+    val p = planString(SortsLimits.filteredBottomK(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("PushedFilters: [IsNotNull(c_acctbal), LessThan(c_acctbal,0.0)]"))
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string,c_acctbal:double>"))
+  }
+
+  test("dimension chain joins broadcast (no shuffle before aggregation)") {
+    val p = planString(Joins.broadcastDims(spark, dir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("pricing summary partial-aggregates before the exchange") {
+    val p = planString(Aggregations.pricingSummary(spark, dir))
+    assert(p.contains("partial_sum"))
+    // scan reads only the 5 referenced columns of 11 (plan toString
+    // truncates long ReadSchema strings, so match the scan column list)
+    assert(p.contains(
+      "FileScan parquet [l_quantity#"))
+    assert(!p.contains("l_orderkey"), "pruned columns must not be scanned")
+  }
+
+  test("global top-k never global-sorts") {
+    val df = SortsLimits.topK(spark, dir)
+    val p = planString(df)
+    assert(p.contains("TakeOrderedAndProject"))
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty, "top-k must not shuffle")
+  }
+
+  test("projection-only query prunes the orders scan to three columns") {
+    val p = planString(Filters.projection(spark, dir))
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double," +
+      "o_orderpriority:string>"))
+  }
+}
