@@ -100,6 +100,7 @@ object SparkEntry {
     "text_language_id"   -> (TextAnalysis.languageId _),
     "text_fingerprint"   -> (TextAnalysis.fingerprint _),
     "text_lang_profile"  -> (TextAnalysis.langProfile _),
+    "text_topk_sketch"   -> (TextAnalysis.topkSketch _),
     // Multimodal columns (north-star; decode is a documented stub)
     "multimodal_decode_stats" -> (graft.multimodal.Multimodal.decodeStats _),
     "multimodal_frame_sample" -> (graft.multimodal.Multimodal.frameSample _),
@@ -172,6 +173,7 @@ object SparkEntry {
     "text_language_id"   -> TextAnalysis.languageIdSql,
     "text_fingerprint"   -> TextAnalysis.fingerprintSql,
     "text_lang_profile"  -> TextAnalysis.langProfileSql,
+    "text_topk_sketch"   -> TextAnalysis.topkSketchSql,
     "multimodal_decode_stats" -> graft.multimodal.Multimodal.decodeStatsSql,
     "multimodal_frame_sample" -> graft.multimodal.Multimodal.frameSampleSql,
     "stream_tumbling_daily" -> graft.streaming.StreamingOps.tumblingDailySql,

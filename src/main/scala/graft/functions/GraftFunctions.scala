@@ -21,7 +21,12 @@ object GraftFunctions {
 
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_vec_dot" -> { args => FloatVectorDot(args(0), args(1)) },
-    "graft_vec_sqnorm" -> { args => FloatVectorSqNorm(args(0)) }
+    "graft_vec_sqnorm" -> { args => FloatVectorSqNorm(args(0)) },
+    "graft_topk_sketch" -> { args =>
+      SpaceSavingTopK(args(0),
+        capacity = args(1).eval().asInstanceOf[Number].intValue(),
+        k = args(2).eval().asInstanceOf[Number].intValue())
+    }
   )
 
   def register(spark: SparkSession): Unit = {

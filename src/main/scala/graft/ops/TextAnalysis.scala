@@ -143,6 +143,26 @@ object TextAnalysis {
       |  CAST(length(text) AS INTEGER) AS n_chars_computed
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Top-k token frequencies via the custom SpaceSaving sketch aggregate
+    * (graft.functions.SpaceSavingTopK): single pass, fixed memory, one
+    * serialized sketch per partition on the shuffle — the 100 TB
+    * heavy-hitters path. Capacity 128 exceeds the corpus vocabulary, so
+    * the sketch is exact here and the oracle is a plain COUNT(*). */
+  def topkSketch(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val d = Tables.documents(spark, dir)
+    d.select(explode(split(col("text"), " ")).as("token"))
+      .agg(expr("graft_topk_sketch(token, 128, 20)").as("top"))
+      .select(explode(col("top")).as("s"))
+      .select(col("s.token").as("token"), col("s.n").as("n"))
+      .orderBy(col("n").desc, col("token"))
+  }
+
+  val topkSketchSql: String =
+    """SELECT token, COUNT(*) AS n FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+      |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
+
   /** Per-language corpus rollup — the aggregate view of the text metrics. */
   def langProfile(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
