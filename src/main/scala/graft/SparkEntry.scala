@@ -38,6 +38,7 @@ object SparkEntry {
     "agg_grouping_sets"   -> (Aggregations.groupingSets_ _),
     "agg_salted_skew"     -> (Skew.saltedHotKeyAgg _),
     "agg_approx_distinct" -> (Aggregations.approxDistinct _),
+    "agg_approx_quantiles" -> (Aggregations.approxQuantiles _),
     "agg_custom_udaf"     -> (CustomAgg.weightedAvgDiscount _),
     // Projections / filters
     "filter_predicates"     -> (Filters.predicates _),

@@ -172,4 +172,19 @@ object Aggregations {
         approx_count_distinct(col("l_partkey")).as("approx_parts"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** approx_percentile (Greenwald-Khanna/KLL-style mergeable quantile
+    * sketch). Like HLL, sketch internals are engine-specific → rows-only
+    * check; the exact-percentile twin (`agg_percentiles`) is the
+    * oracle-checked variant. One pass, bounded memory — the 100 TB
+    * quantile path. */
+  def approxQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
+          .as("price_quantiles"),
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("median_qty"))
+      .orderBy(col("l_returnflag"))
+  }
 }

@@ -7,7 +7,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Deduplication inventory (north-star extensions): exact, keep-first,
-  * n-gram Jaccard, MinHash+LSH, SimHash.
+  * n-gram Jaccard, MinHash+LSH (Broder, "On the resemblance and
+  * containment of documents", 1997; banding per Leskovec/Rajaraman/Ullman
+  * ch. 3), SimHash (Charikar, "Similarity estimation techniques from
+  * rounding algorithms", 2002 — the Google web-dedup signature of
+  * Manku et al. 2007).
   *
   * Scale design:
   *  - Exact dedup = hash shuffle on the dedup key only (not the full row).
