@@ -22,6 +22,7 @@ object GraftFunctions {
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_vec_dot" -> { args => FloatVectorDot(args(0), args(1)) },
     "graft_vec_sqnorm" -> { args => FloatVectorSqNorm(args(0)) },
+    "graft_simhash64" -> { args => SimHash64(args(0)) },
     "graft_topk_sketch" -> { args =>
       SpaceSavingTopK(args(0),
         capacity = args(1).eval().asInstanceOf[Number].intValue(),
@@ -71,6 +72,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_vec_sqnorm"),
       new ExpressionInfo(classOf[FloatVectorSqNorm].getName, "graft_vec_sqnorm"),
       (args: Seq[Expression]) => FloatVectorSqNorm(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (args: Seq[Expression]) => SimHash64(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk_sketch"),
+      new ExpressionInfo(classOf[SpaceSavingTopK].getName, "graft_topk_sketch"),
+      (args: Seq[Expression]) => SpaceSavingTopK(args(0),
+        args(1).eval().asInstanceOf[Number].intValue(),
+        args(2).eval().asInstanceOf[Number].intValue())))
     ext.injectOptimizerRule(_ => VecDotSelfToSqNorm)
   }
 }

@@ -155,26 +155,20 @@ object Dedup {
       .orderBy(col("est_jaccard").desc, col("d1"), col("d2"))
   }
 
-  /** SimHash near-dup: 64-bit frequency-weighted signature per doc;
-    * pairs within Hamming distance 16. Rows-only check (engine-specific
-    * xxhash64). */
+  /** SimHash near-dup: 64-bit frequency-weighted signature per doc via the
+    * native per-row expression (graft.functions.SimHash64 — one pass over
+    * the token array inside the scan projection; no explode, no 64-column
+    * aggregation, no signature shuffle); pairs within Hamming distance 12.
+    * Rows-only check (engine-specific hash). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val d = Tables.documents(spark, dir)
-    val toks = d.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitCols = (0 until 64).map { b =>
-      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"b$b")
-    }
-    val sig = toks.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(b =>
-          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
-        ).reduce((a: Column, c: Column) => a.bitwiseXOR(c)).as("simhash"))
+    val sig = d.select(col("doc_id"),
+      expr("graft_simhash64(split(text, ' '))").as("simhash"))
     sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
-      .filter(col("hamming") <= 16)
+      .filter(col("hamming") <= 12)
       .orderBy(col("hamming"), col("d1"), col("d2"))
   }
 }
