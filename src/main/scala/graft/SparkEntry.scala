@@ -73,6 +73,9 @@ object SparkEntry {
     "setop_intersect"      -> (SetOps.intersect_ _),
     "setop_except"         -> (SetOps.except_ _),
     "setop_union_distinct" -> (SetOps.unionDistinct _),
+    "setop_except_all"     -> (SetOps.exceptAll_ _),
+    "setop_intersect_all"  -> (SetOps.intersectAll_ _),
+    "agg_corr_stddev"      -> (Statistics.corrStddev _),
     // Scalar functions
     "scalar_string"      -> (Scalars.stringFuncs _),
     "scalar_math"        -> (Scalars.mathFuncs _),
@@ -151,6 +154,9 @@ object SparkEntry {
     "setop_intersect"      -> SetOps.intersectSql,
     "setop_except"         -> SetOps.exceptSql,
     "setop_union_distinct" -> SetOps.unionDistinctSql,
+    "setop_except_all"     -> SetOps.exceptAllSql,
+    "setop_intersect_all"  -> SetOps.intersectAllSql,
+    "agg_corr_stddev"      -> Statistics.corrStddevSql,
     "scalar_string"      -> Scalars.stringFuncsSql,
     "scalar_math"        -> Scalars.mathFuncsSql,
     "scalar_datetime"    -> Scalars.datetimeFuncsSql,

@@ -55,6 +55,34 @@ object SetOps {
       |SELECT o_custkey AS id FROM orders
       |ORDER BY id""".stripMargin
 
+  /** EXCEPT ALL — multiset difference (keeps duplicate multiplicity):
+    * nation keys of customers minus nation keys of suppliers, bag
+    * semantics. */
+  def exceptAll_(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+    val s = Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey"))
+    c.exceptAll(s).orderBy(col("nationkey"))
+  }
+
+  val exceptAllSql: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |EXCEPT ALL
+      |SELECT s_nationkey AS nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin
+
+  /** INTERSECT ALL — multiset intersection with multiplicity. */
+  def intersectAll_(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+    val s = Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey"))
+    c.intersectAll(s).orderBy(col("nationkey"))
+  }
+
+  val intersectAllSql: String =
+    """SELECT c_nationkey AS nationkey FROM customer
+      |INTERSECT ALL
+      |SELECT s_nationkey AS nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin
+
   /** UNION (distinct) — dedup across sources. */
   def unionDistinct(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
