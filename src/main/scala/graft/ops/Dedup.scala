@@ -78,10 +78,17 @@ object Dedup {
     * The shingle self-join is O(candidate pairs) — correct as ground truth
     * / verification tier; `minhashLsh` below is the linear-scale tier. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // The join key is the 64-bit shingle hash, not the shingle string: the
+    // output only carries per-pair counts, so the strings never need to
+    // move — the self-join shuffle drops from ~20-byte keys to 8 bytes.
+    // A hash collision would perturb a count (P ≈ n²/2⁶⁵ ≈ 2e-11 for the
+    // 26k-shingle corpus); the DuckDB oracle string-joins and confirms
+    // count equality on the actual corpus.
     val sh = shingles(Tables.documents(spark, dir))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
+      .join(sh.as("b"), col("a.sh") === col("b.sh") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("common"))
