@@ -18,7 +18,11 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object Windows {
 
-  /** row_number top-k per group: top 3 orders by price per order status. */
+  /** row_number top-k per group: top 3 orders by price per order status.
+    * Spark 4 plans the rank filter as WindowGroupLimit (verified in the
+    * executed plan): each partition keeps only its local top-k before the
+    * window shuffle, so no full partition sort materializes — no custom
+    * operator needed for this shape. */
   def topkPerGroup(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val w = Window.partitionBy(col("o_orderstatus"))
