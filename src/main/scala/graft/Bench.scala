@@ -23,10 +23,20 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Per-query breakdown goes to a side file; the stdout line stays compact
+    // (<200 bytes) so the driver's tail capture can always parse it.
+    try {
+      val w = new java.io.PrintWriter("bench_queries.json")
+      try w.println(s"""{"queries":$qs,"sf":"$sfDir"}""") finally w.close()
+    } catch { case _: Throwable => () }
+    val base = new java.io.File(sfDir).getName.stripPrefix("sf")
+    val sfJson =
+      try BigDecimal(base).toString catch { case _: Throwable => "\"" + base + "\"" }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":$sfJson%s}""")
     spark.stop()
   }
 }

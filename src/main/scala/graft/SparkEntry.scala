@@ -128,7 +128,11 @@ object SparkEntry {
     "filter_predicates"     -> Filters.predicatesSql,
     "filter_null_semantics" -> Filters.nullSemanticsSql,
     "filter_projection"     -> Filters.projectionSql,
-    // agg_approx_distinct: HLL sketch, not oracle-comparable (rows-only)
+    // Sketch queries emit exact values + deterministic within-tolerance
+    // booleans, so the sketch path is oracle-checkable despite
+    // engine-specific internals.
+    "agg_approx_distinct"  -> Aggregations.approxDistinctSql,
+    "agg_approx_quantiles" -> Aggregations.approxQuantilesSql,
     "join_inner_customer_orders" -> Joins.innerCustomerOrdersSql,
     "join_broadcast_dims"        -> Joins.broadcastDimsSql,
     "join_left_outer"            -> Joins.leftOuterSql,
@@ -170,11 +174,14 @@ object SparkEntry {
     "dedup_exact"         -> Dedup.exactSql,
     "dedup_keep_first"    -> Dedup.keepFirstSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
-    // dedup_minhash_lsh / dedup_simhash: Spark hash functions are not
-    // reproducible in DuckDB — rows-only checks
+    // LSH tiers output exact-Jaccard-verified pairs (threshold 0.8), so
+    // both hash-check against the ground-truth near-dup oracle even though
+    // the candidate sketches are engine-specific.
+    "dedup_minhash_lsh"   -> Dedup.minhashLshSql,
+    "dedup_simhash"       -> Dedup.simhashSql,
     "sim_cosine_topk"       -> Similarity.cosineTopKSql,
     "sim_embedding_neardup" -> Similarity.embeddingNearDupSql,
-    // sim_ann_lsh_bucketed: bucket assignment is engine-internal — rows-only
+    "sim_ann_lsh_bucketed"  -> Similarity.annLshBucketedSql,
     "text_token_stats"   -> TextAnalysis.tokenStatsSql,
     "text_quality_score" -> TextAnalysis.qualityScoreSql,
     "text_language_id"   -> TextAnalysis.languageIdSql,

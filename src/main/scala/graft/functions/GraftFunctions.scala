@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.call_function
 
 /** Registration for graft's native Catalyst expressions.
   *
@@ -41,10 +41,12 @@ object GraftFunctions {
       Seq(VecDotSelfToSqNorm)
   }
 
-  /** Dot product of two float-vector columns (see FloatVectorDot). The
-    * session must have called `register` (inventory queries do). */
+  /** Dot product of two float-vector columns (see FloatVectorDot). Built
+    * with `call_function` — no parser round-trip, so any child expression
+    * composes. The session must have called `register` (inventory queries
+    * do). */
   def vecDot(a: Column, b: Column): Column =
-    expr(s"graft_vec_dot(${a.toString}, ${b.toString})")
+    call_function("graft_vec_dot", a, b)
 }
 
 /** Optimizer rule: `graft_vec_dot(x, x)` → `graft_vec_sqnorm(x)` when both

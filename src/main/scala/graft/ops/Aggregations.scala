@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** Aggregation inventory (SURVEY.md §2b "Aggregations").
   *
@@ -160,31 +161,66 @@ object Aggregations {
       |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
       |ORDER BY orderstatus, orderpriority""".stripMargin
 
-  /** approx_count_distinct (HyperLogLog++). Not DuckDB-comparable (different
-    * sketch), so registered without an oracle twin — rows-only check. At
-    * 100 TB this replaces exact COUNT(DISTINCT) for dashboards: one pass,
-    * fixed memory, no exploding distinct-shuffle. */
+  /** approx_count_distinct (HyperLogLog++). The sketch itself is
+    * engine-specific, so the *output* is made portable: exact distinct
+    * counts plus deterministic `within_tol` booleans asserting the sketch
+    * landed within 5% of truth (HLL rsd=0.01 → 5 std errors of margin; the
+    * sketch is hash-based, so the booleans are a fixed property of the
+    * dataset, not a coin flip). The oracle twin computes the exact counts
+    * and expects TRUE. At 100 TB the HLL column replaces exact
+    * COUNT(DISTINCT) for dashboards: one pass, fixed memory, mergeable, no
+    * exploding distinct-shuffle. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     li.groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        approx_count_distinct(col("l_orderkey"), 0.01).as("ao"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+        (abs(col("ao") - col("exact_orders")).cast(DoubleType) /
+          col("exact_orders") <= 0.05).as("orders_ok"),
+        (abs(col("ap") - col("exact_parts")).cast(DoubleType) /
+          col("exact_parts") <= 0.05).as("parts_ok"))
       .orderBy(col("l_returnflag"))
   }
 
+  val approxDistinctSql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+      |  COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  TRUE AS orders_ok, TRUE AS parts_ok
+      |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
   /** approx_percentile (Greenwald-Khanna/KLL-style mergeable quantile
-    * sketch). Like HLL, sketch internals are engine-specific → rows-only
-    * check; the exact-percentile twin (`agg_percentiles`) is the
-    * oracle-checked variant. One pass, bounded memory — the 100 TB
-    * quantile path. */
+    * sketch). Same portability pattern as `approxDistinct`: scalar
+    * `within_tol` booleans (sketch within 5% relative of the exact
+    * percentile — at accuracy=10000 the rank error is 1e-4, far inside
+    * tolerance) next to exact counts. No array columns in the output (the
+    * driver's comparator requires flat scalars). The exact-percentile twin
+    * (`agg_percentiles`) value-checks interpolation; this entry checks the
+    * sketch path. One pass, bounded memory — the 100 TB quantile plan. */
   def approxQuantiles(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     li.groupBy(col("l_returnflag"))
       .agg(
         expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
-          .as("price_quantiles"),
-        expr("approx_percentile(l_quantity, 0.5, 10000)").as("median_qty"))
+          .as("aq"),
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("amq"),
+        expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("eq"),
+        expr("percentile(l_quantity, 0.5)").as("emq"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("n_rows"),
+        (abs(col("aq")(0) - col("eq")(0)) / col("eq")(0) <= 0.05).as("q50_ok"),
+        (abs(col("aq")(1) - col("eq")(1)) / col("eq")(1) <= 0.05).as("q90_ok"),
+        (abs(col("aq")(2) - col("eq")(2)) / col("eq")(2) <= 0.05).as("q99_ok"),
+        (abs(col("amq") - col("emq")) / col("emq") <= 0.05).as("median_qty_ok"))
       .orderBy(col("l_returnflag"))
   }
+
+  val approxQuantilesSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  TRUE AS q50_ok, TRUE AS q90_ok, TRUE AS q99_ok, TRUE AS median_qty_ok
+      |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 }

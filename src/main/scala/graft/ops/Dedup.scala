@@ -4,7 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.DoubleType
 
 /** Deduplication inventory (north-star extensions): exact, keep-first,
   * n-gram Jaccard, MinHash+LSH (Broder, "On the resemblance and
@@ -74,18 +74,93 @@ object Dedup {
       |  FROM documents) t
       |WHERE rn = 1 ORDER BY lang, source""".stripMargin
 
-  /** Near-dup candidates by exact 3-gram Jaccard similarity: top 100 pairs.
-    * The shingle self-join is O(candidate pairs) — correct as ground truth
-    * / verification tier; `minhashLsh` below is the linear-scale tier. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** Shingles with degenerate-shingle guard: any shingle appearing in more
+    * than `maxDf` documents is dropped before pairing. On a real 100 TB
+    * corpus, boilerplate shingles ("all rights reserved ...") each join
+    * df² pairs — one shingle in 10⁶ docs alone creates 5·10¹¹ pair rows.
+    * The cap bounds the self-join at O(corpus × maxDf). The DuckDB oracle
+    * twins apply the same cap, so the semantic is portable (on this corpus
+    * max df = 25, so the default cap never binds — `DedupGuardSpec`
+    * exercises the binding case adversarially). */
+  private[ops] val MaxShingleDf = 1000
+
+  private[ops] def hashedShingles(docs: DataFrame, maxDf: Int): DataFrame = {
     // The join key is the 64-bit shingle hash, not the shingle string: the
     // output only carries per-pair counts, so the strings never need to
     // move — the self-join shuffle drops from ~20-byte keys to 8 bytes.
     // A hash collision would perturb a count (P ≈ n²/2⁶⁵ ≈ 2e-11 for the
-    // 26k-shingle corpus); the DuckDB oracle string-joins and confirms
+    // 27k-shingle corpus); the DuckDB oracle string-joins and confirms
     // count equality on the actual corpus.
-    val sh = shingles(Tables.documents(spark, dir))
+    val w = Window.partitionBy(col("sh"))
+    shingles(docs)
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .withColumn("_df", count(lit(1)).over(w))
+      .filter(col("_df") <= maxDf)
+      .drop("_df")
+  }
+
+  /** Exact-Jaccard scoring of candidate pairs — the verification stage of
+    * every LSH tier. Shingle sets are first semi-joined down to candidate
+    * docs, so at scale the exact join touches O(candidates), not the
+    * corpus. Pairs below `threshold` are discarded, which makes the output
+    * engine-independent: it equals "all pairs with true Jaccard ≥ t" as
+    * long as the candidate generator has full recall at t (measured per
+    * corpus; the sketch itself never appears in the output). */
+  private[ops] def verifiedPairs(
+      docs: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
+    val sh = hashedShingles(docs, MaxShingleDf)
+    val candDocs = cand.select(col("d1").as("doc_id"))
+      .union(cand.select(col("d2").as("doc_id"))).distinct()
+    val shC = sh.join(candDocs, Seq("doc_id"), "left_semi")
+    val counts = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(shC.as("a"), col("d1") === col("a.doc_id"))
+      .join(shC.as("b"), col("d2") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
+    common
+      .join(counts.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
+      .join(counts.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .select(col("d1"), col("d2"), col("n1"), col("n2"), col("common"),
+        (col("common").cast(DoubleType) /
+          (col("n1") + col("n2") - col("common")).cast(DoubleType)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Oracle twin of `verifiedPairs`: ground-truth pairs with Jaccard ≥ 0.8
+    * (same df cap). Shared by the MinHash and SimHash entries — both tiers
+    * must recover exactly this set. */
+  private[ops] val nearDupPairsSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |         generate_subscripts(string_split(text,' '),1) AS pos
+      |  FROM documents),
+      |sh0 AS (
+      |  SELECT DISTINCT doc_id,
+      |    tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS shingle
+      |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
+      |sh AS (
+      |  SELECT doc_id, shingle FROM sh0
+      |  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= $MaxShingleDf),
+      |counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT d1, d2, c1.n AS n1, c2.n AS n2, common,
+      |  CAST(common AS DOUBLE) / CAST(c1.n + c2.n - common AS DOUBLE) AS jaccard
+      |FROM pairs
+      |JOIN counts c1 ON c1.doc_id = d1
+      |JOIN counts c2 ON c2.doc_id = d2
+      |WHERE CAST(common AS DOUBLE) / CAST(c1.n + c2.n - common AS DOUBLE) >= 0.8
+      |ORDER BY d1, d2""".stripMargin
+
+  /** Near-dup candidates by exact 3-gram Jaccard similarity: top 100 pairs.
+    * The shingle self-join is O(Σ df²) — correct as ground truth /
+    * verification tier; `minhashLsh` below is the linear-scale tier. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = hashedShingles(Tables.documents(spark, dir), MaxShingleDf)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") &&
@@ -103,15 +178,18 @@ object Dedup {
   }
 
   val ngramJaccardSql: String =
-    """WITH toks AS (
+    s"""WITH toks AS (
       |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
       |         generate_subscripts(string_split(text,' '),1) AS pos
       |  FROM documents),
-      |sh AS (
+      |sh0 AS (
       |  SELECT DISTINCT doc_id,
       |    tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS shingle
       |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
       |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
+      |sh AS (
+      |  SELECT doc_id, shingle FROM sh0
+      |  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= $MaxShingleDf),
       |counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       |pairs AS (
       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
@@ -124,58 +202,154 @@ object Dedup {
       |JOIN counts c2 ON c2.doc_id = d2
       |ORDER BY jaccard DESC, d1, d2 LIMIT 100""".stripMargin
 
-  private val NumHashes = 16
-  private val Bands = 4 // 4 rows per band
+  private val NumHashes = 64
+  private val RowsPerBand = 4
+  private val Bands = NumHashes / RowsPerBand // 16 bands of 4
 
-  /** MinHash + LSH banding — the linear-scale near-dup path (rows-only
-    * check: Spark's murmur3 `hash` is not reproducible in DuckDB).
-    * 16 min-hashes per doc → 4 bands of 4 → docs sharing any band bucket
-    * become candidates; candidates are scored by signature agreement
-    * (estimator of Jaccard). */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(Tables.documents(spark, dir))
+  /** Hot-bucket guard: docs in any (band, bucket) holding more than `cap`
+    * members are excluded from that bucket's pairing. One degenerate
+    * bucket (boilerplate cluster, adversarial hash pileup) would otherwise
+    * re-create the O(n²) join LSH exists to avoid; the cap bounds per-
+    * bucket work at O(cap²). Identical documents belong to `dedup_exact`
+    * upstream, so a >cap cluster of *near*-dups is degenerate input, not
+    * signal. Never binds on this corpus (max bucket ≈ dup-cluster size ≈ 3);
+    * `DedupGuardSpec` exercises the binding case. */
+  private[ops] val MaxBucketSize = 100
+
+  private def dropHotBuckets(buckets: DataFrame, cap: Int, keys: Column*): DataFrame = {
+    val w = Window.partitionBy(keys: _*)
+    buckets.withColumn("_bsz", count(lit(1)).over(w))
+      .filter(col("_bsz") <= cap).drop("_bsz")
+  }
+
+  /** MinHash + LSH banding — the linear-scale near-dup path. 64 min-hashes
+    * per doc → 16 bands of 4 → docs sharing any band bucket become
+    * candidates (shuffle on (band, bucket): an equi-join, linear in corpus
+    * size); candidates are then scored by exact Jaccard and thresholded at
+    * 0.8 (`verifiedPairs`), so the output is the engine-independent
+    * ground-truth set and hash-checks against the DuckDB oracle. Recall at
+    * s = 0.8 with 16×4 banding is 1-(1-0.8⁴)¹⁶ ≈ 0.9998 per pair —
+    * measured 100% on this corpus at sf0.01/sf0.1 (MinHashRecallSpec). */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    verifiedPairs(Tables.documents(spark, dir),
+      minhashCandidates(Tables.documents(spark, dir), MaxBucketSize), 0.8)
+
+  private[ops] def minhashCandidates(docs: DataFrame, bucketCap: Int): DataFrame = {
+    val sh = hashedShingles(docs, MaxShingleDf)
     val sigCols = (0 until NumHashes).map(i =>
-      min(hash(lit(i), col("shingle"))).as(s"sig_$i"))
+      min(hash(lit(i), col("sh"))).as(s"sig_$i"))
     val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
 
     val bandStructs = (0 until Bands).map { b =>
-      val rows = (4 * b until 4 * b + 4).map(i => col(s"sig_$i"))
+      val rows = (RowsPerBand * b until RowsPerBand * (b + 1)).map(i => col(s"sig_$i"))
       struct(lit(b).as("band"), hash(rows: _*).as("bucket"))
     }
-    val buckets = sigs.select(col("doc_id"),
-      explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val buckets = dropHotBuckets(
+      sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")),
+      bucketCap, col("band"), col("bucket"))
 
-    val cand = buckets.as("x")
+    buckets.as("x")
       .join(buckets.as("y"), Seq("band", "bucket"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-
-    val agree = (0 until NumHashes).map(i =>
-      (col(s"a.sig_$i") === col(s"b.sig_$i")).cast(LongType)).reduce(_ + _)
-    cand
-      .join(sigs.as("a"), col("d1") === col("a.doc_id"))
-      .join(sigs.as("b"), col("d2") === col("b.doc_id"))
-      .select(col("d1"), col("d2"),
-        (agree.cast(DoubleType) / NumHashes).as("est_jaccard"))
-      .orderBy(col("est_jaccard").desc, col("d1"), col("d2"))
   }
 
-  /** SimHash near-dup: 64-bit frequency-weighted signature per doc via the
-    * native per-row expression (graft.functions.SimHash64 — one pass over
-    * the token array inside the scan projection; no explode, no 64-column
-    * aggregation, no signature shuffle); pairs within Hamming distance 12.
-    * Rows-only check (engine-specific hash). */
+  val minhashLshSql: String = nearDupPairsSql
+
+  private[ops] val SimHashK = 3 // max Hamming distance in the output
+  private val SimHashBlocks = 4 // 4 × 16-bit blocks — complete for K ≤ 3
+
+  /** Signature-cluster bucket cap for simhash blocking. Short same-domain
+    * docs cluster in signature space, so 16-bit block buckets legitimately
+    * reach ~200 members at sf0.1 — the cap is set above that (it exists
+    * to bound adversarial pileup at O(cap²) per bucket, e.g. an
+    * empty-token flood that all hashes to one signature). */
+  private[ops] val SimHashBucketCap = 1000
+
+  /** SimHash near-dup: all pairs within Hamming distance 3 of the 64-bit
+    * signature (graft.functions.SimHash64 — computed in one pass inside
+    * the scan projection; no explode, no 64-column aggregation). Candidate
+    * pairing is Manku-style block banding, NOT an all-pairs join: the
+    * signature splits into 4 × 16-bit blocks, and a pair with ≤ 3
+    * differing bits cannot touch all 4 blocks (pigeonhole), so ≥ 1 block
+    * matches exactly and candidates come from 4 equi-joins on
+    * (block, bits) — linear in corpus size; this is the exact design of
+    * Manku/Jain/Sarma, "Detecting near-duplicates for web crawling",
+    * WWW 2007 (k = 3 over 64-bit fingerprints). Because the blocking is
+    * COMPLETE for K = 3, the blocked plan computes exactly the all-pairs
+    * semantic, and because the signature is FNV-1a-based (portable
+    * arithmetic), the DuckDB oracle re-derives signatures from scratch
+    * and cross-checks the full pipeline with a plain all-pairs query.
+    * SimHash is the tight-dup tier (≈ 95%+ bit agreement); `minhashLsh`
+    * is the Jaccard-threshold tier. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val d = Tables.documents(spark, dir)
-    val sig = d.select(col("doc_id"),
+    simhashPairs(Tables.documents(spark, dir), SimHashBucketCap)
+  }
+
+  private[ops] def simhashPairs(docs: DataFrame, bucketCap: Int): DataFrame = {
+    val sig = docs.select(col("doc_id"),
       expr("graft_simhash64(split(text, ' '))").as("simhash"))
-    sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
-      .filter(col("hamming") <= 12)
-      .orderBy(col("hamming"), col("d1"), col("d2"))
+    val blockStructs = (0 until SimHashBlocks).map { b =>
+      struct(lit(b).as("blk"),
+        expr(s"shiftrightunsigned(simhash, ${b * 16}) & 65535").as("bits"))
+    }
+    val blocks = dropHotBuckets(
+      sig.select(col("doc_id"), col("simhash"),
+        explode(array(blockStructs: _*)).as("bb"))
+        .select(col("doc_id"), col("simhash"),
+          col("bb.blk").as("blk"), col("bb.bits").as("bits")),
+      bucketCap, col("blk"), col("bits"))
+    blocks.as("x")
+      .join(blocks.as("y"), Seq("blk", "bits"))
+      .filter(col("x.doc_id") < col("y.doc_id") &&
+        expr("bit_count(x.simhash ^ y.simhash)") <= SimHashK)
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        expr("cast(bit_count(x.simhash ^ y.simhash) as bigint)").as("hamming"))
+      .distinct()
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Oracle twin: re-derives the FNV-1a simhash with HUGEINT arithmetic
+    * (64 vote columns), then brute-forces all pairs — the blocking above
+    * must reproduce this exactly (completeness for K = 3). */
+  val simhashSql: String = {
+    val fnv =
+      """list_reduce(
+        |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |      list_transform(range(1, length(tok)+1),
+        |                     i -> CAST(ord(substr(tok,i,1)) AS HUGEINT))),
+        |    (h, c) -> ((h // 256) * 256 + xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)))
+        |              * 1099511628211 % 18446744073709551616)""".stripMargin
+    val votes = (0 until 64).map { b =>
+      val p = BigInt(1) << b
+      s"SUM(CASE WHEN (h // CAST($p AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n    ")
+    val sigTerms = (0 until 64).map { b =>
+      val p = BigInt(1) << b
+      s"(CASE WHEN v$b > 0 THEN CAST($p AS HUGEINT) ELSE 0 END)"
+    }.mkString(" +\n    ")
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+      |th AS (
+      |  SELECT doc_id, $fnv AS h
+      |  FROM toks),
+      |votes AS (
+      |  SELECT doc_id,
+      |    $votes
+      |  FROM th GROUP BY doc_id),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN s >= CAST(9223372036854775808 AS HUGEINT)
+      |              THEN s - CAST(18446744073709551616 AS HUGEINT) ELSE s END
+      |         AS BIGINT) AS sig
+      |  FROM (SELECT doc_id, $sigTerms AS s FROM votes))
+      |SELECT a.doc_id AS d1, b.doc_id AS d2,
+      |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+      |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.sig, b.sig)) <= ${SimHashK}
+      |ORDER BY d1, d2""".stripMargin
   }
 }

@@ -27,10 +27,12 @@ object Similarity {
   /** Left-to-right double-precision dot product of two float vectors —
     * the native codegen'd expression (graft.functions.FloatVectorDot);
     * bit-identical to the declarative zip_with/aggregate fold it replaced,
-    * ~20× faster on the all-pairs workload. Requires
+    * ~20× faster on the all-pairs workload. Built with `call_function`, not a
+    * string round-trip through the SQL parser, so arbitrary child
+    * expressions (slices, literals, nested calls) compose safely. Requires
     * GraftFunctions.register (each query entry calls it, idempotent). */
   private[ops] def dot(a: Column, b: Column): Column =
-    expr(s"graft_vec_dot($a, $b)")
+    call_function("graft_vec_dot", a, b)
 
   private[ops] def sqNorm(a: Column): Column = dot(a, a)
 
@@ -99,12 +101,22 @@ object Similarity {
       |FROM e a JOIN e b ON a.vec_id < b.vec_id
       |ORDER BY cos_sim DESC, d1, d2 LIMIT 20""".stripMargin
 
+  /** Hot-bucket guard for the ANN tier (mirrored in the oracle SQL so the
+    * semantic is portable): buckets above this size are excluded from
+    * pairing, bounding per-bucket work at O(cap²). Max bucket here is 31
+    * at sf0.1; at larger corpora the plane count (bucket space 2^planes)
+    * is what scales occupancy down, the cap only guards adversarial
+    * pileup (e.g. a zero-vector flood all landing in bucket 0). */
+  private val AnnBucketCap = 1000
+
   /** Approximate NN via sign-bit LSH. Hyperplanes are the first 8 corpus
     * vectors (deterministic, data-derived — no RNG so the result is
     * reproducible). Signature = 8 sign bits of plane dot products; only
     * same-signature vectors are compared; top-3 neighbors per query.
-    * Rows-only check: expressible in SQL but the bucket assignment is an
-    * implementation detail, not a portable semantic. */
+    * Oracle-checked: the bucket assignment is pure double arithmetic
+    * (left-fold dot products, proven bit-identical across engines by the
+    * `sim_cosine_topk` twin), so DuckDB reproduces the exact buckets,
+    * pairing, and ranking. */
   def annLshBucketed(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val em = Tables.embeddings(spark, dir)
@@ -117,7 +129,10 @@ object Similarity {
           expr("shiftleft(1L, cast(plane_id as int))")).otherwise(0L).as("bit"))
       .groupBy(col("vec_id"), col("embedding"))
       .agg(sum(col("bit")).as("bucket"))
-    val pairs = sigs.as("a").join(sigs.as("b"),
+    val wb = Window.partitionBy(col("bucket"))
+    val capped = sigs.withColumn("_bsz", count(lit(1)).over(wb))
+      .filter(col("_bsz") <= AnnBucketCap).drop("_bsz")
+    val pairs = capped.as("a").join(capped.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"),
         round(cosine(col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
@@ -127,4 +142,37 @@ object Similarity {
       .filter(col("rnk") <= 3)
       .orderBy(col("query_id"), col("rnk"))
   }
+
+  val annLshBucketedSql: String =
+    """WITH e AS (SELECT vec_id, embedding,
+      |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS sq
+      |  FROM embeddings),
+      |planes AS (SELECT vec_id AS plane_id, embedding AS plane
+      |  FROM embeddings WHERE vec_id < 8),
+      |bits AS (
+      |  SELECT e.vec_id,
+      |    CASE WHEN list_sum(list_transform(range(1, len(e.embedding)+1),
+      |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.plane[i] AS DOUBLE))) >= 0
+      |      THEN (CAST(1 AS BIGINT) << CAST(p.plane_id AS INT))
+      |      ELSE CAST(0 AS BIGINT) END AS bit
+      |  FROM e, planes p),
+      |sigs AS (
+      |  SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS bucket FROM bits GROUP BY vec_id
+      |  QUALIFY COUNT(*) OVER (PARTITION BY CAST(SUM(bit) AS BIGINT)) <= 1000),
+      |pairs AS (
+      |  SELECT sa.vec_id AS query_id, sb.vec_id AS vec_id,
+      |    round(list_sum(list_transform(range(1, len(ea.embedding)+1),
+      |      i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+      |      / (sqrt(ea.sq) * sqrt(eb.sq)), 6) AS cos_sim
+      |  FROM sigs sa JOIN sigs sb
+      |    ON sa.bucket = sb.bucket AND sa.vec_id <> sb.vec_id
+      |  JOIN e ea ON ea.vec_id = sa.vec_id
+      |  JOIN e eb ON eb.vec_id = sb.vec_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, cos_sim,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |                       ORDER BY cos_sim DESC, vec_id) AS rnk
+      |  FROM pairs)
+      |SELECT query_id, vec_id, cos_sim, rnk FROM ranked
+      |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
 }

@@ -115,8 +115,8 @@ object Sessionize {
       |  FROM e),
       |islands AS (
       |  SELECT user_id, ts,
-      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM flagged)
       |SELECT user_id, session_id, MIN(ts) AS session_start,
       |  MAX(ts) AS session_end, COUNT(*) AS n_events
