@@ -1,0 +1,67 @@
+package graft.ops
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Adversarial guards for the dedup tiers: degenerate inputs must not
+  * re-create the O(n²) blowup LSH exists to avoid, and the candidate
+  * joins must stay equi-joins (no cartesian anywhere in the plan). */
+class DedupGuardSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def noCartesian(df: DataFrame, what: String): Unit = {
+    val plan = df.queryExecution.executedPlan
+    val bad = plan.collect {
+      case c: CartesianProductExec => c
+      case b: BroadcastNestedLoopJoinExec => b
+    }
+    assert(bad.isEmpty, s"$what must pair candidates via equi-joins, found: $bad")
+  }
+
+  test("simhash candidate pairing has no cartesian/nested-loop join") {
+    noCartesian(Dedup.simhash(spark, dir), "simhash")
+  }
+
+  test("minhash candidate pairing has no cartesian/nested-loop join") {
+    noCartesian(Dedup.minhashLsh(spark, dir), "minhashLsh")
+  }
+
+  test("hot-bucket cap bounds a degenerate near-identical cluster") {
+    import spark.implicits._
+    // 60 docs sharing one long boilerplate prefix: every minhash band
+    // bucket holds all 60 → 1770 candidate pairs without a cap.
+    val boiler = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = (0L until 60L).map(i => (i, s"$boiler variant$i"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minhashCandidates(docs, bucketCap = 1000).count()
+    val capped = Dedup.minhashCandidates(docs, bucketCap = 10).count()
+    assert(uncapped > 1000, s"degenerate cluster should explode uncapped: $uncapped")
+    assert(capped === 0, s"cap=10 must drop the 60-doc buckets entirely: $capped")
+  }
+
+  test("simhash bucket cap drops an identical-signature flood") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i => (i, "same text every row"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.simhashPairs(docs, bucketCap = 1000).count()
+    val capped = Dedup.simhashPairs(docs, bucketCap = 10).count()
+    assert(uncapped === 50L * 49 / 2)
+    assert(capped === 0)
+  }
+
+  test("shingle doc-frequency cap drops boilerplate shingles from the join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    // The shingle "a b c" appears in every doc; all others are unique.
+    val docs = (0L until 30L).map(i => (i, s"a b c tail$i x$i y$i"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.hashedShingles(docs, maxDf = 10)
+    assert(capped.count() === 30L * 3, "3 unique shingles per doc survive")
+    val maxDf = capped.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .agg(max(col("df"))).as[Long].head()
+    assert(maxDf === 1L, "no cross-document shingle survives the cap")
+  }
+}

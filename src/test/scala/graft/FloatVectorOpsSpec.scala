@@ -72,4 +72,18 @@ class FloatVectorOpsSpec extends AnyFunSuite {
       .count()
     assert(r === 0L)
   }
+
+  test("vecDot composes with non-trivial child expressions (no parser round-trip)") {
+    // slice() children would break a string-interpolated expr() build;
+    // call_function-based construction must handle them.
+    val df = em.select(
+        GraftFunctions.vecDot(
+          slice(col("embedding"), 1, 4), slice(col("embedding"), 1, 4)).as("native"),
+        aggregate(
+          zip_with(slice(col("embedding"), 1, 4), slice(col("embedding"), 1, 4),
+            (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(df.count() === 0L)
+  }
 }

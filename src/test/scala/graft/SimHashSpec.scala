@@ -46,4 +46,12 @@ class SimHashSpec extends AnyFunSuite {
     assert(a === b)
     assert(a === sig(Seq("one", "two", "three")))
   }
+
+  test("FNV-1a token hash matches the public-domain reference values") {
+    // Independently computed from the FNV spec (also re-derived by the
+    // DuckDB oracle twin with HUGEINT arithmetic).
+    assert(SimHash64.fnv1a64("hello".getBytes("UTF-8")) === 0xa430d84680aabd0bL)
+    assert(SimHash64.fnv1a64("a".getBytes("UTF-8")) === 0xaf63dc4c8601ec8cL)
+    assert(SimHash64.fnv1a64(Array.emptyByteArray) === 0xcbf29ce484222325L)
+  }
 }
