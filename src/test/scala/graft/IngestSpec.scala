@@ -100,4 +100,31 @@ class IngestSpec extends AnyFunSuite {
     assert(back.schema === GreenTaxi.Schema)
     assert(back.count() === 2)
   }
+
+  test("ingests over HTTP: streamed fetch to local file, then normal pipeline") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val body = Seq(header, rowA, rowExtra).mkString("\n").getBytes("UTF-8")
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/trips.csv", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        ex.sendResponseHeaders(200, body.length.toLong)
+        try ex.getResponseBody.write(body) finally ex.close()
+      }
+    })
+    server.createContext("/missing.csv", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        ex.sendResponseHeaders(404, -1); ex.close()
+      }
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val df = Ingest.ingestUrl(spark, s"http://127.0.0.1:$port/trips.csv")
+      assert(df.count() === 2)
+      assert(df.schema === GreenTaxi.Schema)
+      intercept[java.io.IOException] {
+        Ingest.ingestUrl(spark, s"http://127.0.0.1:$port/missing.csv")
+      }
+    } finally server.stop(0)
+  }
 }
