@@ -27,6 +27,10 @@ object GraftFunctions {
       SpaceSavingTopK(args(0),
         capacity = args(1).eval().asInstanceOf[Number].intValue(),
         k = args(2).eval().asInstanceOf[Number].intValue())
+    },
+    "graft_minhash_sigs" -> { args =>
+      MinHashSigs(args(0),
+        numHashes = args(1).eval().asInstanceOf[Number].intValue())
     }
   )
 
@@ -84,6 +88,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => SpaceSavingTopK(args(0),
         args(1).eval().asInstanceOf[Number].intValue(),
         args(2).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "graft_minhash_sigs"),
+      (args: Seq[Expression]) => MinHashSigs(args(0),
+        args(1).eval().asInstanceOf[Number].intValue())))
     ext.injectOptimizerRule(_ => VecDotSelfToSqNorm)
   }
 }

@@ -29,17 +29,6 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Dedup {
 
-  /** Word-level 3-gram shingles per document, distinct, built without a
-    * window shuffle (see class doc). Docs with <3 tokens are dropped —
-    * also guards `sequence`'s descending-range behavior for negative sizes. */
-  private[ops] def shingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"),
-        explode(array_distinct(expr(
-          "transform(sequence(0, size(toks)-3), " +
-            "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))).as("shingle"))
-
   /** Exact dedup by full text: canonical (minimum) id + duplicate count
     * per distinct text. Shuffles only the grouping key. */
   def exact(spark: SparkSession, dir: String): DataFrame = {
@@ -85,18 +74,38 @@ object Dedup {
   private[ops] val MaxShingleDf = 1000
 
   private[ops] def hashedShingles(docs: DataFrame, maxDf: Int): DataFrame = {
-    // The join key is the 64-bit shingle hash, not the shingle string: the
-    // output only carries per-pair counts, so the strings never need to
-    // move — the self-join shuffle drops from ~20-byte keys to 8 bytes.
-    // A hash collision would perturb a count (P ≈ n²/2⁶⁵ ≈ 2e-11 for the
-    // 27k-shingle corpus); the DuckDB oracle string-joins and confirms
-    // count equality on the actual corpus.
-    val w = Window.partitionBy(col("sh"))
-    shingles(docs)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
-      .withColumn("_df", count(lit(1)).over(w))
-      .filter(col("_df") <= maxDf)
-      .drop("_df")
+    // Shingle identity is a 64-bit hash, not the shingle string, and the
+    // hash is COMPOSED: each token is xxhash64'd once, then a shingle is
+    // the hash of its 3 token hashes. No 3-gram string is ever
+    // materialized — vs concat_ws + string array_distinct, this cut the
+    // shingling stage's CPU several-fold (it was the hottest loop in the
+    // dedup tier), and the self-join shuffle carries 8-byte keys instead
+    // of ~20-byte strings. A hash collision would perturb a count
+    // (P ≈ n²/2⁶⁵ ≈ 2e-11 for the 27k-shingle corpus); the DuckDB oracle
+    // string-joins and confirms count equality on the actual corpus.
+    //
+    // The df cap is applied as aggregate → anti-join, not a window: the
+    // count shuffles only map-side-combined (shingle, partial-count) rows
+    // instead of re-sorting every shingle occurrence, and the resulting
+    // over-cap list is near-empty by construction (≤ rows/maxDf shingles
+    // can exceed the cap), so AQE turns the anti-join into a broadcast.
+    //
+    // repartition first: shingling amplifies every row ~50× and the hash
+    // work must spread over all cores even when the source is one input
+    // split (small parquet ⇒ one scan task; measured 1.5 s single-threaded
+    // at sf0.1 otherwise). Docs with <3 tokens are dropped — also guards
+    // `sequence`'s descending-range behavior for negative sizes.
+    val sh = docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        expr("transform(split(text, ' '), t -> xxhash64(t))").as("th"))
+      .filter(size(col("th")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(sequence(0, size(th)-3), " +
+            "i -> xxhash64(th[i], th[i+1], th[i+2]))"))).as("sh"))
+    val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("sh"))
+    sh.join(hot, Seq("sh"), "left_anti")
   }
 
   /** Exact-Jaccard scoring of candidate pairs — the verification stage of
@@ -105,18 +114,35 @@ object Dedup {
     * corpus. Pairs below `threshold` are discarded, which makes the output
     * engine-independent: it equals "all pairs with true Jaccard ≥ t" as
     * long as the candidate generator has full recall at t (measured per
-    * corpus; the sketch itself never appears in the output). */
+    * corpus; the sketch itself never appears in the output).
+    *
+    * `sh` must be the (persisted) output of `hashedShingles`: this plan
+    * references it three times and `cand` three times — without
+    * materialization Spark would re-derive each reference from the raw
+    * corpus, multiplying scans (measured: 80 parquet scans of `documents`
+    * in one un-persisted minhash query). The candidate-doc shingle slice
+    * is persisted here for the same reason. */
   private[ops] def verifiedPairs(
-      docs: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
-    val sh = hashedShingles(docs, MaxShingleDf)
+      sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
+    // Broadcast the candidate-doc list into a semi-join against the cached
+    // shingle table: the corpus-sized side never shuffles — the only data
+    // that moves from here on is the candidate docs' shingles (O(cand)).
+    // (For a candidate set too large to broadcast, drop the hint and this
+    // degrades to a shuffled semi-join; the rest is unchanged.)
     val candDocs = cand.select(col("d1").as("doc_id"))
       .union(cand.select(col("d2").as("doc_id"))).distinct()
-    val shC = sh.join(candDocs, Seq("doc_id"), "left_semi")
+    val shC = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = cand
-      .join(shC.as("a"), col("d1") === col("a.doc_id"))
-      .join(shC.as("b"), col("d2") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+    // Common-shingle counts via a self-join of the SMALL slice (shuffled
+    // by shingle hash), then semi-joined back to the sketch's pairs —
+    // cheaper than joining the pair list against the corpus twice.
+    val common = shC.as("a")
+      .join(shC.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
+      .join(cand, Seq("d1", "d2"), "left_semi")
     common
       .join(counts.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
       .join(counts.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
@@ -160,7 +186,9 @@ object Dedup {
     * The shingle self-join is O(Σ df²) — correct as ground truth /
     * verification tier; `minhashLsh` below is the linear-scale tier. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // Persisted: the self-join reads it twice and the count once.
     val sh = hashedShingles(Tables.documents(spark, dir), MaxShingleDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") &&
@@ -217,9 +245,13 @@ object Dedup {
   private[ops] val MaxBucketSize = 100
 
   private def dropHotBuckets(buckets: DataFrame, cap: Int, keys: Column*): DataFrame = {
-    val w = Window.partitionBy(keys: _*)
-    buckets.withColumn("_bsz", count(lit(1)).over(w))
-      .filter(col("_bsz") <= cap).drop("_bsz")
+    // Aggregate → anti-join (not a window): the over-cap list is near-empty
+    // by construction (≤ rows/cap buckets can exceed the cap), so the count
+    // shuffles only map-side-combined partials and AQE broadcasts the
+    // anti-join; a window would re-sort every bucket row.
+    val hot = buckets.groupBy(keys: _*).agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") > cap).select(keys: _*)
+    buckets.join(hot, keys.map(_.toString), "left_anti")
   }
 
   /** MinHash + LSH banding — the linear-scale near-dup path. 64 min-hashes
@@ -229,24 +261,44 @@ object Dedup {
     * 0.8 (`verifiedPairs`), so the output is the engine-independent
     * ground-truth set and hash-checks against the DuckDB oracle. Recall at
     * s = 0.8 with 16×4 banding is 1-(1-0.8⁴)¹⁶ ≈ 0.9998 per pair —
-    * measured 100% on this corpus at sf0.01/sf0.1 (MinHashRecallSpec). */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
-    verifiedPairs(Tables.documents(spark, dir),
-      minhashCandidates(Tables.documents(spark, dir), MaxBucketSize), 0.8)
+    * measured 100% on this corpus at sf0.01/sf0.1.
+    *
+    * The shingle table and candidate set are persisted: both are consumed
+    * by multiple joins downstream, and at 100 TB re-deriving the exploded
+    * corpus per reference is the difference between 2 and ~80 input
+    * scans. Shingles go MEMORY_AND_DISK (corpus-sized, spillable);
+    * candidates are tiny. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val sh = hashedShingles(Tables.documents(spark, dir), MaxShingleDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = minhashCandidates(sh, MaxBucketSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verifiedPairs(sh, cand, 0.8)
+  }
 
-  private[ops] def minhashCandidates(docs: DataFrame, bucketCap: Int): DataFrame = {
-    val sh = hashedShingles(docs, MaxShingleDf)
-    val sigCols = (0 until NumHashes).map(i =>
-      min(hash(lit(i), col("sh"))).as(s"sig_$i"))
-    val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+  /** Candidate pairs from banded minhash signatures over a (persisted)
+    * hashed-shingle table. */
+  private[ops] def minhashCandidates(sh: DataFrame, bucketCap: Int): DataFrame = {
+    // All 64 signature slots come from ONE custom imperative aggregate
+    // (graft.functions.MinHashSigs): tight JVM hash-and-min loop, 512-byte
+    // mergeable buffer, map-side combined — instead of 64 generated
+    // min-aggregate columns whose whole-stage-codegen compilation alone
+    // cost ~2 s (see MinHashSigs Scaladoc).
+    val sigs = sh.groupBy(col("doc_id"))
+      .agg(call_function("graft_minhash_sigs", col("sh"), lit(NumHashes)).as("sig"))
 
     val bandStructs = (0 until Bands).map { b =>
-      val rows = (RowsPerBand * b until RowsPerBand * (b + 1)).map(i => col(s"sig_$i"))
+      val rows = (RowsPerBand * b until RowsPerBand * (b + 1))
+        .map(i => col("sig").getItem(i))
       struct(lit(b).as("band"), hash(rows: _*).as("bucket"))
     }
+    // One (band, bucket) row per doc per band — persisted because the
+    // hot-bucket guard and both sides of the self-join read it.
     val buckets = dropHotBuckets(
       sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket")),
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       bucketCap, col("band"), col("bucket"))
 
     buckets.as("x")
@@ -290,8 +342,11 @@ object Dedup {
   }
 
   private[ops] def simhashPairs(docs: DataFrame, bucketCap: Int): DataFrame = {
-    val sig = docs.select(col("doc_id"),
-      expr("graft_simhash64(split(text, ' '))").as("simhash"))
+    // repartition: spread the per-row signature work (tokenize + 64-bit
+    // vote loop) across cores even from a single input split
+    val sig = docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        expr("graft_simhash64(split(text, ' '))").as("simhash"))
     val blockStructs = (0 until SimHashBlocks).map { b =>
       struct(lit(b).as("blk"),
         expr(s"shiftrightunsigned(simhash, ${b * 16}) & 65535").as("bits"))
@@ -300,7 +355,8 @@ object Dedup {
       sig.select(col("doc_id"), col("simhash"),
         explode(array(blockStructs: _*)).as("bb"))
         .select(col("doc_id"), col("simhash"),
-          col("bb.blk").as("blk"), col("bb.bits").as("bits")),
+          col("bb.blk").as("blk"), col("bb.bits").as("bits"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       bucketCap, col("blk"), col("bits"))
     blocks.as("x")
       .join(blocks.as("y"), Seq("blk", "bits"))
@@ -333,9 +389,11 @@ object Dedup {
     }.mkString(" +\n    ")
     s"""WITH toks AS (
       |  SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+      |tokh AS (
+      |  SELECT tok, $fnv AS h
+      |  FROM (SELECT DISTINCT tok FROM toks) dt),
       |th AS (
-      |  SELECT doc_id, $fnv AS h
-      |  FROM toks),
+      |  SELECT doc_id, h FROM toks JOIN tokh USING (tok)),
       |votes AS (
       |  SELECT doc_id,
       |    $votes

@@ -129,9 +129,13 @@ object Similarity {
           expr("shiftleft(1L, cast(plane_id as int))")).otherwise(0L).as("bit"))
       .groupBy(col("vec_id"), col("embedding"))
       .agg(sum(col("bit")).as("bucket"))
-    val wb = Window.partitionBy(col("bucket"))
-    val capped = sigs.withColumn("_bsz", count(lit(1)).over(wb))
-      .filter(col("_bsz") <= AnnBucketCap).drop("_bsz")
+      // persisted: the hot-bucket guard and both self-join sides read it,
+      // and the signature pass (8 broadcast dot products per vector) is
+      // the expensive part worth computing exactly once
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = sigs.groupBy(col("bucket")).agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") > AnnBucketCap).select(col("bucket"))
+    val capped = sigs.join(hot, Seq("bucket"), "left_anti")
     val pairs = capped.as("a").join(capped.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"),

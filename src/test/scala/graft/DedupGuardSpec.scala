@@ -36,8 +36,10 @@ class DedupGuardSpec extends AnyFunSuite {
     val boiler = (1 to 40).map(i => s"tok$i").mkString(" ")
     val docs = (0L until 60L).map(i => (i, s"$boiler variant$i"))
       .toDF("doc_id", "text")
-    val uncapped = Dedup.minhashCandidates(docs, bucketCap = 1000).count()
-    val capped = Dedup.minhashCandidates(docs, bucketCap = 10).count()
+    graft.functions.GraftFunctions.register(spark)
+    val sh = Dedup.hashedShingles(docs, Dedup.MaxShingleDf)
+    val uncapped = Dedup.minhashCandidates(sh, bucketCap = 1000).count()
+    val capped = Dedup.minhashCandidates(sh, bucketCap = 10).count()
     assert(uncapped > 1000, s"degenerate cluster should explode uncapped: $uncapped")
     assert(capped === 0, s"cap=10 must drop the 60-doc buckets entirely: $capped")
   }
