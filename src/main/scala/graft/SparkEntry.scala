@@ -58,6 +58,9 @@ object SparkEntry {
     "text_top_tokens"            -> (AdvancedJoins.topTokens _),
     // Windows
     "window_topk_per_group" -> (Windows.topkPerGroup _),
+    "window_topk_native"    -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s); Windows.topkPerGroupNative(s, d)
+    }),
     "window_lag_lead"       -> (Windows.lagLead _),
     "window_running_sum"    -> (Windows.runningSum _),
     "window_rank_dense"     -> (Windows.rankDense _),
@@ -145,6 +148,7 @@ object SparkEntry {
     "agg_percentiles"            -> AdvancedJoins.percentilesSql,
     "text_top_tokens"            -> AdvancedJoins.topTokensSql,
     "window_topk_per_group" -> Windows.topkPerGroupSql,
+    "window_topk_native"    -> Windows.topkPerGroupNativeSql,
     "window_lag_lead"       -> Windows.lagLeadSql,
     "window_running_sum"    -> Windows.runningSumSql,
     "window_rank_dense"     -> Windows.rankDenseSql,

@@ -43,6 +43,7 @@ object GraftFunctions {
     // the batch, and experimental extraOptimizations replaces wholesale
     spark.experimental.extraOptimizations =
       Seq(VecDotSelfToSqNorm)
+    graft.plans.GraftOps.install(spark)
   }
 
   /** Dot product of two float-vector columns (see FloatVectorDot). Built
@@ -94,5 +95,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => MinHashSigs(args(0),
         args(1).eval().asInstanceOf[Number].intValue())))
     ext.injectOptimizerRule(_ => VecDotSelfToSqNorm)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }

@@ -41,6 +41,33 @@ object Windows {
       |  FROM orders) t
       |WHERE rn <= 3 ORDER BY o_orderstatus, rn""".stripMargin
 
+  /** Same top-3-per-status semantics via the engine's own whole-operator
+    * extension `graft.plans.TopKPerGroup` (logical node → strategy →
+    * two-phase bounded-heap physical operator) instead of a window: the
+    * heap keeps k rows per group map-side, so the shuffle carries at most
+    * groups × k rows per partition and no partition sort materializes.
+    * Same DuckDB oracle as the window formulation, minus the rank column
+    * (the operator emits rows, not ranks). */
+  def topkPerGroupNative(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+    graft.plans.GraftOps.topKPerGroup(
+        o,
+        groupCols = Seq("o_orderstatus"),
+        orderCols = Seq("o_totalprice" -> true, "o_orderkey" -> false),
+        k = 3)
+      .orderBy(col("o_orderstatus"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  val topkPerGroupNativeSql: String =
+    """SELECT o_orderstatus, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey""".stripMargin
+
   /** lag/lead: previous and next order price per customer over time. */
   def lagLead(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
