@@ -111,6 +111,7 @@ object SparkEntry {
     // Multimodal columns (north-star; decode is a documented stub)
     "multimodal_decode_stats" -> (graft.multimodal.Multimodal.decodeStats _),
     "multimodal_frame_sample" -> (graft.multimodal.Multimodal.frameSample _),
+    "multimodal_image_decode" -> (graft.multimodal.Multimodal.imageDecode _),
     // Streaming shapes (batch twins of the Structured Streaming plans)
     "stream_tumbling_daily" -> (graft.streaming.StreamingOps.tumblingDaily _),
     "stream_sliding_window" -> (graft.streaming.StreamingOps.slidingWindow _),
@@ -194,6 +195,7 @@ object SparkEntry {
     "text_topk_sketch"   -> TextAnalysis.topkSketchSql,
     "multimodal_decode_stats" -> graft.multimodal.Multimodal.decodeStatsSql,
     "multimodal_frame_sample" -> graft.multimodal.Multimodal.frameSampleSql,
+    "multimodal_image_decode" -> graft.multimodal.Multimodal.imageDecodeSql,
     "stream_tumbling_daily" -> graft.streaming.StreamingOps.tumblingDailySql,
     "stream_sliding_window" -> graft.streaming.StreamingOps.slidingWindowSql,
     "stream_session_window" -> graft.streaming.StreamingOps.sessionWindowSql,

@@ -9,9 +9,12 @@ import org.apache.spark.sql.types.DoubleType
   * `binary` payloads with typed metadata, decoded / frame-sampled /
   * feature-extracted through real Dataset plumbing.
   *
-  * The DECODE ITSELF IS A STUB (this container has no image/audio codecs):
-  * `decodeStub` derives dimensions deterministically from the payload
-  * bytes. Everything around it — the binary column, the case-class
+  * The IMAGE path decodes for real: `imageDecode` round-trips
+  * deterministic grayscale PNGs through the JDK's `javax.imageio` codec
+  * inside the mapPartitions slot, oracle-verified pixel-exactly. The
+  * audio/video path remains a STUB (`decodeStub` — this container has no
+  * such codecs) deriving dimensions deterministically from payload
+  * bytes. Everything around both — the binary column, the case-class
   * encoders, the mapPartitions batch shape, the frame explode, the
   * partitioning — is the real 100 TB design:
   *
@@ -129,6 +132,91 @@ object Multimodal {
       .agg(count(lit(1)).as("n_sampled"),
         round(sum(col("luma")).cast(DoubleType) / count(lit(1)), 6).as("avg_luma"))
       .orderBy(col("asset_id"))
+
+  case class ImageAsset(asset_id: Long, png: Array[Byte])
+  case class DecodedImage(asset_id: Long, width: Int, height: Int, luma_sum: Long)
+
+  /** REAL image decode (no stub): deterministic grayscale PNGs are
+    * encoded per partition with `javax.imageio` (the JDK's PNG codec),
+    * carried as a binary column, and decoded back with `ImageIO.read` in
+    * the same Iterator→Iterator mapPartitions slot `decodeStub`
+    * documents. PNG is lossless for 8-bit gray, so the decoded pixels
+    * equal the generating formula
+    * `(asset_id·31 + 7x + 13y) mod 256` — which the DuckDB oracle
+    * re-derives arithmetically. This proves the multimodal plumbing with
+    * an actual codec end-to-end; audio/video stay stubbed (no codecs in
+    * this container), plugging into the identical shape. */
+  def imageAssets(spark: SparkSession, dir: String): Dataset[ImageAsset] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id").as("asset_id")).as[Long]
+      .mapPartitions { it =>
+        // one encoder context per partition
+        it.map { id =>
+          val w = 16 + (id % 32).toInt
+          val h = 16 + ((id * 7) % 32).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0, ((id * 31 + 7 * x + 13 * y) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          ImageAsset(id, bos.toByteArray)
+        }
+      }
+  }
+
+  def decodeImages(assets: Iterator[ImageAsset]): Iterator[DecodedImage] =
+    assets.map { a =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.png))
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      DecodedImage(a.asset_id, w, h, sum)
+    }
+
+  /** Per-asset decode results from the real PNG round-trip (rounding via
+    * Spark's `round`, the cross-engine-proven path). */
+  def imageDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imageAssets(spark, dir).mapPartitions(decodeImages)
+      .toDF()
+      .select(col("asset_id"), col("width"), col("height"),
+        round(col("luma_sum").cast(DoubleType) /
+          (col("width").cast(DoubleType) * col("height").cast(DoubleType)), 6)
+          .as("mean_luma"))
+      .orderBy(col("asset_id"))
+  }
+
+  val imageDecodeSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id AS asset_id,
+      |    CAST(16 + doc_id % 32 AS INTEGER) AS width,
+      |    CAST(16 + (doc_id * 7) % 32 AS INTEGER) AS height
+      |  FROM documents),
+      |px AS (
+      |  SELECT asset_id, width, height,
+      |    (asset_id * 31 + 7 * x.i + 13 * y.i) % 256 AS v
+      |  FROM dims, range(0, 48) x(i), range(0, 48) y(i)
+      |  WHERE x.i < width AND y.i < height)
+      |SELECT asset_id, width, height,
+      |  round(CAST(SUM(v) AS DOUBLE) / (width * height), 6) AS mean_luma
+      |FROM px GROUP BY asset_id, width, height
+      |ORDER BY asset_id""".stripMargin
 
   val frameSampleSql: String =
     """WITH d AS (
