@@ -116,6 +116,7 @@ object SparkEntry {
     "stream_tumbling_daily" -> (graft.streaming.StreamingOps.tumblingDaily _),
     "stream_sliding_window" -> (graft.streaming.StreamingOps.slidingWindow _),
     "stream_session_window" -> (graft.streaming.StreamingOps.sessionWindow _),
+    "stream_dedup"          -> (graft.streaming.StreamingOps.streamDedup _),
     "stream_sessionize"     -> (graft.streaming.Sessionize.sessionsBatch _),
   )
 
@@ -199,6 +200,7 @@ object SparkEntry {
     "stream_tumbling_daily" -> graft.streaming.StreamingOps.tumblingDailySql,
     "stream_sliding_window" -> graft.streaming.StreamingOps.slidingWindowSql,
     "stream_session_window" -> graft.streaming.StreamingOps.sessionWindowSql,
+    "stream_dedup"          -> graft.streaming.StreamingOps.streamDedupSql,
     "stream_sessionize"     -> graft.streaming.Sessionize.sessionsBatchSql,
   )
 }

@@ -111,4 +111,48 @@ object StreamingOps {
       .select(col("w.start").cast("timestamp_ntz").as("day_start"),
         col("event_type"), col("n_events"))
   }
+
+  /** Watermarked streaming dedup, batch twin: one event per
+    * (user_id, event_type), keeping the earliest by event time (event_id
+    * tiebreak). The streaming form is `dropDuplicatesWithinWatermark`
+    * (state bounded by the watermark horizon instead of growing forever —
+    * the only viable dedup posture on an unbounded stream); with an
+    * event-time-ordered source, first-arrival == earliest-event-time and
+    * the two agree exactly (StreamingSpec drives the real streaming API
+    * against this twin). */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val streamDedupSql: String =
+    """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts FROM (
+      |  SELECT user_id, event_type, event_id, ts,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY ts, event_id) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  /** The real streaming dedup plan: readStream → watermark →
+    * dropDuplicatesWithinWatermark on the business key. State stores one
+    * row per key seen within the watermark horizon and evicts as the
+    * watermark advances — bounded memory on an unbounded stream. */
+  def streamingDedup(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsDir).schema
+    spark.readStream
+      .schema(schema)
+      .parquet(eventsDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts").cast("timestamp_ntz").as("ts"))
+  }
 }

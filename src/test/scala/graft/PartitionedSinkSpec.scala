@@ -50,4 +50,19 @@ class PartitionedSinkSpec extends AnyFunSuite {
     assert(jsonBack.exceptAll(n).count() === 0L)
     assert(n.exceptAll(jsonBack).count() === 0L)
   }
+
+  test("orc sink round-trips with predicate pushdown at read time") {
+    val o = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val base = Files.createTempDirectory("sink_orc").toString
+    o.write.mode("overwrite").orc(base)
+    val back = spark.read.orc(base)
+    assert(back.exceptAll(o).count() === 0L)
+    assert(o.exceptAll(back).count() === 0L)
+    // ORC scans take pushed filters like parquet ones
+    val plan = back.filter(col("o_totalprice") > 100000.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("100000"),
+      s"expected pushed filter in ORC scan:\n$plan")
+  }
 }

@@ -77,4 +77,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() === 0L)
     assert(batch.exceptAll(streamed).count() === 0L)
   }
+
+  test("dropDuplicatesWithinWatermark over an event-time-ordered source equals the batch twin") {
+    // Stage the events parquet re-sorted by event time: with arrival order
+    // == event-time order, streaming first-arrival dedup equals the batch
+    // keep-earliest twin exactly.
+    val staged = java.nio.file.Files.createTempDirectory("events_dedup_stream")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .orderBy(col("ts"), col("event_id"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(staged.toString)
+    val q = StreamingOps.streamingDedup(spark, staged.toString)
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("dedup_test")
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+    val batch = StreamingOps.streamDedup(spark, dir)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+  }
 }
