@@ -24,7 +24,7 @@ class TopKPerGroupSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
 
   test("plans as partial + final custom operators around one exchange") {
     val df = ops.Windows.topkPerGroupNative(spark, dir)
-    df.count() // finalize AQE
+    df.collect() // execute THIS plan so its adaptive plan is final
     val plan = df.queryExecution.executedPlan
     val topks = collect(plan) { case t: TopKPerGroupExec => t }
     assert(topks.map(_.partial).sorted === Seq(false, true),
