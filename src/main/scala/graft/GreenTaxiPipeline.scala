@@ -10,7 +10,10 @@ import scala.jdk.CollectionConverters._
   * reference's two entry points (`01.py` ingest, `02.py` features) as one
   * CLI:
   *
-  *   runMain graft.GreenTaxiPipeline <raw.csv> <outDir> [--fixed-dow]
+  *   runMain graft.GreenTaxiPipeline <raw.csv | http(s)://...csv> <outDir> [--fixed-dow]
+  *
+  * An http(s) source is streamed to local disk first (`Ingest.fetchToLocal`),
+  * matching the reference's smart-open URL invocation (01.py:247-250).
   *
   * Produces `<outDir>/01.parquet` (typed ingest) and `<outDir>/02.parquet`
   * (features), each extracted to a single file like the reference's
@@ -59,7 +62,11 @@ object GreenTaxiPipeline {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val (p1, p2) = run(spark, csvPath, outDir,
+      val src =
+        if (csvPath.startsWith("http://") || csvPath.startsWith("https://"))
+          Ingest.fetchToLocal(csvPath)
+        else csvPath
+      val (p1, p2) = run(spark, src, outDir,
         bugCompatDow = !args.contains("--fixed-dow"))
       println(s"wrote $p1 and $p2")
     } finally spark.stop()
