@@ -21,8 +21,10 @@ object Bench {
       spark.range(1000000).selectExpr("sum(id)").collect()
       spark.range(1000).map(i => (i, i + 1)).groupByKey(_._1 % 10)
         .flatMapGroups((_, it) => it.map(_._2)).count()
+      // Always warm (also when sfDir IS sf0.001: the point is that the
+      // timed loop runs against compiled code, whatever the SF).
       val warmDir = "/root/testdata/sf0.001"
-      if (new java.io.File(warmDir).exists() && warmDir != sfDir)
+      if (new java.io.File(warmDir).exists())
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
         }
@@ -31,7 +33,14 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Queries that persist() shared intermediates would otherwise leave
+      // them registered for the whole session: clearing after each query
+      // bounds memory and times every query independently (no cross-query
+      // cache luck from an earlier alphabetical neighbor).
+      try spark.sharedState.cacheManager.clearCache()
+      catch { case _: Throwable => () }
+      name -> dt
     }.toMap
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }

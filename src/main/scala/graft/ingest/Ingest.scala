@@ -49,10 +49,15 @@ object Ingest {
   def fetchToLocal(url: String): String = {
     val client = java.net.http.HttpClient.newBuilder()
       .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .connectTimeout(java.time.Duration.ofSeconds(30))
       .build()
+    // Overall request timeout: a stalled server must fail the job, not
+    // hang it. Generous because the body is a full dataset.
     val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofMinutes(30))
       .GET().build()
     val dest = java.nio.file.Files.createTempFile("graft-ingest-", ".csv")
+    dest.toFile.deleteOnExit() // staging copy, not a product of the job
     val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofFile(dest))
     if (resp.statusCode() / 100 != 2) {
       java.nio.file.Files.deleteIfExists(dest)

@@ -372,11 +372,14 @@ object Dedup {
     * (64 vote columns), then brute-forces all pairs — the blocking above
     * must reproduce this exactly (completeness for K = 3). */
   val simhashSql: String = {
+    // Folds the token's actual UTF-8 BYTES (via hex(encode(...))), exactly
+    // matching the engine's byte fold — ord()-per-character would diverge
+    // on any non-ASCII token.
     val fnv =
       """list_reduce(
         |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
-        |      list_transform(range(1, length(tok)+1),
-        |                     i -> CAST(ord(substr(tok,i,1)) AS HUGEINT))),
+        |      list_transform(range(1, octet_length(encode(tok))+1),
+        |        i -> CAST(CAST('0x' || substr(hex(encode(tok)), 2*i-1, 2) AS INTEGER) AS HUGEINT))),
         |    (h, c) -> ((h // 256) * 256 + xor(CAST(h % 256 AS BIGINT), CAST(c AS BIGINT)))
         |              * 1099511628211 % 18446744073709551616)""".stripMargin
     val votes = (0 until 64).map { b =>

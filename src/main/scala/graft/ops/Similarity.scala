@@ -148,7 +148,7 @@ object Similarity {
   }
 
   val annLshBucketedSql: String =
-    """WITH e AS (SELECT vec_id, embedding,
+    s"""WITH e AS (SELECT vec_id, embedding,
       |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS sq
       |  FROM embeddings),
       |planes AS (SELECT vec_id AS plane_id, embedding AS plane
@@ -162,7 +162,7 @@ object Similarity {
       |  FROM e, planes p),
       |sigs AS (
       |  SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS bucket FROM bits GROUP BY vec_id
-      |  QUALIFY COUNT(*) OVER (PARTITION BY CAST(SUM(bit) AS BIGINT)) <= 1000),
+      |  QUALIFY COUNT(*) OVER (PARTITION BY CAST(SUM(bit) AS BIGINT)) <= $AnnBucketCap),
       |pairs AS (
       |  SELECT sa.vec_id AS query_id, sb.vec_id AS vec_id,
       |    round(list_sum(list_transform(range(1, len(ea.embedding)+1),

@@ -130,10 +130,18 @@ object GraftOps {
     val spark = df.sparkSession
     install(spark)
     val analyzed = org.apache.spark.sql.graft.DatasetShim.analyzed(df)
+    // Honor the session's resolver (case-insensitive by default) and fail
+    // on ambiguity — first-match-by-equality would silently bind the
+    // wrong attribute after a self-join with duplicate names.
+    val resolver = spark.sessionState.conf.resolver
     def resolve(name: String): Attribute =
-      analyzed.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $name not in ${analyzed.output.map(_.name).mkString(", ")}"))
+      analyzed.output.filter(a => resolver(a.name, name)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"column $name not in ${analyzed.output.map(_.name).mkString(", ")}")
+        case many => throw new IllegalArgumentException(
+          s"column $name is ambiguous: matches ${many.mkString(", ")}")
+      }
     val group = groupCols.map(resolve)
     val order = orderCols.map { case (name, desc) =>
       SortOrder(resolve(name), if (desc) Descending else Ascending)

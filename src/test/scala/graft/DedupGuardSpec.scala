@@ -66,4 +66,39 @@ class DedupGuardSpec extends AnyFunSuite {
       .agg(max(col("df"))).as[Long].head()
     assert(maxDf === 1L, "no cross-document shingle survives the cap")
   }
+
+  test("caps do not bind at gate scale (binding would diverge from the cap-free oracles)") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val gateDir = "/root/testdata/sf0.01"
+    val docs = graft.Tables.documents(spark, gateDir)
+    // minhash band buckets (same construction as minhashCandidates)
+    val sigs = Dedup.hashedShingles(docs, Dedup.MaxShingleDf)
+      .groupBy(col("doc_id"))
+      .agg(call_function("graft_minhash_sigs", col("sh"), lit(64)).as("sig"))
+    val bandStructs = (0 until 16).map { b =>
+      struct(lit(b).as("band"),
+        hash((4 * b until 4 * b + 4).map(i => col("sig").getItem(i)): _*).as("bucket"))
+    }
+    val maxBand = sigs
+      .select(explode(array(bandStructs: _*)).as("bb"))
+      .groupBy(col("bb.band"), col("bb.bucket")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    assert(maxBand < Dedup.MaxBucketSize,
+      s"minhash band bucket of $maxBand would hit the ${Dedup.MaxBucketSize} cap " +
+        "and silently diverge from the cap-free oracle")
+    // simhash block buckets
+    val blockStructs = (0 until 4).map { b =>
+      struct(lit(b).as("blk"),
+        expr(s"shiftrightunsigned(simhash, ${b * 16}) & 65535").as("bits"))
+    }
+    val maxBlock = docs
+      .select(expr("graft_simhash64(split(text, ' '))").as("simhash"))
+      .select(explode(array(blockStructs: _*)).as("bb"))
+      .groupBy(col("bb.blk"), col("bb.bits")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    assert(maxBlock < Dedup.SimHashBucketCap,
+      s"simhash block bucket of $maxBlock would hit the ${Dedup.SimHashBucketCap} cap " +
+        "and silently diverge from the cap-free oracle")
+  }
 }
