@@ -97,6 +97,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash_lsh"   -> (Dedup.minhashLsh _),
     "dedup_simhash"       -> (Dedup.simhash _),
+    "dedup_connected_components" -> (Dedup.connectedComponents _),
     // Similarity search (north-star)
     "sim_cosine_topk"       -> (Similarity.cosineTopK _),
     "sim_embedding_neardup" -> (Similarity.embeddingNearDup _),
@@ -185,6 +186,7 @@ object SparkEntry {
     // the candidate sketches are engine-specific.
     "dedup_minhash_lsh"   -> Dedup.minhashLshSql,
     "dedup_simhash"       -> Dedup.simhashSql,
+    "dedup_connected_components" -> Dedup.connectedComponentsSql,
     "sim_cosine_topk"       -> Similarity.cosineTopKSql,
     "sim_embedding_neardup" -> Similarity.embeddingNearDupSql,
     "sim_ann_lsh_bucketed"  -> Similarity.annLshBucketedSql,

@@ -368,6 +368,84 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Near-dup clusters as connected components over the verified pair
+    * graph — the canonical-assignment step a production dedup pipeline
+    * runs after pair generation (keep one representative per cluster,
+    * drop the rest). Distributed label propagation: every clustered doc
+    * starts as its own representative; each round replaces a doc's label
+    * with the minimum label in its closed neighborhood; fixpoint when no
+    * label changes. Rounds = cluster diameter — near-dup clusters are
+    * shallow (pairs/triples), so 2-3 rounds here; corpora needing
+    * O(log n) rounds use star-contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014) with the identical
+    * per-round join shape. Each round shuffles only (node, label) pairs
+    * for CLUSTERED docs — O(dup pairs), not corpus. The per-round action
+    * (convergence count) is a scalar aggregate, not a collect.
+    *
+    * Output: (doc_id, canonical_id, cluster_size) per clustered doc —
+    * engine-independent; the DuckDB twin computes the same components
+    * with a recursive CTE. */
+  def connectedComponents(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    // localCheckpoint (eager), NOT persist: an iterative loop must CUT the
+    // logical plan each round, or every action re-analyzes a tree that
+    // doubles per iteration (measured: 32 s → 61 s per round on a
+    // ~50-row label table before truncation, 0.1 s after). On a cluster
+    // with fault-tolerance requirements this becomes a reliable
+    // checkpoint; the shape is otherwise identical.
+    val pairs = minhashLsh(spark, dir).select(col("d1"), col("d2"))
+      .localCheckpoint()
+    // both directions + self-loop ⇒ one join computes the closed-
+    // neighborhood minimum
+    val edges = pairs
+      .union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .union(pairs.select(col("d1"), col("d1").as("d2")))
+      .union(pairs.select(col("d2").as("d1"), col("d2").as("d2")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("d1").as("v")).distinct()
+      .select(col("v"), col("v").as("rep"))
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val next = edges.join(labels, col("d2") === col("v"))
+        .groupBy(col("d1")).agg(min(col("rep")).as("rep"))
+        .select(col("d1").as("v"), col("rep"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("rep", "prev"), "v")
+        .filter(col("rep") =!= col("prev")).count()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "rep")
+      .select(col("v").as("doc_id"), col("rep").as("canonical_id"),
+        col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  val connectedComponentsSql: String =
+    s"""WITH RECURSIVE pairs AS (
+      |  SELECT d1, d2 FROM ($nearDupPairsSql) base),
+      |edges AS (
+      |  SELECT d1, d2 FROM pairs
+      |  UNION SELECT d2, d1 FROM pairs
+      |  UNION SELECT d1, d1 FROM pairs
+      |  UNION SELECT d2, d2 FROM pairs),
+      |reach(v, r) AS (
+      |  SELECT d1 AS v, d2 AS r FROM edges
+      |  UNION
+      |  SELECT e.d1 AS v, reach.r
+      |  FROM edges e JOIN reach ON reach.v = e.d2),
+      |comp AS (SELECT v, MIN(r) AS canonical_id FROM reach GROUP BY v),
+      |sized AS (
+      |  SELECT canonical_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+      |SELECT comp.v AS doc_id, comp.canonical_id, sized.cluster_size
+      |FROM comp JOIN sized USING (canonical_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** Oracle twin: re-derives the FNV-1a simhash with HUGEINT arithmetic
     * (64 vote columns), then brute-forces all pairs — the blocking above
     * must reproduce this exactly (completeness for K = 3). */
