@@ -30,9 +30,14 @@ object Bench {
         }
       spark.sharedState.cacheManager.clearCache()
     } catch { case _: Throwable => () }
+    // A failed query must NOT masquerade as a timing: it is recorded as
+    // -1 in the side file, excluded from the total, and surfaced in the
+    // stdout line's "errors" count.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
       val dt = (System.nanoTime() - t0) / 1e9
       // Queries that persist() shared intermediates would otherwise leave
       // them registered for the whole session: clearing after each query
@@ -40,12 +45,13 @@ object Bench {
       // cache luck from an earlier alphabetical neighbor).
       try spark.sharedState.cacheManager.clearCache()
       catch { case _: Throwable => () }
-      name -> dt
+      name -> (if (ok) dt else -1.0)
     }.toMap
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val errors = results.values.count(_ < 0)
+    val total = results.values.filter(_ >= 0).sum
     // Per-query breakdown goes to a side file; the stdout line stays compact
     // (<200 bytes) so the driver's tail capture can always parse it.
     try {
@@ -55,7 +61,7 @@ object Bench {
     val base = new java.io.File(sfDir).getName.stripPrefix("sf")
     val sfJson =
       try BigDecimal(base).toString catch { case _: Throwable => "\"" + base + "\"" }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":$sfJson%s}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":$sfJson%s,"errors":$errors%d}""")
     spark.stop()
   }
 }

@@ -58,13 +58,18 @@ object Ingest {
       .GET().build()
     val dest = java.nio.file.Files.createTempFile("graft-ingest-", ".csv")
     dest.toFile.deleteOnExit() // staging copy, not a product of the job
-    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofFile(dest))
-    if (resp.statusCode() / 100 != 2) {
-      java.nio.file.Files.deleteIfExists(dest)
-      throw new java.io.IOException(
-        s"GET $url returned HTTP ${resp.statusCode()}")
+    try {
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofFile(dest))
+      if (resp.statusCode() / 100 != 2)
+        throw new java.io.IOException(
+          s"GET $url returned HTTP ${resp.statusCode()}")
+      dest.toUri.toString
+    } catch {
+      case e: Throwable =>
+        // a timeout/reset mid-body must not strand a partial download
+        java.nio.file.Files.deleteIfExists(dest)
+        throw e
     }
-    dest.toUri.toString
   }
 
   /** S1+S2–S6: ingest directly from an HTTP(S) URL (reference parity with

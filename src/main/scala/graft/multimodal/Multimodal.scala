@@ -151,7 +151,9 @@ object Multimodal {
     Tables.documents(spark, dir)
       .select(col("doc_id").as("asset_id")).as[Long]
       .mapPartitions { it =>
-        // one encoder context per partition
+        // one encoder context per partition; disable ImageIO's disk cache
+        // or every encode/decode spills through a temp file
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { id =>
           val w = 16 + (id % 32).toInt
           val h = 16 + ((id * 7) % 32).toInt
@@ -174,7 +176,8 @@ object Multimodal {
       }
   }
 
-  def decodeImages(assets: Iterator[ImageAsset]): Iterator[DecodedImage] =
+  def decodeImages(assets: Iterator[ImageAsset]): Iterator[DecodedImage] = {
+    javax.imageio.ImageIO.setUseCache(false)
     assets.map { a =>
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.png))
       val (w, h) = (img.getWidth, img.getHeight)
@@ -188,6 +191,7 @@ object Multimodal {
       }
       DecodedImage(a.asset_id, w, h, sum)
     }
+  }
 
   /** Per-asset decode results from the real PNG round-trip (rounding via
     * Spark's `round`, the cross-engine-proven path). */

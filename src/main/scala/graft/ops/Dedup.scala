@@ -103,6 +103,10 @@ object Dedup {
         explode(array_distinct(expr(
           "transform(sequence(0, size(th)-3), " +
             "i -> xxhash64(th[i], th[i+1], th[i+2]))"))).as("sh"))
+      // persisted: the hot-list aggregate and the anti-join probe side
+      // both consume it — without this the hash/explode stage (the
+      // hottest loop in the dedup tier) runs twice per materialization
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("sh"))
     sh.join(hot, Seq("sh"), "left_anti")
@@ -230,9 +234,9 @@ object Dedup {
       |JOIN counts c2 ON c2.doc_id = d2
       |ORDER BY jaccard DESC, d1, d2 LIMIT 100""".stripMargin
 
-  private val NumHashes = 64
-  private val RowsPerBand = 4
-  private val Bands = NumHashes / RowsPerBand // 16 bands of 4
+  private[ops] val NumHashes = 64
+  private[ops] val RowsPerBand = 4
+  private[ops] val Bands = NumHashes / RowsPerBand // 16 bands of 4
 
   /** Hot-bucket guard: docs in any (band, bucket) holding more than `cap`
     * members are excluded from that bucket's pairing. One degenerate
@@ -311,7 +315,7 @@ object Dedup {
   val minhashLshSql: String = nearDupPairsSql
 
   private[ops] val SimHashK = 3 // max Hamming distance in the output
-  private val SimHashBlocks = 4 // 4 × 16-bit blocks — complete for K ≤ 3
+  private[ops] val SimHashBlocks = 4 // 4 × 16-bit blocks — complete for K ≤ 3
 
   /** Signature-cluster bucket cap for simhash blocking. Short same-domain
     * docs cluster in signature space, so 16-bit block buckets legitimately
@@ -395,6 +399,11 @@ object Dedup {
     // checkpoint; the shape is otherwise identical.
     val pairs = minhashLsh(spark, dir).select(col("d1"), col("d2"))
       .localCheckpoint()
+    // pairs is now a materialized RDD: minhash's corpus-sized persisted
+    // intermediates (shingles/buckets/candidates) are dead weight for the
+    // rest of the loop — release them before iterating
+    try spark.sharedState.cacheManager.clearCache()
+    catch { case _: Throwable => () }
     // both directions + self-loop ⇒ one join computes the closed-
     // neighborhood minimum
     val edges = pairs
@@ -419,6 +428,13 @@ object Dedup {
       converged = changed == 0
       rounds += 1
     }
+    // Wrong labels must not be silently emitted: an unconverged exit can
+    // only happen on a component with diameter > 50 (degenerate chain) —
+    // fail loudly; such corpora need the O(log n) star-contraction
+    // variant, not more rounds of this one.
+    require(converged,
+      s"label propagation did not converge within $rounds rounds " +
+        "(component diameter > rounds cap — use star-contraction for such graphs)")
     val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "rep")
       .select(col("v").as("doc_id"), col("rep").as("canonical_id"),

@@ -127,6 +127,10 @@ object GraftOps {
       groupCols: Seq[String],
       orderCols: Seq[(String, Boolean)],
       k: Int): DataFrame = {
+    require(groupCols.nonEmpty,
+      "topKPerGroup needs at least one group column (for a global top-k " +
+        "use orderBy(...).limit(k), which Spark plans as TakeOrderedAndProject)")
+    require(orderCols.nonEmpty, "topKPerGroup needs at least one order column")
     val spark = df.sparkSession
     install(spark)
     val analyzed = org.apache.spark.sql.graft.DatasetShim.analyzed(df)

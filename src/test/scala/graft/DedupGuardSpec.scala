@@ -75,10 +75,11 @@ class DedupGuardSpec extends AnyFunSuite {
     // minhash band buckets (same construction as minhashCandidates)
     val sigs = Dedup.hashedShingles(docs, Dedup.MaxShingleDf)
       .groupBy(col("doc_id"))
-      .agg(call_function("graft_minhash_sigs", col("sh"), lit(64)).as("sig"))
-    val bandStructs = (0 until 16).map { b =>
+      .agg(call_function("graft_minhash_sigs", col("sh"), lit(Dedup.NumHashes)).as("sig"))
+    val bandStructs = (0 until Dedup.Bands).map { b =>
       struct(lit(b).as("band"),
-        hash((4 * b until 4 * b + 4).map(i => col("sig").getItem(i)): _*).as("bucket"))
+        hash((Dedup.RowsPerBand * b until Dedup.RowsPerBand * (b + 1))
+          .map(i => col("sig").getItem(i)): _*).as("bucket"))
     }
     val maxBand = sigs
       .select(explode(array(bandStructs: _*)).as("bb"))
@@ -88,7 +89,7 @@ class DedupGuardSpec extends AnyFunSuite {
       s"minhash band bucket of $maxBand would hit the ${Dedup.MaxBucketSize} cap " +
         "and silently diverge from the cap-free oracle")
     // simhash block buckets
-    val blockStructs = (0 until 4).map { b =>
+    val blockStructs = (0 until Dedup.SimHashBlocks).map { b =>
       struct(lit(b).as("blk"),
         expr(s"shiftrightunsigned(simhash, ${b * 16}) & 65535").as("bits"))
     }

@@ -93,7 +93,9 @@ class StreamingSpec extends AnyFunSuite {
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    try assert(q.awaitTermination(120000),
+      "streaming dedup did not finish within the timeout")
+    finally q.stop()
 
     val streamed = spark.table("dedup_test")
       .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
