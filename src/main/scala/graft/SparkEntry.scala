@@ -102,6 +102,7 @@ object SparkEntry {
     "sim_cosine_topk"       -> (Similarity.cosineTopK _),
     "sim_embedding_neardup" -> (Similarity.embeddingNearDup _),
     "sim_ann_lsh_bucketed"  -> (Similarity.annLshBucketed _),
+    "sim_ann_ivf"           -> (Similarity.annIvf _),
     // Text analysis (north-star)
     "text_token_stats"   -> (TextAnalysis.tokenStats _),
     "text_quality_score" -> (TextAnalysis.qualityScore _),
@@ -190,6 +191,7 @@ object SparkEntry {
     "sim_cosine_topk"       -> Similarity.cosineTopKSql,
     "sim_embedding_neardup" -> Similarity.embeddingNearDupSql,
     "sim_ann_lsh_bucketed"  -> Similarity.annLshBucketedSql,
+    "sim_ann_ivf"           -> Similarity.annIvfSql,
     "text_token_stats"   -> TextAnalysis.tokenStatsSql,
     "text_quality_score" -> TextAnalysis.qualityScoreSql,
     "text_language_id"   -> TextAnalysis.languageIdSql,

@@ -179,4 +179,153 @@ object Similarity {
       |  FROM pairs)
       |SELECT query_id, vec_id, cos_sim, rnk FROM ranked
       |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+
+  private val IvfCells = 8  // coarse-quantizer cells (k)
+  private val IvfRounds = 2 // FIXED Lloyd rounds — determinism over convergence
+  private val IvfProbe = 2  // cells probed per query
+
+  /** Double-precision left-fold dot of a float embedding against a
+    * double centroid (mixed types — the native expression is float-only).
+    * Takes column NAMES, not Columns: the expression goes through the SQL
+    * parser, which only round-trips simple references. */
+  private def centDot(embName: String, centName: String): Column =
+    expr(s"aggregate(zip_with($embName, $centName, " +
+      "(x, y) -> cast(x as double) * y), cast(0 as double), (acc, v) -> acc + v)")
+
+  /** Assignment score: ‖c‖² − 2·v·c ranks cells identically to the true
+    * squared distance (‖v‖² is constant per vector). */
+  private def cellScore(embName: String, centName: String, csq: Column): Column =
+    csq - lit(2.0) * centDot(embName, centName)
+
+  private def assignCells(em: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("score"), col("cid"))
+    em.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        cellScore("embedding", "centroid", col("csq")).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+  }
+
+  /** IVF (inverted-file) ANN — the cell-probing scale path next to the
+    * sign-bit LSH tier: a deterministic k-means coarse quantizer (cells
+    * seeded from the first k corpus vectors, FIXED Lloyd rounds,
+    * element-wise DECIMAL(28,8)-exact centroid means) partitions the
+    * corpus into cells; each query probes its `IvfProbe` nearest cells
+    * and exact-reranks only those members — at 100 TB the corpus is
+    * stored partitioned by cell, so a query touches probe/k of the data.
+    * Every arithmetic step (left-fold dots, decimal means, tie-broken
+    * argmins) is reproduced verbatim by the DuckDB oracle, making the
+    * whole index construction + search hash-checkable. No RNG anywhere:
+    * same corpus ⇒ same index ⇒ same answers. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.types.{DecimalType, DoubleType => DD}
+    val em = Tables.embeddings(spark, dir)
+    val withCsq = (c: DataFrame) => c.withColumn("csq",
+      expr("aggregate(transform(centroid, x -> x * x), cast(0 as double), (acc, v) -> acc + v)"))
+    var cents = withCsq(em.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").cast("int").as("cid"),
+        expr("transform(embedding, x -> cast(x as double))").as("centroid")))
+    for (_ <- 0 until IvfRounds) {
+      val assigned = assignCells(em, cents)
+      cents = withCsq(assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(col("x").cast(DecimalType(28, 8))).cast(DD) /
+          count(lit(1))).as("m"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, m))), s -> s.m)")
+          .as("centroid")))
+    }
+    val cells = assignCells(em, cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val queries = cells.filter(pmod(col("vec_id"), lit(50L)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // probe the IvfProbe nearest cells per query
+    val wp = Window.partitionBy(col("query_id")).orderBy(col("score"), col("cid"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("q_emb"), col("cid"),
+        cellScore("q_emb", "centroid", col("csq")).as("score"))
+      .withColumn("prnk", row_number().over(wp))
+      .filter(col("prnk") <= IvfProbe)
+      .select(col("query_id"), col("q_emb"), col("cid"))
+    // exact cosine rerank within probed cells
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    probes.join(cells, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Oracle twin: unrolled fixed-round Lloyd with identical arithmetic. */
+  val annIvfSql: String = {
+    val dot = (e: String, c: String) =>
+      s"list_sum(list_transform(range(1, len($e)+1), i -> CAST($e[i] AS DOUBLE) * $c[i]))"
+    def centsCte(n: Int, prev: String): String =
+      s"""assign$n AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        c.csq - 2 * ${dot("e.embedding", "c.centroid")}, c.cid) AS rnk
+         |    FROM embeddings e, $prev c) t WHERE rnk = 1),
+         |dims$n AS (
+         |  SELECT cid, unnest(embedding) AS x,
+         |         generate_subscripts(embedding, 1) AS pos
+         |  FROM assign$n),
+         |means$n AS (
+         |  SELECT cid, pos,
+         |    CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS m
+         |  FROM dims$n GROUP BY cid, pos),
+         |cents$n AS (
+         |  SELECT cid, centroid,
+         |    list_sum(list_transform(centroid, x -> x * x)) AS csq
+         |  FROM (SELECT cid, list(m ORDER BY pos) AS centroid
+         |        FROM means$n GROUP BY cid) t)""".stripMargin
+    val rounds = (1 to IvfRounds)
+      .map(r => centsCte(r, if (r == 1) "cents0" else s"cents${r - 1}"))
+      .mkString(",\n")
+    val fin = s"cents$IvfRounds"
+    s"""WITH cents0 AS (
+      |  SELECT CAST(vec_id AS INTEGER) AS cid,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid,
+      |    list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS csq
+      |  FROM embeddings WHERE vec_id < $IvfCells),
+      |$rounds,
+      |cells AS (
+      |  SELECT vec_id, embedding, cid,
+      |    list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq
+      |  FROM (
+      |    SELECT e.vec_id, e.embedding, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      |        c.csq - 2 * ${dot("e.embedding", "c.centroid")}, c.cid) AS rnk
+      |    FROM embeddings e, $fin c) t WHERE rnk = 1),
+      |queries AS (
+      |  SELECT vec_id AS query_id, embedding AS q_emb, sq AS q_sq
+      |  FROM cells WHERE vec_id % 50 = 0),
+      |probes AS (
+      |  SELECT query_id, q_emb, q_sq, cid FROM (
+      |    SELECT q.query_id, q.q_emb, q.q_sq, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+      |        c.csq - 2 * ${dot("q.q_emb", "c.centroid")}, c.cid) AS prnk
+      |    FROM queries q, $fin c) t WHERE prnk <= $IvfProbe),
+      |reranked AS (
+      |  SELECT query_id, vec_id, cos_sim,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |                       ORDER BY cos_sim DESC, vec_id) AS rnk
+      |  FROM (
+      |    SELECT p.query_id, m.vec_id,
+      |      round(${dot("p.q_emb", "m.embedding")}
+      |        / (sqrt(p.q_sq) * sqrt(m.sq)), 6) AS cos_sim
+      |    FROM probes p JOIN cells m ON m.cid = p.cid
+      |    WHERE m.vec_id <> p.query_id) s)
+      |SELECT query_id, vec_id, cos_sim, rnk FROM reranked
+      |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+  }
 }
