@@ -20,12 +20,14 @@ import org.apache.spark.sql.types.DoubleType
   *    shingles per-row inside codegen; only the (doc, shingle) explode
   *    shuffles, which is the irreducible cost of shingle joins.
   *  - MinHash+LSH is the 100 TB path: instead of the O(n²) shingle
-  *    self-join, each doc reduces to 16 min-hashes, banded 4×4 so only
-  *    same-bucket docs are paired. Banding turns near-dup detection into
-  *    an equi-join — shuffle on (band, bucket-hash), linear in corpus size.
+  *    self-join, each doc reduces to 64 min-hashes (`NumHashes`), banded
+  *    16×4 (`Bands`×`RowsPerBand`) so only same-bucket docs are paired,
+  *    then candidates are exact-Jaccard-verified. Banding turns near-dup
+  *    detection into an equi-join — shuffle on (band, bucket-hash),
+  *    linear in corpus size.
   *  - SimHash reduces each doc to one 64-bit signature; candidate pairing
-  *    is bit_count(xor) — at scale you'd block on signature prefixes; here
-  *    the corpus is small enough to pair exhaustively.
+  *    is Manku 4×16-bit block banding (pigeonhole-complete for
+  *    Hamming ≤ 3) — equi-joins, never an all-pairs join.
   */
 object Dedup {
 
@@ -120,12 +122,13 @@ object Dedup {
     * long as the candidate generator has full recall at t (measured per
     * corpus; the sketch itself never appears in the output).
     *
-    * `sh` must be the (persisted) output of `hashedShingles`: this plan
-    * references it three times and `cand` three times — without
-    * materialization Spark would re-derive each reference from the raw
-    * corpus, multiplying scans (measured: 80 parquet scans of `documents`
-    * in one un-persisted minhash query). The candidate-doc shingle slice
-    * is persisted here for the same reason. */
+    * `sh` must be the output of `hashedShingles` (whose pre-cap table is
+    * persisted internally): this plan references it three times and
+    * `cand` three times — without that materialization Spark would
+    * re-derive each reference from the raw corpus, multiplying scans
+    * (measured: 80 parquet scans of `documents` in one un-persisted
+    * minhash query). The candidate-doc shingle slice is persisted here
+    * for the same reason. */
   private[ops] def verifiedPairs(
       sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
     // Broadcast the candidate-doc list into a semi-join against the cached
@@ -190,9 +193,9 @@ object Dedup {
     * The shingle self-join is O(Σ df²) — correct as ground truth /
     * verification tier; `minhashLsh` below is the linear-scale tier. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // Persisted: the self-join reads it twice and the count once.
+    // hashedShingles persists its pre-cap table internally; the capped
+    // view derives from that cache with one broadcast anti-join per use.
     val sh = hashedShingles(Tables.documents(spark, dir), MaxShingleDf)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") &&
@@ -275,7 +278,6 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val sh = hashedShingles(Tables.documents(spark, dir), MaxShingleDf)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = minhashCandidates(sh, MaxBucketSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     verifiedPairs(sh, cand, 0.8)
@@ -399,11 +401,11 @@ object Dedup {
     // checkpoint; the shape is otherwise identical.
     val pairs = minhashLsh(spark, dir).select(col("d1"), col("d2"))
       .localCheckpoint()
-    // pairs is now a materialized RDD: minhash's corpus-sized persisted
-    // intermediates (shingles/buckets/candidates) are dead weight for the
-    // rest of the loop — release them before iterating
-    try spark.sharedState.cacheManager.clearCache()
-    catch { case _: Throwable => () }
+    // pairs is now a materialized RDD; minhash's persisted intermediates
+    // are no longer needed by THIS query and will be evicted LRU (the
+    // Verify/Bench harnesses additionally clear the cache after every
+    // query). Deliberately NOT clearCache() here: a library function must
+    // not wipe unrelated caches in a shared session.
     // both directions + self-loop ⇒ one join computes the closed-
     // neighborhood minimum
     val edges = pairs

@@ -238,6 +238,10 @@ object Similarity {
         .agg(expr("transform(sort_array(collect_list(struct(pos, m))), s -> s.m)")
           .as("centroid")))
     }
+    // The trained quantizer is 8 rows — checkpoint it so the two
+    // consumers below (final assignment, query probing) don't each
+    // re-run the full corpus-scale Lloyd chain.
+    cents = cents.localCheckpoint()
     val cells = assignCells(em, cents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val queries = cells.filter(pmod(col("vec_id"), lit(50L)) === 0)
