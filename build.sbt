@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harnesses print machine-readable JSON lines that the
+// round driver tails; sbt's default LoggedOutput prefixes every forked
+// stdout line with "[info] ", which breaks that parse. StdoutOutput
+// passes the forked JVM's stdout/stderr straight through.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

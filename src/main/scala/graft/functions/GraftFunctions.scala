@@ -37,7 +37,11 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     fns.foreach { case (name, builder) =>
-      registry.createOrReplaceTempFunction(name, builder, "built-in")
+      // Registration is per-session and queries call register() defensively;
+      // skipping an already-present name keeps repeat calls silent (the
+      // replace path logs a WARN per function per call).
+      if (!registry.functionExists(FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
     // idempotent: injected rules are deduplicated by reference equality of
     // the batch, and experimental extraOptimizations replaces wholesale
