@@ -38,9 +38,27 @@ object Tables {
     * comparisons line up. NTZ (not LTZ) so the values stay naive like
     * DuckDB's reading of the same file.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(s: SparkSession, d: String): DataFrame = withNanosAsLong(s) {
     table(s, d, "events")
       .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+  }
+
+  /** Runs `body` with `spark.sql.legacy.parquet.nanosAsLong=true` and
+    * restores the previous value after. The flag is only consulted while
+    * the read builds its schema conversion (verified empirically for both
+    * `spark.read` and `readStream`: actions on the returned frame succeed
+    * after the restore), so scoping it here keeps a library call from
+    * silently changing how every later parquet read in a shared session
+    * interprets nanosecond timestamps. Not thread-safe against concurrent
+    * reads on the same session — inherent to session-level SQL confs. */
+  def withNanosAsLong[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
   }
 }

@@ -270,6 +270,14 @@ object Dedup {
     * s = 0.8 with 16×4 banding is 1-(1-0.8⁴)¹⁶ ≈ 0.9998 per pair —
     * measured 100% on this corpus at sf0.01/sf0.1.
     *
+    * KNOWN GATE FAILURE MODE: that recall is probabilistic. On a larger or
+    * regenerated corpus a pair barely above threshold can miss every band
+    * and the hash-exact gate fails nondeterministically with the code
+    * working as designed. `DedupGuardSpec`'s recall diagnostic (candidates
+    * vs the exact-tier ground truth) attributes such a mismatch to banding
+    * recall rather than a candidate-join bug; the production remedies are
+    * more bands (raise `NumHashes`) or a lower verification threshold.
+    *
     * The shingle table and candidate set are persisted: both are consumed
     * by multiple joins downstream, and at 100 TB re-deriving the exploded
     * corpus per reference is the difference between 2 and ~80 input

@@ -121,7 +121,17 @@ object GraftOps {
 
   /** Top-k rows per group. `orderCols` are (name, descending?) pairs and
     * must form a TOTAL order (include a unique tiebreaker) for
-    * deterministic output. */
+    * deterministic output.
+    *
+    * MEMORY BOUND: each task holds one k-row heap per group it sees, all
+    * on-heap with no spill path — memory is
+    * O(groups-per-partition × k × row size). That is the operator's win
+    * (no sort, no shuffle of dropped rows) and its constraint: with k=10
+    * and 1 KiB rows, 1M distinct groups in one partition ≈ 10 GiB. For
+    * group columns whose per-partition cardinality can reach that order,
+    * use the window formulation (`row_number().over(Window.partitionBy...)`
+    * + filter ≤ k): Spark 3.5+ plans it with WindowGroupLimit pushdown and
+    * its sort spills to disk instead of OOMing the executor. */
   def topKPerGroup(
       df: DataFrame,
       groupCols: Seq[String],

@@ -95,8 +95,8 @@ object StreamingOps {
     * tumbling 1-day window per event_type. Returned unstarted; callers
     * attach a sink (`writeStream`). `eventsDir` must be a DIRECTORY of
     * events parquet files (the file source tails directories). */
-  def streamingTumblingCounts(spark: SparkSession, eventsDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def streamingTumblingCounts(spark: SparkSession, eventsDir: String): DataFrame =
+    Tables.withNanosAsLong(spark) {
     val schema = spark.read.parquet(eventsDir).schema
     // Watermarks require TIMESTAMP (instant) event time; with a UTC session
     // the wall-clock matches the NTZ batch twin, and the output window start
@@ -143,8 +143,8 @@ object StreamingOps {
     * dropDuplicatesWithinWatermark on the business key. State stores one
     * row per key seen within the watermark horizon and evicts as the
     * watermark advances — bounded memory on an unbounded stream. */
-  def streamingDedup(spark: SparkSession, eventsDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def streamingDedup(spark: SparkSession, eventsDir: String): DataFrame =
+    Tables.withNanosAsLong(spark) {
     val schema = spark.read.parquet(eventsDir).schema
     spark.readStream
       .schema(schema)
