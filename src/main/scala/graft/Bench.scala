@@ -8,6 +8,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Let AQE coalesce stages downstream of persisted intermediates
+      // (see Verify.scala for rationale + measurement).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warm-up: run every query once at the smallest SF first.

@@ -315,11 +315,14 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       bucketCap, col("band"), col("bucket"))
 
+    // NOT distinct()ed: a pair matching in several bands appears once per
+    // band, but every consumer is duplicate-insensitive (semi-joins in
+    // verifiedPairs; candDocs distincts itself), so the dedup shuffle
+    // would be pure overhead.
     buckets.as("x")
       .join(buckets.as("y"), Seq("band", "bucket"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .distinct()
   }
 
   val minhashLshSql: String = nearDupPairsSql
@@ -425,6 +428,17 @@ object Dedup {
     var labels = edges.select(col("d1").as("v")).distinct()
       .select(col("v"), col("v").as("rep"))
       .localCheckpoint()
+    // Convergence check without a per-round join: each label is the min
+    // over a closed neighborhood that includes itself, so labels are
+    // monotonically non-increasing and Σrep strictly decreases on every
+    // round that changes anything. Comparing the sum to the previous
+    // round's is one scalar aggregate over the just-checkpointed table —
+    // cheaper than the next-vs-prev anti-comparison join it replaces.
+    // DECIMAL(38,0) accumulator: a BIGINT sum of ~1e9 64-bit ids overflows
+    // (and ANSI mode would throw).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
@@ -432,10 +446,10 @@ object Dedup {
         .groupBy(col("d1")).agg(min(col("rep")).as("rep"))
         .select(col("d1").as("v"), col("rep"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("rep", "prev"), "v")
-        .filter(col("rep") =!= col("prev")).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       rounds += 1
     }
     // Wrong labels must not be silently emitted: an unconverged exit can

@@ -184,29 +184,6 @@ object Similarity {
   private val IvfRounds = 2 // FIXED Lloyd rounds — determinism over convergence
   private val IvfProbe = 2  // cells probed per query
 
-  /** Double-precision left-fold dot of a float embedding against a
-    * double centroid (mixed types — the native expression is float-only).
-    * Takes column NAMES, not Columns: the expression goes through the SQL
-    * parser, which only round-trips simple references. */
-  private def centDot(embName: String, centName: String): Column =
-    expr(s"aggregate(zip_with($embName, $centName, " +
-      "(x, y) -> cast(x as double) * y), cast(0 as double), (acc, v) -> acc + v)")
-
-  /** Assignment score: ‖c‖² − 2·v·c ranks cells identically to the true
-    * squared distance (‖v‖² is constant per vector). */
-  private def cellScore(embName: String, centName: String, csq: Column): Column =
-    csq - lit(2.0) * centDot(embName, centName)
-
-  private def assignCells(em: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("score"), col("cid"))
-    em.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        cellScore("embedding", "centroid", col("csq")).as("score"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
-  }
-
   /** IVF (inverted-file) ANN — the cell-probing scale path next to the
     * sign-bit LSH tier: a deterministic k-means coarse quantizer (cells
     * seeded from the first k corpus vectors, FIXED Lloyd rounds,
@@ -217,47 +194,79 @@ object Similarity {
     * Every arithmetic step (left-fold dots, decimal means, tie-broken
     * argmins) is reproduced verbatim by the DuckDB oracle, making the
     * whole index construction + search hash-checkable. No RNG anywhere:
-    * same corpus ⇒ same index ⇒ same answers. */
+    * same corpus ⇒ same index ⇒ same answers.
+    *
+    * The quantizer state (k × dim doubles, constant-sized by
+    * construction) lives on the DRIVER between rounds — the same shape as
+    * MLlib's KMeans, which collects centers every Lloyd round. That makes
+    * cell assignment a NARROW projection: per row, an `array_min` over k
+    * inline (score, cid) structs — vs the previous broadcast-crossjoin +
+    * per-vector window, which shuffled the whole corpus once per round
+    * (3× total) just to take an 8-row argmin. Per round the only shuffle
+    * left is the centroid-mean aggregation, which map-side-combines to
+    * k × dim partials. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     import org.apache.spark.sql.types.{DecimalType, DoubleType => DD}
     val em = Tables.embeddings(spark, dir)
-    val withCsq = (c: DataFrame) => c.withColumn("csq",
-      expr("aggregate(transform(centroid, x -> x * x), cast(0 as double), (acc, v) -> acc + v)"))
-    var cents = withCsq(em.filter(col("vec_id") < IvfCells)
-      .select(col("vec_id").cast("int").as("cid"),
-        expr("transform(embedding, x -> cast(x as double))").as("centroid")))
-    for (_ <- 0 until IvfRounds) {
-      val assigned = assignCells(em, cents)
-      cents = withCsq(assigned
-        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy(col("cid"), col("pos"))
-        .agg((sum(col("x").cast(DecimalType(28, 8))).cast(DD) /
-          count(lit(1))).as("m"))
-        .groupBy(col("cid"))
-        .agg(expr("transform(sort_array(collect_list(struct(pos, m))), s -> s.m)")
-          .as("centroid")))
+
+    def collectCents(df: DataFrame): Seq[(Int, Seq[Double])] =
+      df.collect().toSeq
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
+
+    var cents: Seq[(Int, Seq[Double])] = collectCents(
+      em.filter(col("vec_id") < IvfCells)
+        .select(col("vec_id").cast("int").as("cid"),
+          expr("transform(embedding, x -> cast(x as double))").as("centroid")))
+
+    // Assignment score ‖c‖² − 2·v·c ranks cells identically to the true
+    // squared distance (‖v‖² is constant per vector). ‖c‖² is folded
+    // left-to-right on the driver — the identical IEEE operation sequence
+    // as the in-plan aggregate(transform(...)) it replaces, so results
+    // stay bit-equal to the DuckDB twin.
+    def cellScore(emb: Column, c: (Int, Seq[Double])): Column = {
+      val csq = c._2.foldLeft(0.0)((acc, x) => acc + x * x)
+      lit(csq) - lit(2.0) * aggregate(
+        zip_with(emb, typedLit(c._2), (x, y) => x.cast(DD) * y),
+        lit(0.0), (acc, v) => acc + v)
     }
-    // The trained quantizer is 8 rows — checkpoint it so the two
-    // consumers below (final assignment, query probing) don't each
-    // re-run the full corpus-scale Lloyd chain.
-    cents = cents.localCheckpoint()
-    val cells = assignCells(em, cents)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val queries = cells.filter(pmod(col("vec_id"), lit(50L)) === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    // probe the IvfProbe nearest cells per query
-    val wp = Window.partitionBy(col("query_id")).orderBy(col("score"), col("cid"))
-    val probes = queries.crossJoin(broadcast(cents))
-      .select(col("query_id"), col("q_emb"), col("cid"),
-        cellScore("q_emb", "centroid", col("csq")).as("score"))
-      .withColumn("prnk", row_number().over(wp))
-      .filter(col("prnk") <= IvfProbe)
-      .select(col("query_id"), col("q_emb"), col("cid"))
-    // exact cosine rerank within probed cells
+    def scoreStructs(emb: Column): Seq[Column] = cents.map(c =>
+      struct(cellScore(emb, c).as("s"), lit(c._1).as("c")))
+    // array_min over (score, cid) structs == ORDER BY score, cid LIMIT 1:
+    // struct ordering is lexicographic, so the cid tiebreak is preserved.
+    def nearestCid(emb: Column): Column =
+      array_min(array(scoreStructs(emb): _*)).getField("c")
+
+    for (_ <- 0 until IvfRounds) {
+      // nearestCid must live in its own projection: a select that also
+      // carries a generator goes through the Generate rewrite, which
+      // drops nested struct-field aliases (FIELD_NOT_FOUND on `c`).
+      cents = collectCents(
+        em.select(nearestCid(col("embedding")).as("cid"), col("embedding"))
+          .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("cid"), col("pos"))
+          .agg((sum(col("x").cast(DecimalType(28, 8))).cast(DD) /
+            count(lit(1))).as("m"))
+          .groupBy(col("cid"))
+          .agg(expr("transform(sort_array(collect_list(struct(pos, m))), s -> s.m)")
+            .as("centroid")))
+    }
+
+    // Final assignment — narrow, re-derived per consumer from the scan
+    // (cheaper than a persist barrier: one projection over the corpus).
+    val cells = em.select(col("vec_id"), col("embedding"),
+      nearestCid(col("embedding")).as("cid"))
+    // Each query probes its IvfProbe nearest cells: sorted struct array,
+    // sliced — same (score, cid) order as the oracle's windowed rank.
+    val probes = em.filter(pmod(col("vec_id"), lit(50L)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(slice(array_sort(array(scoreStructs(col("embedding")): _*)),
+          1, IvfProbe).getField("c")).as("cid"))
+    // exact cosine rerank within probed cells; probe side is tiny
+    // (queries × IvfProbe) — broadcast it so the corpus never shuffles
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
-    probes.join(cells, "cid")
+    broadcast(probes).join(cells, "cid")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
