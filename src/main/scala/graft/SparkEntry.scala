@@ -120,6 +120,12 @@ object SparkEntry {
     "stream_session_window" -> (graft.streaming.StreamingOps.sessionWindow _),
     "stream_dedup"          -> (graft.streaming.StreamingOps.streamDedup _),
     "stream_sessionize"     -> (graft.streaming.Sessionize.sessionsBatch _),
+    // Training-data pipeline ops (north-star)
+    "pipe_hash_split"       -> (Pipeline.hashSplit _),
+    "pipe_pack_sequences"   -> (Pipeline.packSequences _),
+    "pipe_normalize_stats"  -> (Pipeline.normalizeStats _),
+    "pipe_repetition_score" -> (Pipeline.repetitionScore _),
+    "pipe_contamination"    -> (Pipeline.contamination _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -206,5 +212,10 @@ object SparkEntry {
     "stream_session_window" -> graft.streaming.StreamingOps.sessionWindowSql,
     "stream_dedup"          -> graft.streaming.StreamingOps.streamDedupSql,
     "stream_sessionize"     -> graft.streaming.Sessionize.sessionsBatchSql,
+    "pipe_hash_split"       -> Pipeline.hashSplitSql,
+    "pipe_pack_sequences"   -> Pipeline.packSequencesSql,
+    "pipe_normalize_stats"  -> Pipeline.normalizeStatsSql,
+    "pipe_repetition_score" -> Pipeline.repetitionScoreSql,
+    "pipe_contamination"    -> Pipeline.contaminationSql,
   )
 }

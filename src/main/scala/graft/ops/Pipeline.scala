@@ -1,0 +1,202 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators (north-star extensions beyond the
+  * reference): deterministic dataset splitting, context-window sequence
+  * packing, normalization, repetition-based quality scoring, and
+  * benchmark decontamination. Every op is engine-independent by
+  * construction (pure integer/string arithmetic, total output order) so
+  * the DuckDB twins gate them hash-exactly.
+  *
+  * Scale design:
+  *  - Splitting is a stateless per-row hash — no shuffle at all; the
+  *    aggregate view groups on (lang, split), map-side combined.
+  *  - Packing windows per (lang): the prefix sum shuffles each stratum
+  *    once; production packs per shard exactly like this (a global pack
+  *    order is inherently sequential and never what you want at 100 TB).
+  *  - Normalization/repetition are per-row codegen expressions (no
+  *    explode — bigram stats fold inside `transform`/`array_distinct`).
+  *  - Decontamination reuses the capped shingle machinery from [[Dedup]]:
+  *    the benchmark side is distinct-shingled and the corpus side
+  *    semi-joins against it — the corpus never shuffles more than its
+  *    shingle explode, and the benchmark set (small by definition) rides
+  *    a broadcast.
+  */
+object Pipeline {
+
+  /** Deterministic train/val/test split by multiplicative hashing of the
+    * stable doc id (NOT rand(): reruns and engines must agree). Constants
+    * fit BIGINT for any realistic id (ANSI-safe to ~8e13 docs). Output is
+    * the per-(lang, split) census a pipeline records when materializing
+    * splits. */
+  def hashSplit(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val bucket = pmod(col("doc_id") * lit(115249L) + lit(33391L), lit(10L))
+    d.withColumn("split",
+        when(bucket < 8, lit("train")).when(bucket === 8, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  val hashSplitSql: String =
+    """SELECT lang,
+      |  CASE WHEN (doc_id*115249+33391) % 10 < 8 THEN 'train'
+      |       WHEN (doc_id*115249+33391) % 10 = 8 THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+
+  private val PackBudget = 2048L // tokens per packed context window
+
+  /** Concat-and-chunk sequence packing: docs are laid out in stable
+    * (lang, doc_id) order and cut into fixed token-budget windows by the
+    * EXCLUSIVE running token count — the standard pretraining packing
+    * layout (documents concatenated, chunked every `PackBudget` tokens).
+    * One window shuffle per stratum; emits the per-chunk manifest. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    d.select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tokens"))
+      .withColumn("cum", sum(col("tokens")).over(w))
+      .withColumn("chunk", expr(s"(cum - tokens) div $PackBudget"))
+      .groupBy(col("lang"), col("chunk"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("chunk"))
+  }
+
+  val packSequencesSql: String =
+    s"""WITH sized AS (
+      |  SELECT lang, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+      |  FROM documents),
+      |cum AS (
+      |  SELECT lang, doc_id, tokens,
+      |    CAST(SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum
+      |  FROM sized)
+      |SELECT lang, (cum - tokens) // $PackBudget AS chunk,
+      |  COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS n_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM cum GROUP BY 1, 2 ORDER BY lang, chunk""".stripMargin
+
+  /** Normalization census: lowercase, strip non-alphanumerics, collapse
+    * runs of spaces, trim — then count distinct surviving forms per lang
+    * (the "how much does normalization collapse" signal that decides
+    * whether normalized exact-dedup is worth a pass). Pure per-row
+    * regexp work inside codegen; one map-side-combined aggregate. */
+  def normalizeStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    d.select(col("lang"), norm.as("norm"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("norm")).as("n_distinct_norm"),
+        round(sum(length(col("norm"))) / count(lit(1)), 6).as("avg_norm_len"))
+      .orderBy(col("lang"))
+  }
+
+  val normalizeStatsSql: String =
+    """WITH n AS (
+      |  SELECT lang,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |      ' +', ' ', 'g')) AS norm
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT norm) AS n_distinct_norm,
+      |  round(CAST(SUM(length(norm)) AS BIGINT) / COUNT(*), 6) AS avg_norm_len
+      |FROM n GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Repetition-ratio quality signal: fraction of repeated word bigrams
+    * per document (1 − distinct/total), the cheap boilerplate/spam
+    * detector every corpus filter runs. Bigrams are built and deduped
+    * INSIDE the row (`transform` + `array_distinct` — no explode, no
+    * shuffle); output is the worst-50 list a reviewer would eyeball.
+    * String bigrams, not hashes: the ratio must be collision-exact to
+    * hash-match the oracle. */
+  def repetitionScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    // token-count guard BEFORE sequence(): for a 1-token doc
+    // sequence(0, -1) descends and would fabricate null bigrams
+    d.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        expr("transform(sequence(0, size(t)-2), " +
+          "i -> concat(t[i], ' ', t[i+1]))").as("bg"))
+      .select(col("doc_id"), size(col("bg")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bg"))).cast("long").as("n_distinct"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct") / col("n_bigrams"), 6).as("rep_ratio"))
+      .orderBy(col("rep_ratio").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  val repetitionScoreSql: String =
+    """WITH bg AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, len(string_split(text,' '))),
+      |      i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]) AS bg
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(bg) AS BIGINT) AS n_bigrams,
+      |  CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct,
+      |  round(1.0 - CAST(len(list_distinct(bg)) AS BIGINT)
+      |    / CAST(len(bg) AS BIGINT), 6) AS rep_ratio
+      |FROM bg WHERE len(bg) >= 1
+      |ORDER BY rep_ratio DESC, doc_id LIMIT 50""".stripMargin
+
+  /** Benchmark decontamination: flag corpus docs sharing any 3-gram
+    * shingle with the benchmark side (stand-in: `source = 'src0'`), with
+    * the shared-shingle count — the overlap audit run before training to
+    * keep eval data out of the corpus. Shingles come from
+    * [[Dedup.hashedShingles]] (df-capped on the FULL corpus, same cap in
+    * the twin): boilerplate shingles would otherwise flag everything.
+    * The benchmark doc-id list and its distinct shingle set are broadcast
+    * — benchmark sets are small by definition — so the corpus side never
+    * shuffles beyond its shingle explode. Shingle identity is the same
+    * 64-bit composed hash as the dedup tier (collision odds ~2e-11,
+    * cross-checked by the string-shingled oracle on this corpus). */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val sh = Dedup.hashedShingles(d, Dedup.MaxShingleDf)
+    val benchIds = d.filter(col("source") === "src0").select(col("doc_id"))
+    val benchSh = sh.join(broadcast(benchIds), Seq("doc_id"), "left_semi")
+      .select(col("sh")).distinct()
+    sh.join(broadcast(benchIds), Seq("doc_id"), "left_anti")
+      .join(broadcast(benchSh), Seq("sh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  val contaminationSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |         generate_subscripts(string_split(text,' '),1) AS pos
+      |  FROM documents),
+      |sh0 AS (
+      |  SELECT DISTINCT doc_id,
+      |    tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS shingle
+      |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
+      |sh AS (
+      |  SELECT doc_id, shingle FROM sh0
+      |  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= ${Dedup.MaxShingleDf}),
+      |bench AS (
+      |  SELECT DISTINCT shingle FROM sh
+      |  JOIN documents USING (doc_id) WHERE source = 'src0')
+      |SELECT s.doc_id, COUNT(*) AS n_shared
+      |FROM sh s
+      |JOIN documents d USING (doc_id)
+      |JOIN bench b ON b.shingle = s.shingle
+      |WHERE d.source <> 'src0'
+      |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+}
