@@ -33,8 +33,10 @@ object Pipeline {
     * fit BIGINT for any realistic id (ANSI-safe to ~8e13 docs). Output is
     * the per-(lang, split) census a pipeline records when materializing
     * splits. */
-  def hashSplit(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  def hashSplit(spark: SparkSession, dir: String): DataFrame =
+    hashSplitDf(Tables.documents(spark, dir))
+
+  private[ops] def hashSplitDf(d: DataFrame): DataFrame = {
     val bucket = pmod(col("doc_id") * lit(115249L) + lit(33391L), lit(10L))
     d.withColumn("split",
         when(bucket < 8, lit("train")).when(bucket === 8, lit("val"))
@@ -61,8 +63,10 @@ object Pipeline {
     * EXCLUSIVE running token count — the standard pretraining packing
     * layout (documents concatenated, chunked every `PackBudget` tokens).
     * One window shuffle per stratum; emits the per-chunk manifest. */
-  def packSequences(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packSequencesDf(Tables.documents(spark, dir))
+
+  private[ops] def packSequencesDf(d: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
     d.select(col("lang"), col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("tokens"))
@@ -93,8 +97,10 @@ object Pipeline {
     * (the "how much does normalization collapse" signal that decides
     * whether normalized exact-dedup is worth a pass). Pure per-row
     * regexp work inside codegen; one map-side-combined aggregate. */
-  def normalizeStats(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  def normalizeStats(spark: SparkSession, dir: String): DataFrame =
+    normalizeStatsDf(Tables.documents(spark, dir))
+
+  private[ops] def normalizeStatsDf(d: DataFrame): DataFrame = {
     val norm = trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
     d.select(col("lang"), norm.as("norm"))
@@ -123,8 +129,10 @@ object Pipeline {
     * shuffle); output is the worst-50 list a reviewer would eyeball.
     * String bigrams, not hashes: the ratio must be collision-exact to
     * hash-match the oracle. */
-  def repetitionScore(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  def repetitionScore(spark: SparkSession, dir: String): DataFrame =
+    repetitionScoreDf(Tables.documents(spark, dir))
+
+  private[ops] def repetitionScoreDf(d: DataFrame): DataFrame = {
     // token-count guard BEFORE sequence(): for a 1-token doc
     // sequence(0, -1) descends and would fabricate null bigrams
     d.select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -165,8 +173,10 @@ object Pipeline {
     * shuffles beyond its shingle explode. Shingle identity is the same
     * 64-bit composed hash as the dedup tier (collision odds ~2e-11,
     * cross-checked by the string-shingled oracle on this corpus). */
-  def contamination(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  def contamination(spark: SparkSession, dir: String): DataFrame =
+    contaminationDf(Tables.documents(spark, dir))
+
+  private[ops] def contaminationDf(d: DataFrame): DataFrame = {
     val sh = Dedup.hashedShingles(d, Dedup.MaxShingleDf)
     val benchIds = d.filter(col("source") === "src0").select(col("doc_id"))
     val benchSh = sh.join(broadcast(benchIds), Seq("doc_id"), "left_semi")
