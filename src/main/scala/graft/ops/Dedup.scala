@@ -404,14 +404,21 @@ object Dedup {
     * with a recursive CTE. */
   def connectedComponents(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    connectedComponentsFromPairs(
+      minhashLsh(spark, dir).select(col("d1"), col("d2")))
+  }
+
+  /** Label propagation over an explicit (d1, d2) pair table — split out so
+    * degenerate graphs (zero pairs, chains) are unit-testable without a
+    * corpus. */
+  private[ops] def connectedComponentsFromPairs(rawPairs: DataFrame): DataFrame = {
     // localCheckpoint (eager), NOT persist: an iterative loop must CUT the
     // logical plan each round, or every action re-analyzes a tree that
     // doubles per iteration (measured: 32 s → 61 s per round on a
     // ~50-row label table before truncation, 0.1 s after). On a cluster
     // with fault-tolerance requirements this becomes a reliable
     // checkpoint; the shape is otherwise identical.
-    val pairs = minhashLsh(spark, dir).select(col("d1"), col("d2"))
-      .localCheckpoint()
+    val pairs = rawPairs.localCheckpoint()
     // pairs is now a materialized RDD; minhash's persisted intermediates
     // are no longer needed by THIS query and will be evicted LRU (the
     // Verify/Bench harnesses additionally clear the cache after every
@@ -436,8 +443,11 @@ object Dedup {
     // cheaper than the next-vs-prev anti-comparison join it replaces.
     // DECIMAL(38,0) accumulator: a BIGINT sum of ~1e9 64-bit ids overflows
     // (and ANSI mode would throw).
+    // sum() over an empty table is NULL — a corpus with zero near-dup
+    // pairs must converge to an empty result, not NPE in compareTo.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0)
+      Option(df.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0

@@ -46,10 +46,12 @@ object Pipeline {
       .orderBy(col("lang"), col("split"))
   }
 
+  // (x % 10 + 10) % 10 == Spark's pmod for negative x too — the twin must
+  // not depend on doc_id's sign (DuckDB % returns negative remainders).
   val hashSplitSql: String =
     """SELECT lang,
-      |  CASE WHEN (doc_id*115249+33391) % 10 < 8 THEN 'train'
-      |       WHEN (doc_id*115249+33391) % 10 = 8 THEN 'val'
+      |  CASE WHEN ((doc_id*115249+33391) % 10 + 10) % 10 < 8 THEN 'train'
+      |       WHEN ((doc_id*115249+33391) % 10 + 10) % 10 = 8 THEN 'val'
       |       ELSE 'test' END AS split,
       |  COUNT(*) AS n_docs,
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars

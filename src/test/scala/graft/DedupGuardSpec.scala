@@ -29,6 +29,23 @@ class DedupGuardSpec extends AnyFunSuite {
     noCartesian(Dedup.minhashLsh(spark, dir), "minhashLsh")
   }
 
+  test("connected components on an empty pair table returns empty, not NPE") {
+    import spark.implicits._
+    // Zero near-dup pairs (sum over empty → NULL) must converge to an
+    // empty result on round 1 instead of NPE-ing in the convergence check.
+    val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(Dedup.connectedComponentsFromPairs(empty).count() === 0L)
+  }
+
+  test("connected components merges a chain into one cluster") {
+    import spark.implicits._
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("d1", "d2")
+    val out = Dedup.connectedComponentsFromPairs(chain)
+      .select("doc_id", "canonical_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (4L, 1L, 4L)))
+  }
+
   test("hot-bucket cap bounds a degenerate near-identical cluster") {
     import spark.implicits._
     // 60 docs sharing one long boilerplate prefix: every minhash band

@@ -26,6 +26,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(names.subsetOf(Set("train", "val", "test")))
   }
 
+  test("hashSplit routes negative doc_ids by floor-mod, matching the SQL twin") {
+    // The oracle twin computes ((x % 10) + 10) % 10 — identical to Spark's
+    // pmod for negative ids; this pins agreement beyond the generated
+    // (non-negative) corpus.
+    val d = docs(
+      (-7L, "neg seven", "en", "a"),
+      (-1L, "neg one", "en", "a"),
+      (0L, "zero", "en", "a"),
+      (13L, "thirteen", "en", "a"))
+    val byId = d.withColumn("bucket",
+        pmod(col("doc_id") * lit(115249L) + lit(33391L), lit(10L)))
+      .select("doc_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byId.foreach { case (id, bucket) =>
+      assert(bucket === Math.floorMod(id * 115249L + 33391L, 10L),
+        s"doc_id=$id")
+    }
+    assert(Pipeline.hashSplitDf(d).agg(sum("n_docs")).head().getLong(0) === 4L)
+  }
+
   test("hashSplit is deterministic across runs") {
     val d = graft.Tables.documents(spark, dir)
     val a = Pipeline.hashSplitDf(d).collect().toSeq
@@ -56,7 +76,7 @@ class PipelineSpec extends AnyFunSuite {
     packed.groupBy(_.getString(0)).foreach { case (_, rows) =>
       rows.sliding(2).foreach {
         case Array(a, b) =>
-          assert(a.getLong(4) < b.getLong(3),
+          assert(a.getLong(5) < b.getLong(4),
             "last_doc of chunk k must precede first_doc of chunk k+1")
         case _ => ()
       }

@@ -78,6 +78,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(streamed).count() === 0L)
   }
 
+  test("second microbatch still reads nanos parquet after withNanosAsLong restores the conf") {
+    // withNanosAsLong restores spark.sql.legacy.parquet.nanosAsLong before
+    // any microbatch runs; the schema conversion is captured at
+    // readStream-build time. This pins that behavior: if a Spark upgrade
+    // starts re-consulting the conf per batch, the SECOND batch here fails
+    // with [PARQUET_TYPE_ILLEGAL] and surfaces the regression in CI.
+    val staged = java.nio.file.Files.createTempDirectory("events_two_batches")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("batch1.parquet"))
+    val stream = StreamingOps.streamingTumblingCounts(spark, staged.toString)
+    assert(!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+        .contains("true"),
+      "conf must already be restored before the first microbatch")
+    val q = stream.writeStream
+      .format("memory").queryName("two_batch_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable() // batch 1: planned after the restore
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        staged.resolve("batch2.parquet"))
+      q.processAllAvailable() // batch 2: a fresh parquet split, same schema path
+      assert(q.exception.isEmpty, s"second microbatch failed: ${q.exception}")
+      assert(q.recentProgress.map(_.numInputRows).sum > 0)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark over an event-time-ordered source equals the batch twin") {
     // Stage the events parquet re-sorted by event time: with arrival order
     // == event-time order, streaming first-arrival dedup equals the batch
