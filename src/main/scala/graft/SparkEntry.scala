@@ -126,6 +126,13 @@ object SparkEntry {
     "pipe_normalize_stats"  -> (Pipeline.normalizeStats _),
     "pipe_repetition_score" -> (Pipeline.repetitionScore _),
     "pipe_contamination"    -> (Pipeline.contamination _),
+    "pipe_quality_funnel"   -> (Pipeline.qualityFunnel _),
+    "pipe_mixture_sample"   -> (Pipeline.mixtureSample _),
+    // Round 5: histogram agg, binned interval join, CSV/JSON round-trips
+    "agg_histogram"          -> (Aggregations.histogram _),
+    "join_interval_binned"   -> (AdvancedJoins.priorEventsWindow _),
+    "source_csv_roundtrip"   -> (Sources.csvRoundtrip _),
+    "source_json_roundtrip"  -> (Sources.jsonRoundtrip _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -217,5 +224,11 @@ object SparkEntry {
     "pipe_normalize_stats"  -> Pipeline.normalizeStatsSql,
     "pipe_repetition_score" -> Pipeline.repetitionScoreSql,
     "pipe_contamination"    -> Pipeline.contaminationSql,
+    "pipe_quality_funnel"   -> Pipeline.qualityFunnelSql,
+    "pipe_mixture_sample"   -> Pipeline.mixtureSampleSql,
+    "agg_histogram"          -> Aggregations.histogramSql,
+    "join_interval_binned"   -> AdvancedJoins.priorEventsWindowSql,
+    "source_csv_roundtrip"   -> Sources.csvRoundtripSql,
+    "source_json_roundtrip"  -> Sources.jsonRoundtripSql,
   )
 }

@@ -121,4 +121,51 @@ object AdvancedJoins {
       |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
       |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Interval join executed as a BINNED equi-join: for every error event,
+    * count the same user's events in the preceding hour (exclusive of the
+    * error itself).
+    *
+    * A literal translation is a theta self-join (`b.ts < a.ts AND b.ts >=
+    * a.ts - 1h`) — a per-user cartesian that Spark would execute as a
+    * nested-loop join, O(n²) per user at 100 TB. Instead each probe row
+    * replicates to its hour bin and the one before (an interval of width W
+    * ≤ bin size can only span 2 bins), candidates equi-join on
+    * (user_id, bin) — a plain hash shuffle, linear in input plus true
+    * matches — and the exact interval predicate evaluates inside the
+    * conditional count. The LEFT join keeps zero-match errors at
+    * n_prior = 0, and a candidate matches exactly one of the two probe
+    * replicas (its own bin), so nothing double-counts. The DuckDB twin
+    * runs the plain theta join, independently cross-checking the binning. */
+  def priorEventsWindow(spark: SparkSession, dir: String): DataFrame =
+    priorEventsWindowDf(Tables.events(spark, dir))
+
+  private[ops] def priorEventsWindowDf(events: DataFrame): DataFrame = {
+    val e = events
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+        expr("unix_seconds(cast(ts as timestamp)) div 3600").as("bin"))
+    val probe = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        explode(array(col("bin") - 1, col("bin"))).as("bin"))
+    probe.as("a")
+      .join(e.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.bin") === col("b.bin"),
+        "left")
+      .groupBy(col("a.event_id").as("event_id"))
+      .agg(count(when(col("b.ts") < col("a.ts") &&
+        col("b.ts") >= col("a.ts") - expr("INTERVAL 1 HOUR"),
+        lit(1))).as("n_prior"))
+      .orderBy(col("event_id"))
+  }
+
+  val priorEventsWindowSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events)
+      |SELECT a.event_id, COUNT(b.event_id) AS n_prior
+      |FROM e a LEFT JOIN e b
+      |  ON b.user_id = a.user_id AND b.ts < a.ts
+      |  AND b.ts >= a.ts - INTERVAL 1 HOUR
+      |WHERE a.event_type = 'error'
+      |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin
 }

@@ -223,4 +223,23 @@ object Aggregations {
     """SELECT l_returnflag, COUNT(*) AS n_rows,
       |  TRUE AS q50_ok, TRUE AS q90_ok, TRUE AS q99_ok, TRUE AS median_qty_ok
       |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
+  /** Fixed-width histogram of order totals: bucket = floor(total / 500).
+    * Grouping on the derived key is the 100 TB histogram plan — map-side
+    * combine reduces each partition to ~#buckets rows before one shuffle;
+    * never a sort, never a collect. (floor of an IEEE double division is
+    * bit-identical across engines, so the bucket key is portable.) */
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.groupBy(floor(col("o_totalprice") / lit(500.0)).as("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("bucket"))
+  }
+
+  val histogramSql: String =
+    """SELECT CAST(FLOOR(o_totalprice / 500.0) AS BIGINT) AS bucket,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
 }

@@ -211,4 +211,89 @@ object Pipeline {
       |JOIN bench b ON b.shingle = s.shingle
       |WHERE d.source <> 'src0'
       |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+
+  /** Quality-filter funnel: the cumulative heuristic cascade with a
+    * per-stage survivor census — the attrition report a corpus pipeline
+    * emits when tuning filters. ONE corpus pass: every stage is a per-row
+    * codegen predicate folded into conditional counts (no repeated scans;
+    * the only shuffle is the single-row final aggregate), unpivoted with
+    * `stack` into the funnel table. All stage thresholds are exact-integer
+    * or IEEE-identical double comparisons, so the census is portable. */
+  def qualityFunnel(spark: SparkSession, dir: String): DataFrame =
+    qualityFunnelDf(Tables.documents(spark, dir))
+
+  private[ops] def qualityFunnelDf(d: DataFrame): DataFrame = {
+    val toks = size(split(col("text"), " ")).cast("long")
+    // mean word length: token chars = n_chars minus the (toks-1) spaces
+    val avgLen = (col("n_chars") - (toks - lit(1L))).cast("double") /
+      toks.cast("double")
+    val p1 = col("n_chars").between(200L, 20000L)
+    val p2 = p1 && toks >= 30L
+    val p3 = p2 && avgLen.between(3.0, 12.0)
+    d.agg(count(lit(1)).as("c0"), count(when(p1, 1)).as("c1"),
+        count(when(p2, 1)).as("c2"), count(when(p3, 1)).as("c3"))
+      .select(expr("stack(4, 's0_total', c0, 's1_chars', c1, " +
+        "'s2_tokens', c2, 's3_avg_word_len', c3) AS (stage, n_docs)"))
+      .orderBy(col("stage"))
+  }
+
+  val qualityFunnelSql: String =
+    """WITH s AS (
+      |  SELECT n_chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      |  FROM documents),
+      |a AS (
+      |  SELECT n_chars, toks,
+      |    CAST(n_chars - (toks - 1) AS DOUBLE) / CAST(toks AS DOUBLE) AS avg_len
+      |  FROM s)
+      |SELECT 's0_total' AS stage, COUNT(*) AS n_docs FROM a
+      |UNION ALL SELECT 's1_chars', COUNT(*) FROM a
+      |  WHERE n_chars BETWEEN 200 AND 20000
+      |UNION ALL SELECT 's2_tokens', COUNT(*) FROM a
+      |  WHERE n_chars BETWEEN 200 AND 20000 AND toks >= 30
+      |UNION ALL SELECT 's3_avg_word_len', COUNT(*) FROM a
+      |  WHERE n_chars BETWEEN 200 AND 20000 AND toks >= 30
+      |    AND avg_len BETWEEN 3.0 AND 12.0
+      |ORDER BY stage""".stripMargin
+
+  /** Per-mille keep rates for the deterministic source mixture (per-lang
+    * upsample/downsample weights a pretraining mix prescribes). */
+  private[ops] val MixtureRates: Seq[(String, Int)] =
+    Seq("en" -> 1000, "es" -> 500, "de" -> 250, "fr" -> 100, "zh" -> 50)
+
+  /** Deterministic weighted mixture sampling: per-lang keep rates applied
+    * by multiplicative hashing of the stable doc id (NOT rand(): reruns,
+    * retries, and engines must agree doc-by-doc), plus the achieved-rate
+    * census a pipeline logs against its target mix. Constants bound:
+    * |doc_id| ≤ ~3.4e9 keeps doc_id*2654435761 inside BIGINT (ANSI-safe);
+    * the census itself is one map-side-combined aggregate. */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame =
+    mixtureSampleDf(Tables.documents(spark, dir))
+
+  private[ops] def mixtureSampleDf(d: DataFrame): DataFrame = {
+    val rate = MixtureRates.foldLeft(lit(0)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    val bucket = pmod(col("doc_id") * lit(2654435761L) + lit(97L), lit(1000L))
+    d.withColumn("kept", (bucket < rate).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"),
+        (sum(col("kept")).cast("double") / count(lit(1)).cast("double"))
+          .as("achieved_rate"))
+      .orderBy(col("lang"))
+  }
+
+  val mixtureSampleSql: String =
+    """WITH k AS (
+      |  SELECT lang,
+      |    CASE WHEN ((doc_id*2654435761+97) % 1000 + 1000) % 1000 <
+      |      CASE lang WHEN 'en' THEN 1000 WHEN 'es' THEN 500
+      |                WHEN 'de' THEN 250 WHEN 'fr' THEN 100
+      |                WHEN 'zh' THEN 50 ELSE 0 END
+      |    THEN 1 ELSE 0 END AS kept
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+      |  CAST(SUM(kept) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS achieved_rate
+      |FROM k GROUP BY lang ORDER BY lang""".stripMargin
 }

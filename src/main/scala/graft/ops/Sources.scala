@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink round-trips beyond parquet: CSV and JSON-lines, the two
+  * text formats every ingest surface must speak (the reference's own
+  * entry point is a CSV ingest — `/root/reference/01.py:168-233`).
+  *
+  * Each query writes a projected slice of `lineitem` to the format under
+  * test, reads it back with an EXPLICIT schema (never inference — schema
+  * inference is an extra full scan and nondeterministic typing at scale),
+  * and aggregates a census that must hash-match the oracle computed on
+  * the original parquet. A value surviving the round-trip bit-exactly is
+  * the property under test: Spark serializes doubles via shortest
+  * round-trip decimal form, so parse-back is exact by construction.
+  *
+  * Scale posture: the write is a straight narrow pipeline (no shuffle);
+  * the read-back scan prunes to the census columns; only the final
+  * grouped census shuffles (map-side combined, ~#groups rows). Writer
+  * parallelism = input partitions, so at 100 TB the round-trip is
+  * embarrassingly parallel in both directions.
+  */
+object Sources {
+
+  private val censusSchema = StructType(Seq(
+    StructField("l_returnflag", StringType),
+    StructField("l_linestatus", StringType),
+    StructField("l_quantity", DoubleType),
+    StructField("l_extendedprice", DoubleType)))
+
+  private def slice(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select(
+      col("l_returnflag"), col("l_linestatus"),
+      col("l_quantity"), col("l_extendedprice"))
+
+  private def census(df: DataFrame): DataFrame =
+    df.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Shared by both round-trips: the same census computed straight off the
+    * parquet table — what the round-tripped census must equal. */
+  private[ops] val censusSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** lineitem slice → CSV files → read back (explicit schema, header) →
+    * census. Plain values (no embedded delimiters/quotes in this slice);
+    * quoting behavior itself is pinned by `IngestSpec` on the reference
+    * ingest path. */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_csv_rt").toString
+    slice(spark, dir).write.mode("overwrite")
+      .option("header", "true").csv(out)
+    census(spark.read.schema(censusSchema)
+      .option("header", "true").csv(out))
+  }
+
+  val csvRoundtripSql: String = censusSql
+
+  /** lineitem slice → JSON-lines files → read back (explicit schema) →
+    * census. */
+  def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_json_rt").toString
+    slice(spark, dir).write.mode("overwrite").json(out)
+    census(spark.read.schema(censusSchema).json(out))
+  }
+
+  val jsonRoundtripSql: String = censusSql
+}

@@ -83,6 +83,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("qualityFunnel stages are monotone non-increasing from the total") {
+    val d = graft.Tables.documents(spark, dir)
+    val stages = Pipeline.qualityFunnelDf(d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stages("s0_total") === d.count())
+    assert(stages("s0_total") >= stages("s1_chars"))
+    assert(stages("s1_chars") >= stages("s2_tokens"))
+    assert(stages("s2_tokens") >= stages("s3_avg_word_len"))
+  }
+
+  test("mixtureSample keeps every en doc, samples others, and is deterministic") {
+    val d = graft.Tables.documents(spark, dir)
+    val rows = Pipeline.mixtureSampleDf(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val byLang = rows.map { case (l, n, k) => l -> ((n, k)) }.toMap
+    byLang.get("en").foreach { case (n, k) => assert(k === n, "en rate is 1000/1000") }
+    rows.foreach { case (lang, n, kept) =>
+      assert(kept >= 0 && kept <= n, s"$lang kept out of range") }
+    assert(rows === Pipeline.mixtureSampleDf(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
   test("repetitionScore drops sub-bigram docs and bounds the ratio") {
     val d = docs(
       (1L, "one", "en", "s"),                        // 1 token — excluded
