@@ -111,7 +111,13 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("sh"))
+    // The CAPPED table is what every consumer references (sig aggregate,
+    // verify semi-join, self-joins — 2-3 references per query): persist it
+    // too, or each reference re-runs the hot-list aggregate — a full
+    // shuffle over every distinct (doc, shingle) pair — plus the
+    // anti-join (measured ~0.7 s per extra reference at sf0.1).
     sh.join(hot, Seq("sh"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Exact-Jaccard scoring of candidate pairs — the verification stage of
@@ -408,17 +414,69 @@ object Dedup {
       minhashLsh(spark, dir).select(col("d1"), col("d2")))
   }
 
-  /** Label propagation over an explicit (d1, d2) pair table — split out so
-    * degenerate graphs (zero pairs, chains) are unit-testable without a
-    * corpus. */
+  /** Edge-count threshold for the single-task union-find fast path. The
+    * pair table is O(near-dup pairs), NOT corpus-sized, so even a 100 TB
+    * corpus usually lands far under this (5M edges ≈ 80 MB of longs — one
+    * executor task's working set). Above it, the iterative label
+    * propagation runs; the outputs are identical. */
+  private[ops] val SmallGraphMaxEdges = 5_000_000L
+
+  /** Connected components over an explicit (d1, d2) pair table — split out
+    * so degenerate graphs (zero pairs, chains) are unit-testable without a
+    * corpus. Hybrid execution: small graphs collapse to ONE executor task
+    * running union-find (the common case — pair graphs are tiny relative
+    * to their corpus); big graphs take the distributed label-propagation
+    * loop. Same output either way. */
   private[ops] def connectedComponentsFromPairs(rawPairs: DataFrame): DataFrame = {
-    // localCheckpoint (eager), NOT persist: an iterative loop must CUT the
-    // logical plan each round, or every action re-analyzes a tree that
-    // doubles per iteration (measured: 32 s → 61 s per round on a
-    // ~50-row label table before truncation, 0.1 s after). On a cluster
-    // with fault-tolerance requirements this becomes a reliable
-    // checkpoint; the shape is otherwise identical.
+    // localCheckpoint (eager), NOT persist: the downstream is either an
+    // iterative loop (which must CUT the logical plan each round, or every
+    // action re-analyzes a tree that doubles per iteration — measured:
+    // 32 s → 61 s per round on a ~50-row label table before truncation,
+    // 0.1 s after) or a count + coalesce over the same materialized RDD.
+    // On a cluster with fault-tolerance requirements this becomes a
+    // reliable checkpoint; the shape is otherwise identical.
     val pairs = rawPairs.localCheckpoint()
+    if (pairs.count() <= SmallGraphMaxEdges) unionFindCC(pairs)
+    else labelPropagationCC(pairs)
+  }
+
+  /** Single-task union-find (path compression + union-by-min, so the root
+    * IS the component minimum): the whole pair graph rides one coalesced
+    * partition through `mapPartitions` — executor-side, never a driver
+    * collect. O(E α(E)) time, O(V) memory, zero shuffle/iteration overhead
+    * — at 5M edges this is milliseconds where the join loop pays 3 rounds
+    * of shuffle + checkpoint latency. */
+  private[ops] def unionFindCC(pairs: DataFrame): DataFrame = {
+    import pairs.sparkSession.implicits._
+    pairs.select(col("d1"), col("d2")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          // union-by-min keeps every root the minimum of its component
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        parent.keysIterator.toArray.groupBy(find).iterator.flatMap {
+          case (root, members) =>
+            members.iterator.map(m => (m, root, members.length.toLong))
+        }
+      }
+      .toDF("doc_id", "canonical_id", "cluster_size")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Distributed label propagation — the big-graph path. */
+  private[ops] def labelPropagationCC(pairs: DataFrame): DataFrame = {
     // pairs is now a materialized RDD; minhash's persisted intermediates
     // are no longer needed by THIS query and will be evicted LRU (the
     // Verify/Bench harnesses additionally clear the cache after every

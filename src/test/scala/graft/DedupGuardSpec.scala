@@ -29,21 +29,35 @@ class DedupGuardSpec extends AnyFunSuite {
     noCartesian(Dedup.minhashLsh(spark, dir), "minhashLsh")
   }
 
-  test("connected components on an empty pair table returns empty, not NPE") {
+  test("connected components on an empty pair table returns empty, not NPE (both paths)") {
     import spark.implicits._
     // Zero near-dup pairs (sum over empty → NULL) must converge to an
     // empty result on round 1 instead of NPE-ing in the convergence check.
     val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
-    assert(Dedup.connectedComponentsFromPairs(empty).count() === 0L)
+    assert(Dedup.unionFindCC(empty).count() === 0L)
+    assert(Dedup.labelPropagationCC(empty.localCheckpoint()).count() === 0L)
   }
 
-  test("connected components merges a chain into one cluster") {
+  test("connected components merges a chain into one cluster (both paths agree)") {
     import spark.implicits._
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("d1", "d2")
-    val out = Dedup.connectedComponentsFromPairs(chain)
-      .select("doc_id", "canonical_id", "cluster_size")
-      .as[(Long, Long, Long)].collect().sortBy(_._1)
-    assert(out.toSeq === Seq((1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (4L, 1L, 4L)))
+    val expected = Seq((1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (4L, 1L, 4L))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "canonical_id", "cluster_size")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(run(Dedup.unionFindCC(chain)) === expected)
+    assert(run(Dedup.labelPropagationCC(chain.localCheckpoint())) === expected)
+  }
+
+  test("union-find and label propagation agree on the real corpus pair graph") {
+    import spark.implicits._
+    val pairs = Dedup.minhashLsh(spark, dir)
+      .select(org.apache.spark.sql.functions.col("d1"),
+        org.apache.spark.sql.functions.col("d2")).localCheckpoint()
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "canonical_id", "cluster_size")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(run(Dedup.unionFindCC(pairs)) === run(Dedup.labelPropagationCC(pairs)))
   }
 
   test("hot-bucket cap bounds a degenerate near-identical cluster") {
