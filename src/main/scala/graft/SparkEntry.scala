@@ -133,6 +133,8 @@ object SparkEntry {
     "join_interval_binned"   -> (AdvancedJoins.priorEventsWindow _),
     "source_csv_roundtrip"   -> (Sources.csvRoundtrip _),
     "source_json_roundtrip"  -> (Sources.jsonRoundtrip _),
+    "events_funnel_ordered"  -> (AdvancedJoins.eventsFunnel _),
+    "text_regex_tokens"      -> (TextAnalysis.regexTokens _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -230,5 +232,7 @@ object SparkEntry {
     "join_interval_binned"   -> AdvancedJoins.priorEventsWindowSql,
     "source_csv_roundtrip"   -> Sources.csvRoundtripSql,
     "source_json_roundtrip"  -> Sources.jsonRoundtripSql,
+    "events_funnel_ordered"  -> AdvancedJoins.eventsFunnelSql,
+    "text_regex_tokens"      -> TextAnalysis.regexTokensSql,
   )
 }

@@ -168,4 +168,52 @@ object AdvancedJoins {
       |  AND b.ts >= a.ts - INTERVAL 1 HOUR
       |WHERE a.event_type = 'error'
       |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin
+
+  /** Strictly-ordered conversion funnel: users who viewed, then clicked
+    * AFTER their first view, then purchased AFTER that first qualifying
+    * click. Each stage is one grouped min-timestamp aggregate joined to
+    * the previous stage's frontier — stage frames shrink monotonically, so
+    * at scale each join's build side (the prior stage) is far smaller than
+    * the event stream and AQE broadcasts it; the event side shuffles at
+    * most once per stage on user_id. No window over the whole per-user
+    * event history (the naive formulation sorts every user's events). */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("v_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("c_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    def stage(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+    stage("a_any", e.select(col("user_id")).distinct())
+      .unionAll(stage("b_view", v))
+      .unionAll(stage("c_click_after_view", c))
+      .unionAll(stage("d_purchase_after_click", p))
+      .orderBy(col("stage"))
+  }
+
+  val eventsFunnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |v AS (
+      |  SELECT user_id, MIN(ts) AS v_ts FROM e
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS c_ts FROM e
+      |  JOIN v ON v.user_id = e.user_id AND e.ts > v.v_ts
+      |  WHERE event_type = 'click' GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS p_ts FROM e
+      |  JOIN c ON c.user_id = e.user_id AND e.ts > c.c_ts
+      |  WHERE event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT 'a_any' AS stage, COUNT(DISTINCT user_id) AS n_users FROM e
+      |UNION ALL SELECT 'b_view', COUNT(*) FROM v
+      |UNION ALL SELECT 'c_click_after_view', COUNT(*) FROM c
+      |UNION ALL SELECT 'd_purchase_after_click', COUNT(*) FROM p
+      |ORDER BY stage""".stripMargin
 }

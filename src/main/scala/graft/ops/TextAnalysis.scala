@@ -184,4 +184,36 @@ object TextAnalysis {
       |  MAX(n_chars) AS max_chars,
       |  CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Regex-tokenizer census: alphanumeric-run tokens (the BPE-style
+    * pre-tokenization split, vs the whitespace split `tokenStats` counts)
+    * next to the whitespace count per lang. Pure per-row regexp work in
+    * codegen + one map-side-combined aggregate. The pattern uses only
+    * literal character classes, which Java and RE2-family engines match
+    * identically — keep fancy regex features out of cross-engine paths. */
+  def regexTokens(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val rx = size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+"), lit(0)))
+      .cast("long")
+    val ws = size(split(col("text"), " ")).cast("long")
+    d.select(col("lang"), rx.as("rt"), ws.as("wt"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("rt")).as("regex_tokens"),
+        sum(col("wt")).as("ws_tokens"),
+        max(col("rt")).as("max_regex_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  val regexTokensSql: String =
+    """WITH t AS (
+      |  SELECT lang,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS rt,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS wt
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(rt) AS BIGINT) AS regex_tokens,
+      |  CAST(SUM(wt) AS BIGINT) AS ws_tokens,
+      |  MAX(rt) AS max_regex_tokens
+      |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 }
