@@ -135,6 +135,8 @@ object SparkEntry {
     "source_json_roundtrip"  -> (Sources.jsonRoundtrip _),
     "events_funnel_ordered"  -> (AdvancedJoins.eventsFunnel _),
     "text_regex_tokens"      -> (TextAnalysis.regexTokens _),
+    "pipe_dedup_filter_split" -> (Pipeline.dedupFilterSplit _),
+    "multimodal_resize_plan"  -> (graft.multimodal.Multimodal.resizePlan _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -234,5 +236,7 @@ object SparkEntry {
     "source_json_roundtrip"  -> Sources.jsonRoundtripSql,
     "events_funnel_ordered"  -> AdvancedJoins.eventsFunnelSql,
     "text_regex_tokens"      -> TextAnalysis.regexTokensSql,
+    "pipe_dedup_filter_split" -> Pipeline.dedupFilterSplitSql,
+    "multimodal_resize_plan"  -> graft.multimodal.Multimodal.resizePlanSql,
   )
 }

@@ -244,4 +244,39 @@ object Multimodal {
       |SELECT asset_id, kind, COUNT(*) AS n_sampled,
       |  round(CAST(SUM(luma) AS DOUBLE) / COUNT(*), 6) AS avg_luma
       |FROM luma GROUP BY asset_id, kind ORDER BY asset_id""".stripMargin
+
+  /** Resize planning: integer output dims for a max-side-256 thumbnail,
+    * aspect-preserved, downscale-only. This is the metadata-only stage a
+    * media pipeline runs BEFORE any pixel work — it reads width/height
+    * columns and never touches the payload (column pruning keeps the
+    * binary bytes unread; at 100 TB that is two ints per asset instead of
+    * the asset). Pure integer arithmetic (`div`), so the plan is
+    * engine-portable and oracle-exact. */
+  def resizePlan(spark: SparkSession, dir: String): DataFrame =
+    decoded(spark, dir).toDF()
+      .selectExpr("asset_id", "kind", "width", "height",
+        "cast(case when greatest(width, height) <= 256 then width " +
+          "else greatest(1, (cast(width as bigint) * 256) div greatest(width, height)) " +
+          "end as bigint) as out_w",
+        "cast(case when greatest(width, height) <= 256 then height " +
+          "else greatest(1, (cast(height as bigint) * 256) div greatest(width, height)) " +
+          "end as bigint) as out_h")
+      .orderBy(col("asset_id"))
+
+  val resizePlanSql: String =
+    """WITH d AS (
+      |  SELECT doc_id AS asset_id,
+      |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+      |         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    CAST(64 + (n_chars * 31 + ascii(substr(text, 1, 1))) % 1857 AS INTEGER) AS width,
+      |    CAST(64 + (n_chars * 17 + ascii(substr(text, 1, 1))) % 1017 AS INTEGER) AS height
+      |  FROM documents)
+      |SELECT asset_id, kind, width, height,
+      |  CAST(CASE WHEN greatest(width, height) <= 256 THEN width
+      |       ELSE greatest(1, (CAST(width AS BIGINT) * 256) // greatest(width, height))
+      |       END AS BIGINT) AS out_w,
+      |  CAST(CASE WHEN greatest(width, height) <= 256 THEN height
+      |       ELSE greatest(1, (CAST(height AS BIGINT) * 256) // greatest(width, height))
+      |       END AS BIGINT) AS out_h
+      |FROM d ORDER BY asset_id""".stripMargin
 }

@@ -283,6 +283,40 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  /** End-to-end composite: exact dedup (keep the minimum doc id per
+    * distinct text) → length filter → deterministic split census — the
+    * three stages chained the way a real corpus build runs them. One
+    * grouped shuffle on the text key, then per-row hashing and one tiny
+    * census aggregate; duplicate texts share n_chars by construction, so
+    * min(n_chars) is the survivor's length. */
+  def dedupFilterSplit(spark: SparkSession, dir: String): DataFrame =
+    dedupFilterSplitDf(Tables.documents(spark, dir))
+
+  private[ops] def dedupFilterSplitDf(d: DataFrame): DataFrame = {
+    val canon = d.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), min(col("n_chars")).as("n_chars"))
+      .filter(col("n_chars") >= 200L)
+    val bucket = pmod(col("doc_id") * lit(115249L) + lit(33391L), lit(10L))
+    canon.withColumn("split",
+        when(bucket < 8, lit("train")).when(bucket === 8, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("split"))
+  }
+
+  val dedupFilterSplitSql: String =
+    """WITH canon AS (
+      |  SELECT MIN(doc_id) AS doc_id, MIN(n_chars) AS n_chars
+      |  FROM documents GROUP BY text),
+      |f AS (SELECT * FROM canon WHERE n_chars >= 200)
+      |SELECT CASE WHEN ((doc_id*115249+33391) % 10 + 10) % 10 < 8 THEN 'train'
+      |            WHEN ((doc_id*115249+33391) % 10 + 10) % 10 = 8 THEN 'val'
+      |            ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM f GROUP BY 1 ORDER BY split""".stripMargin
+
   val mixtureSampleSql: String =
     """WITH k AS (
       |  SELECT lang,

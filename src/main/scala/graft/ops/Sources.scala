@@ -51,12 +51,26 @@ object Sources {
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Scratch dir that cleans itself up when the JVM exits — repeated
+    * Verify/Bench runs must not accumulate round-trip files in tmp. */
+  private def tempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del))
+        f.delete(): Unit
+      }
+      del(p.toFile)
+    }))
+    p.toString
+  }
+
   /** lineitem slice → CSV files → read back (explicit schema, header) →
     * census. Plain values (no embedded delimiters/quotes in this slice);
     * quoting behavior itself is pinned by `IngestSpec` on the reference
     * ingest path. */
   def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_csv_rt").toString
+    val out = tempDir("graft_csv_rt")
     slice(spark, dir).write.mode("overwrite")
       .option("header", "true").csv(out)
     census(spark.read.schema(censusSchema)
@@ -68,7 +82,7 @@ object Sources {
   /** lineitem slice → JSON-lines files → read back (explicit schema) →
     * census. */
   def jsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_json_rt").toString
+    val out = tempDir("graft_json_rt")
     slice(spark, dir).write.mode("overwrite").json(out)
     census(spark.read.schema(censusSchema).json(out))
   }
