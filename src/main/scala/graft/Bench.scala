@@ -8,6 +8,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Pin the session timezone like Verify does: queries that bin naive
+      // timestamps (e.g. join_interval_binned's hour bucket) must not
+      // drift with the host TZ across DST transitions.
+      .config("spark.sql.session.timeZone", "UTC")
       // Let AQE coalesce stages downstream of persisted intermediates
       // (see Verify.scala for rationale + measurement).
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
@@ -57,8 +61,11 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     // Per-query breakdown goes to a side file; the stdout line stays compact
     // (<200 bytes) so the driver's tail capture can always parse it.
+    // Path is env-overridable so a run started outside the repo still
+    // drops the side file somewhere predictable.
     try {
-      val w = new java.io.PrintWriter("bench_queries.json")
+      val sidePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json")
+      val w = new java.io.PrintWriter(sidePath)
       try w.println(s"""{"queries":$qs,"sf":"$sfDir"}""") finally w.close()
     } catch { case _: Throwable => () }
     val base = new java.io.File(sfDir).getName.stripPrefix("sf")

@@ -143,7 +143,12 @@ object AdvancedJoins {
   private[ops] def priorEventsWindowDf(events: DataFrame): DataFrame = {
     val e = events
       .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
-        expr("unix_seconds(cast(ts as timestamp)) div 3600").as("bin"))
+        // Hour bin from the NTZ wall-clock fields directly (days-since-epoch
+        // × 24 + hour) — NOT unix_seconds(cast(..)), whose NTZ→LTZ step is
+        // session-timezone-dependent and non-monotonic across a DST
+        // fall-back, which could place a candidate 2 bins before its probe
+        // and silently undercount.
+        expr("unix_date(cast(ts as date)) * 24 + hour(ts)").as("bin"))
     val probe = e.filter(col("event_type") === "error")
       .select(col("user_id"), col("event_id"), col("ts"),
         explode(array(col("bin") - 1, col("bin"))).as("bin"))

@@ -416,9 +416,12 @@ object Dedup {
 
   /** Edge-count threshold for the single-task union-find fast path. The
     * pair table is O(near-dup pairs), NOT corpus-sized, so even a 100 TB
-    * corpus usually lands far under this (5M edges ≈ 80 MB of longs — one
-    * executor task's working set). Above it, the iterative label
-    * propagation runs; the outputs are identical. */
+    * corpus usually lands far under this. Worst-case working set at the
+    * threshold (all primitive arrays, no boxing): 2×5M edge longs (80 MB)
+    * + a 10M-long sort buffer (80 MB) + sorted id array (≤80 MB) + int
+    * parent/long size arrays (~120 MB) ≈ 360 MB peak in one task — fits a
+    * default executor; above it, the iterative label propagation runs and
+    * the outputs are identical. */
   private[ops] val SmallGraphMaxEdges = 5_000_000L
 
   /** Connected components over an explicit (d1, d2) pair table — split out
@@ -451,24 +454,48 @@ object Dedup {
     pairs.select(col("d1"), col("d2")).as[(Long, Long)]
       .coalesce(1)
       .mapPartitions { it =>
-        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-        def find(x: Long): Long = {
+        // Primitive-array union-find over DENSE indices — no boxed maps
+        // (a mutable.HashMap[Long,Long] costs ~50-60 B/entry boxed; these
+        // arrays cost exactly 8/4 B/slot and the peak is the documented
+        // bound at SmallGraphMaxEdges). Ids are mapped to dense ints via a
+        // sorted array + binary search; because the sort is ascending,
+        // index order == id order, so union-by-min-INDEX makes every root
+        // the component's minimum ID with no extra bookkeeping.
+        val ab = new scala.collection.mutable.ArrayBuilder.ofLong
+        val bb = new scala.collection.mutable.ArrayBuilder.ofLong
+        it.foreach { case (a, b) => ab += a; bb += b }
+        val as = ab.result(); val bs = bb.result()
+        val all = new Array[Long](as.length + bs.length)
+        System.arraycopy(as, 0, all, 0, as.length)
+        System.arraycopy(bs, 0, all, as.length, bs.length)
+        java.util.Arrays.sort(all)
+        var n = 0
+        var i = 0
+        while (i < all.length) {
+          if (n == 0 || all(n - 1) != all(i)) { all(n) = all(i); n += 1 }
+          i += 1
+        }
+        val ids = java.util.Arrays.copyOf(all, n)
+        def idx(x: Long): Int = java.util.Arrays.binarySearch(ids, x)
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int = {
           var r = x
           while (parent(r) != r) r = parent(r)
           var c = x
-          while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+          while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
           r
         }
-        it.foreach { case (a, b) =>
-          parent.getOrElseUpdate(a, a)
-          parent.getOrElseUpdate(b, b)
-          val ra = find(a); val rb = find(b)
-          // union-by-min keeps every root the minimum of its component
+        i = 0
+        while (i < as.length) {
+          val ra = find(idx(as(i))); val rb = find(idx(bs(i)))
           if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+          i += 1
         }
-        parent.keysIterator.toArray.groupBy(find).iterator.flatMap {
-          case (root, members) =>
-            members.iterator.map(m => (m, root, members.length.toLong))
+        val size = new Array[Long](n)
+        i = 0
+        while (i < n) { size(find(i)) += 1; i += 1 }
+        (0 until n).iterator.map { j =>
+          val r = find(j); (ids(j), ids(r), size(r))
         }
       }
       .toDF("doc_id", "canonical_id", "cluster_size")

@@ -51,10 +51,15 @@ object Sources {
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  /** Scratch dir that cleans itself up when the JVM exits — repeated
-    * Verify/Bench runs must not accumulate round-trip files in tmp. */
-  private def tempDir(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
+  /** One scratch root per JVM, cleaned by a SINGLE shutdown hook — a long
+    * session calling the round-trips repeatedly must not accumulate hooks
+    * or tmp data. Each query writes to a FIXED subdir under the root with
+    * mode("overwrite"), so repeated invocations reuse (not grow) the
+    * footprint. Local-FS java.nio path: these two ops are local-mode
+    * round-trip harnesses; on a cluster the same pipelines would point at
+    * a shared warehouse/scratch URI instead. */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_roundtrip")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def del(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(del))
@@ -62,8 +67,11 @@ object Sources {
       }
       del(p.toFile)
     }))
-    p.toString
+    p
   }
+
+  private[ops] def tempDir(name: String): String =
+    scratchRoot.resolve(name).toString
 
   /** lineitem slice → CSV files → read back (explicit schema, header) →
     * census. Plain values (no embedded delimiters/quotes in this slice);

@@ -29,4 +29,15 @@ class SourcesSpec extends AnyFunSuite {
     assert(rt.exceptAll(direct()).count() === 0L)
     assert(direct().exceptAll(rt).count() === 0L)
   }
+
+  test("scratch dirs are stable across repeated invocations (one root per JVM)") {
+    // 100 calls must resolve to the same fixed paths under ONE shared root
+    // — the old implementation created a fresh tmp dir + shutdown hook per
+    // call, which accumulated both in a long-lived session.
+    val paths = (1 to 100).map(_ => Sources.tempDir("graft_csv_rt")).toSet
+    assert(paths.size === 1)
+    val roots = (1 to 100)
+      .map(_ => new java.io.File(Sources.tempDir("x")).getParent).toSet
+    assert(roots.size === 1)
+  }
 }
