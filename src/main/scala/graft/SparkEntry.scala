@@ -114,6 +114,7 @@ object SparkEntry {
     "multimodal_decode_stats" -> (graft.multimodal.Multimodal.decodeStats _),
     "multimodal_frame_sample" -> (graft.multimodal.Multimodal.frameSample _),
     "multimodal_image_decode" -> (graft.multimodal.Multimodal.imageDecode _),
+    "multimodal_audio_decode" -> (graft.multimodal.Multimodal.audioDecode _),
     // Streaming shapes (batch twins of the Structured Streaming plans)
     "stream_tumbling_daily" -> (graft.streaming.StreamingOps.tumblingDaily _),
     "stream_sliding_window" -> (graft.streaming.StreamingOps.slidingWindow _),
@@ -218,6 +219,7 @@ object SparkEntry {
     "multimodal_decode_stats" -> graft.multimodal.Multimodal.decodeStatsSql,
     "multimodal_frame_sample" -> graft.multimodal.Multimodal.frameSampleSql,
     "multimodal_image_decode" -> graft.multimodal.Multimodal.imageDecodeSql,
+    "multimodal_audio_decode" -> graft.multimodal.Multimodal.audioDecodeSql,
     "stream_tumbling_daily" -> graft.streaming.StreamingOps.tumblingDailySql,
     "stream_sliding_window" -> graft.streaming.StreamingOps.slidingWindowSql,
     "stream_session_window" -> graft.streaming.StreamingOps.sessionWindowSql,

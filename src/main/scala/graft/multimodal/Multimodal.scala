@@ -12,9 +12,11 @@ import org.apache.spark.sql.types.DoubleType
   * The IMAGE path decodes for real: `imageDecode` round-trips
   * deterministic grayscale PNGs through the JDK's `javax.imageio` codec
   * inside the mapPartitions slot, oracle-verified pixel-exactly. The
-  * audio/video path remains a STUB (`decodeStub` — this container has no
-  * such codecs) deriving dimensions deterministically from payload
-  * bytes. Everything around both — the binary column, the case-class
+  * AUDIO path decodes for real too: `audioDecode` round-trips 16-bit PCM
+  * through the JDK's `javax.sound.sampled` WAV codec, oracle-verified
+  * sample-exactly. Only VIDEO remains a STUB (`decodeStub` — this
+  * container has no video codec) deriving dimensions deterministically
+  * from payload bytes. Everything around both — the binary column, the case-class
   * encoders, the mapPartitions batch shape, the frame explode, the
   * partitioning — is the real 100 TB design:
   *
@@ -262,6 +264,94 @@ object Multimodal {
           "else greatest(1, (cast(height as bigint) * 256) div greatest(width, height)) " +
           "end as bigint) as out_h")
       .orderBy(col("asset_id"))
+
+  case class AudioAsset(asset_id: Long, wav: Array[Byte])
+  case class DecodedAudio(asset_id: Long, sample_rate: Int, n_samples: Long,
+    sum_abs: Long)
+
+  /** REAL audio decode (no stub): deterministic 16-bit mono PCM is encoded
+    * to WAV per partition with `javax.sound.sampled` (the JDK's WAV codec),
+    * carried as a binary column, and decoded back with
+    * `AudioSystem.getAudioInputStream` in the same Iterator→Iterator
+    * mapPartitions slot. PCM WAV is lossless, so the decoded samples equal
+    * the generating formula `((asset_id·31 + 7i) mod 65536) − 32768` —
+    * which the DuckDB oracle re-derives arithmetically. With this, image
+    * AND audio both run actual JDK codecs end-to-end; only video remains
+    * stubbed (no container codec). */
+  def audioAssets(spark: SparkSession, dir: String): Dataset[AudioAsset] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id").as("asset_id")).as[Long]
+      .mapPartitions { it =>
+        // one encoder format context per partition
+        val fmt = new javax.sound.sampled.AudioFormat(
+          8000f, 16, 1, /*signed=*/ true, /*bigEndian=*/ false)
+        it.map { id =>
+          val n = 64 + (id % 256).toInt
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = (((id * 31 + 7L * i) % 65536) - 32768).toInt
+            pcm(2 * i) = (v & 0xff).toByte // little-endian
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          AudioAsset(id, bos.toByteArray)
+        }
+      }
+  }
+
+  def decodeAudio(assets: Iterator[AudioAsset]): Iterator[DecodedAudio] =
+    assets.map { a =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(a.wav))
+      val fmt = ais.getFormat
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 2
+      var sumAbs = 0L
+      var i = 0
+      while (i < n) {
+        // 16-bit signed little-endian reassembly
+        val v = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+        sumAbs += math.abs(v)
+        i += 1
+      }
+      DecodedAudio(a.asset_id, fmt.getSampleRate.toInt, n.toLong, sumAbs)
+    }
+
+  /** Per-asset decode results from the real WAV round-trip: the decoded
+    * header must carry the encoded sample rate, the frame count must match
+    * the formula, and the mean |amplitude| must equal the oracle's
+    * arithmetic re-derivation sample-exactly. */
+  def audioDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    audioAssets(spark, dir).mapPartitions(decodeAudio)
+      .toDF()
+      .select(col("asset_id"), col("sample_rate"), col("n_samples"),
+        round(col("sum_abs").cast(DoubleType) / col("n_samples").cast(DoubleType), 6)
+          .as("mean_abs"))
+      .orderBy(col("asset_id"))
+  }
+
+  val audioDecodeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id AS asset_id,
+      |    CAST(64 + doc_id % 256 AS BIGINT) AS n
+      |  FROM documents),
+      |s AS (
+      |  SELECT asset_id, n,
+      |    ABS((asset_id * 31 + 7 * r.i) % 65536 - 32768) AS a
+      |  FROM d, range(0, 320) r(i)
+      |  WHERE r.i < n)
+      |SELECT asset_id, CAST(8000 AS INTEGER) AS sample_rate,
+      |  n AS n_samples,
+      |  round(CAST(SUM(a) AS DOUBLE) / n, 6) AS mean_abs
+      |FROM s GROUP BY asset_id, n ORDER BY asset_id""".stripMargin
 
   val resizePlanSql: String =
     """WITH d AS (

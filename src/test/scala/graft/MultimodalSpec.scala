@@ -1,0 +1,47 @@
+package graft.multimodal
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the REAL JDK codec round-trips sample/pixel-exactly against their
+  * generating formulas — the property the DuckDB oracle re-derives
+  * arithmetically at the inventory level. */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("WAV round-trip is sample-exact: decoded stats equal the formula") {
+    import spark.implicits._
+    val decoded = Multimodal.audioAssets(spark, dir)
+      .mapPartitions(Multimodal.decodeAudio)
+      .filter(_.asset_id < 20).collect().sortBy(_.asset_id)
+    assert(decoded.length === 20)
+    decoded.foreach { d =>
+      val n = 64 + (d.asset_id % 256).toInt
+      val expectedSum = (0 until n).map { i =>
+        math.abs(((d.asset_id * 31 + 7L * i) % 65536) - 32768)
+      }.sum
+      assert(d.sample_rate === 8000)
+      assert(d.n_samples === n.toLong, s"asset ${d.asset_id}")
+      assert(d.sum_abs === expectedSum, s"asset ${d.asset_id}")
+    }
+  }
+
+  test("WAV payload is a parseable RIFF/WAVE container, not raw PCM") {
+    val a = Multimodal.audioAssets(spark, dir).filter(_.asset_id == 3L)
+      .collect().head
+    assert(new String(a.wav.slice(0, 4), "US-ASCII") === "RIFF")
+    assert(new String(a.wav.slice(8, 12), "US-ASCII") === "WAVE")
+  }
+
+  test("PNG round-trip is pixel-exact for a sampled asset") {
+    val asset = Multimodal.imageAssets(spark, dir).filter(_.asset_id == 5L)
+      .collect().head
+    val img = Multimodal.decodeImages(Iterator(asset)).next()
+    val (w, h) = (16 + (5 % 32), 16 + ((5 * 7) % 32))
+    assert(img.width === w && img.height === h)
+    val expected = (for { y <- 0 until h; x <- 0 until w }
+      yield (5L * 31 + 7 * x + 13 * y) % 256).sum
+    assert(img.luma_sum === expected)
+  }
+}
