@@ -440,7 +440,7 @@ object Dedup {
     // reliable checkpoint; the shape is otherwise identical.
     val pairs = rawPairs.localCheckpoint()
     if (pairs.count() <= SmallGraphMaxEdges) unionFindCC(pairs)
-    else labelPropagationCC(pairs)
+    else starContractionCC(pairs)
   }
 
   /** Single-task union-find (path compression + union-by-min, so the root
@@ -549,16 +549,94 @@ object Dedup {
     }
     // Wrong labels must not be silently emitted: an unconverged exit can
     // only happen on a component with diameter > 50 (degenerate chain) —
-    // fail loudly; such corpora need the O(log n) star-contraction
-    // variant, not more rounds of this one.
+    // fail loudly; such corpora take `starContractionCC` (O(log² n)
+    // rounds, diameter-independent), not more rounds of this one.
     require(converged,
       s"label propagation did not converge within $rounds rounds " +
-        "(component diameter > rounds cap — use star-contraction for such graphs)")
+        "(component diameter > rounds cap — use starContractionCC for such graphs)")
+    labelsToOutput(labels)
+  }
+
+  /** Shared tail of the distributed CC paths: (v, rep) labels →
+    * (doc_id, canonical_id, cluster_size) ordered output. */
+  private def labelsToOutput(labels: DataFrame): DataFrame = {
     val sizes = labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "rep")
       .select(col("v").as("doc_id"), col("rep").as("canonical_id"),
         col("cluster_size"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Distributed star contraction (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SoCC 2014 — public literature): alternate
+    *
+    *  - LARGE-STAR: for every node u, connect each STRICTLY LARGER
+    *    neighbor to the minimum of u's closed neighborhood;
+    *  - SMALL-STAR: for every node u (edges oriented larger→smaller),
+    *    connect each smaller neighbor and u itself to the minimum of u's
+    *    smaller neighbors;
+    *
+    * until the edge set reaches a fixpoint — a forest of stars rooted at
+    * each component's minimum id. Converges in O(log² n) rounds
+    * REGARDLESS of graph diameter, where label propagation needs
+    * diameter rounds (a million-long chain is ~40 rounds here and
+    * hopeless there — this is the big-graph path the `rounds < 50` cap
+    * in `labelPropagationCC` points to). Each round is two grouped-min
+    * aggregations + equi-joins + distinct over the CURRENT edge set:
+    * O(E) shuffle per round, never corpus-sized, no driver-side data.
+    *
+    * Both operations only ever emit edges (bigger, smaller) whose smaller
+    * endpoint is a neighborhood minimum, so edges stay canonically
+    * oriented (d1 > d2) with no explicit re-canonicalization. */
+  private[ops] def starContractionCC(rawPairs: DataFrame): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val symm = e.select(col("d1").as("u"), col("d2").as("v"))
+        .union(e.select(col("d2").as("u"), col("d1").as("v")))
+      val mins = symm.groupBy(col("u"))
+        .agg(min(least(col("v"), col("u"))).as("m"))
+      symm.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("d1"), col("m").as("d2"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy(col("d1")).agg(min(col("d2")).as("m"))
+      e.join(mins, "d1")
+        .select(col("d2").as("a"), col("m").as("b"))
+        .union(mins.select(col("d1").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .select(col("a").as("d1"), col("b").as("d2"))
+        .distinct()
+    }
+    // canonical (larger, smaller) orientation, self-loops dropped
+    var cur = rawPairs
+      .select(greatest(col("d1"), col("d2")).as("d1"),
+        least(col("d1"), col("d2")).as("d2"))
+      .filter(col("d1") =!= col("d2"))
+      .distinct()
+      .localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 60) {
+      // localCheckpoint cuts the logical plan each round (see
+      // connectedComponentsFromPairs for the measured rationale).
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      // Both ops are deterministic functions of the edge SET, so fixpoint
+      // detection is exact set equality: equal cardinality + empty
+      // one-sided difference (both sides are distinct()ed).
+      converged = next.count() == cur.count() &&
+        next.exceptAll(cur).limit(1).count() == 0
+      cur = next
+      rounds += 1
+    }
+    require(converged,
+      s"star contraction did not converge within $rounds rounds")
+    // fixpoint edges are (member, root); roots label themselves
+    val roots = cur.select(col("d2")).distinct()
+      .select(col("d2").as("v"), col("d2").as("rep"))
+    val labels = cur.select(col("d1").as("v"), col("d2").as("rep"))
+      .union(roots)
+    labelsToOutput(labels)
   }
 
   val connectedComponentsSql: String =

@@ -29,13 +29,14 @@ class DedupGuardSpec extends AnyFunSuite {
     noCartesian(Dedup.minhashLsh(spark, dir), "minhashLsh")
   }
 
-  test("connected components on an empty pair table returns empty, not NPE (both paths)") {
+  test("connected components on an empty pair table returns empty, not NPE (all paths)") {
     import spark.implicits._
     // Zero near-dup pairs (sum over empty → NULL) must converge to an
     // empty result on round 1 instead of NPE-ing in the convergence check.
     val empty = Seq.empty[(Long, Long)].toDF("d1", "d2")
     assert(Dedup.unionFindCC(empty).count() === 0L)
     assert(Dedup.labelPropagationCC(empty.localCheckpoint()).count() === 0L)
+    assert(Dedup.starContractionCC(empty.localCheckpoint()).count() === 0L)
   }
 
   test("connected components merges a chain into one cluster (both paths agree)") {
@@ -47,6 +48,47 @@ class DedupGuardSpec extends AnyFunSuite {
         .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(run(Dedup.unionFindCC(chain)) === expected)
     assert(run(Dedup.labelPropagationCC(chain.localCheckpoint())) === expected)
+  }
+
+  private def ccRun(df: DataFrame): Seq[(Long, Long, Long)] = {
+    import spark.implicits._
+    df.select("doc_id", "canonical_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+  }
+
+  test("star contraction handles a diameter-119 chain that label propagation rejects") {
+    import spark.implicits._
+    // 120-node path graph: diameter 119 > labelPropagationCC's 50-round
+    // cap (which must throw, not emit wrong labels); star contraction is
+    // diameter-independent and must fold it into one cluster.
+    val chain = (1L until 120L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val expected = (1L to 120L).map(i => (i, 1L, 120L))
+    assert(ccRun(Dedup.starContractionCC(chain.localCheckpoint())) === expected)
+    assert(ccRun(Dedup.unionFindCC(chain)) === expected)
+    intercept[IllegalArgumentException] {
+      Dedup.labelPropagationCC(chain.localCheckpoint()).count()
+    }
+  }
+
+  test("star contraction agrees with union-find on star/random/multi-component graphs") {
+    import spark.implicits._
+    // hub-and-spoke (hub is NOT the min id), plus a seeded random graph
+    // with several components, plus duplicate + reversed edges
+    val star = (1L to 30L).filter(_ != 17L).map(i => (17L, i)).toDF("d1", "d2")
+    assert(ccRun(Dedup.starContractionCC(star.localCheckpoint())) ===
+      ccRun(Dedup.unionFindCC(star)))
+    val rnd = new scala.util.Random(42)
+    val edges = (1 to 300).map { _ =>
+      (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong)
+    } ++ Seq((500L, 501L), (501L, 500L), (500L, 501L)) // dupes + reverse
+    val rdf = edges.toDF("d1", "d2")
+    // star contraction drops self-loops internally; pre-filter for the
+    // union-find side so singleton self-loop nodes compare equal
+    val noLoops = rdf.filter(
+      org.apache.spark.sql.functions.col("d1") =!=
+        org.apache.spark.sql.functions.col("d2"))
+    assert(ccRun(Dedup.starContractionCC(rdf.localCheckpoint())) ===
+      ccRun(Dedup.unionFindCC(noLoops)))
   }
 
   test("union-find and label propagation agree on the real corpus pair graph") {
