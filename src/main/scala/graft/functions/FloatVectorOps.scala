@@ -61,6 +61,53 @@ case class FloatVectorDot(left: Expression, right: Expression)
     })
 }
 
+/** Dot product of a float vector with a DOUBLE vector (typically a
+  * centroid literal), accumulated left-to-right in double precision —
+  * bit-identical to the declarative
+  * `aggregate(zip_with(a, b, (x,y) -> double(x)*y), 0D, (s,x) -> s+x)`
+  * it replaces in the IVF quantizer, but codegen'd: Catalyst
+  * higher-order functions have no doGenCode, so the declarative form ran
+  * INTERPRETED with per-element allocation in the hottest per-row loop
+  * (k cells × dim multiplies × corpus × (rounds+2) projections). */
+case class FloatDoubleDot(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_vec_dot_fd"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatDoubleDot =
+    copy(left = newLeft, right = newRight)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (double) $a.getFloat($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+}
+
 /** Squared L2 norm of a float vector: semantically `graft_vec_dot(x, x)`
   * but evaluates its child ONCE and reads the array once per element.
   * Normally produced by the optimizer rule `VecDotSelfToSqNorm` rather

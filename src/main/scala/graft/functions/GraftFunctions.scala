@@ -21,6 +21,7 @@ object GraftFunctions {
 
   private val fns: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_vec_dot" -> { args => FloatVectorDot(args(0), args(1)) },
+    "graft_vec_dot_fd" -> { args => FloatDoubleDot(args(0), args(1)) },
     "graft_vec_sqnorm" -> { args => FloatVectorSqNorm(args(0)) },
     "graft_simhash64" -> { args => SimHash64(args(0)) },
     "graft_topk_sketch" -> { args =>
@@ -31,6 +32,10 @@ object GraftFunctions {
     "graft_minhash_sigs" -> { args =>
       MinHashSigs(args(0),
         numHashes = args(1).eval().asInstanceOf[Number].intValue())
+    },
+    "graft_bounded_collect" -> { args =>
+      BoundedCollectLongs(args(0),
+        cap = args(1).eval().asInstanceOf[Number].intValue())
     }
   )
 
@@ -80,6 +85,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FloatVectorDot].getName, "graft_vec_dot"),
       (args: Seq[Expression]) => FloatVectorDot(args(0), args(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_vec_dot_fd"),
+      new ExpressionInfo(classOf[FloatDoubleDot].getName, "graft_vec_dot_fd"),
+      (args: Seq[Expression]) => FloatDoubleDot(args(0), args(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_vec_sqnorm"),
       new ExpressionInfo(classOf[FloatVectorSqNorm].getName, "graft_vec_sqnorm"),
       (args: Seq[Expression]) => FloatVectorSqNorm(args(0))))
@@ -97,6 +106,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSigs].getName, "graft_minhash_sigs"),
       (args: Seq[Expression]) => MinHashSigs(args(0),
+        args(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bounded_collect"),
+      new ExpressionInfo(classOf[BoundedCollectLongs].getName, "graft_bounded_collect"),
+      (args: Seq[Expression]) => BoundedCollectLongs(args(0),
         args(1).eval().asInstanceOf[Number].intValue())))
     ext.injectOptimizerRule(_ => VecDotSelfToSqNorm)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)

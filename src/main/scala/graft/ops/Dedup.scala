@@ -86,18 +86,31 @@ object Dedup {
     // (P ≈ n²/2⁶⁵ ≈ 2e-11 for the 27k-shingle corpus); the DuckDB oracle
     // string-joins and confirms count equality on the actual corpus.
     //
-    // The df cap is applied as aggregate → anti-join, not a window: the
-    // count shuffles only map-side-combined (shingle, partial-count) rows
-    // instead of re-sorting every shingle occurrence, and the resulting
-    // over-cap list is near-empty by construction (≤ rows/maxDf shingles
-    // can exceed the cap), so AQE turns the anti-join into a broadcast.
+    // The df cap runs as ONE bounded-collect aggregation on the shingle
+    // hash (graft.functions.BoundedCollectLongs): each shingle gathers at
+    // most maxDf doc_ids — an over-cap (boilerplate) shingle evaluates to
+    // NULL and is dropped whole, exactly the anti-join semantic — and the
+    // kept lists explode straight back to (doc_id, sh) rows. This
+    // replaces the previous hot-list aggregate + broadcast + anti-join
+    // (3 waves) with one map-side-combined shuffle, and the persisted
+    // result comes out HASH-PARTITIONED BY SHINGLE — the exact layout the
+    // pair self-joins in verifiedPairs/ngramJaccard consume with ZERO
+    // further exchange. Aggregation memory is bounded at maxDf longs per
+    // in-flight shingle by construction (buffers grow geometrically, so
+    // the common df=1 shingle costs 8 slots, not maxDf).
     //
     // repartition first: shingling amplifies every row ~50× and the hash
     // work must spread over all cores even when the source is one input
     // split (small parquet ⇒ one scan task; measured 1.5 s single-threaded
-    // at sf0.1 otherwise). Docs with <3 tokens are dropped — also guards
-    // `sequence`'s descending-range behavior for negative sizes.
-    val sh = docs.repartition(col("doc_id"))
+    // at sf0.1 otherwise). The partition count is EXPLICIT: a bare
+    // repartition(col) is AQE-adjustable, and with cached-plan
+    // repartitioning enabled AQE coalesced this tiny-by-bytes exchange to
+    // ONE partition — serializing the hottest CPU loop in the tier (4×
+    // ~240 ms single-task stages measured at sf0.1). Docs with <3 tokens
+    // are dropped — also guards `sequence`'s descending-range behavior
+    // for negative sizes.
+    docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         expr("transform(split(text, ' '), t -> xxhash64(t))").as("th"))
       .filter(size(col("th")) >= 3)
@@ -105,18 +118,15 @@ object Dedup {
         explode(array_distinct(expr(
           "transform(sequence(0, size(th)-3), " +
             "i -> xxhash64(th[i], th[i+1], th[i+2]))"))).as("sh"))
-      // persisted: the hot-list aggregate and the anti-join probe side
-      // both consume it — without this the hash/explode stage (the
-      // hottest loop in the dedup tier) runs twice per materialization
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select(col("sh"))
-    // The CAPPED table is what every consumer references (sig aggregate,
-    // verify semi-join, self-joins — 2-3 references per query): persist it
-    // too, or each reference re-runs the hot-list aggregate — a full
-    // shuffle over every distinct (doc, shingle) pair — plus the
-    // anti-join (measured ~0.7 s per extra reference at sf0.1).
-    sh.join(hot, Seq("sh"), "left_anti")
+      .groupBy(col("sh"))
+      .agg(call_function("graft_bounded_collect",
+        col("doc_id"), lit(maxDf)).as("ds"))
+      .filter(col("ds").isNotNull)
+      .select(col("sh"), explode(col("ds")).as("doc_id"))
+      .select(col("doc_id"), col("sh"))
+      // persisted: every tier references this table 2-3 times, and at
+      // 100 TB re-deriving the exploded corpus per reference is the
+      // difference between 2 and ~80 input scans (measured round 3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
@@ -128,37 +138,47 @@ object Dedup {
     * long as the candidate generator has full recall at t (measured per
     * corpus; the sketch itself never appears in the output).
     *
-    * `sh` must be the output of `hashedShingles` (whose pre-cap table is
-    * persisted internally): this plan references it three times and
-    * `cand` three times — without that materialization Spark would
+    * `sh` must be the output of `hashedShingles` (persisted internally,
+    * hash-partitioned by shingle): this plan references it three times
+    * and `cand` three times — without that materialization Spark would
     * re-derive each reference from the raw corpus, multiplying scans
     * (measured: 80 parquet scans of `documents` in one un-persisted
-    * minhash query). The candidate-doc shingle slice is persisted here
-    * for the same reason. */
+    * minhash query). The shingle partitioning also lets the pair
+    * self-join below run with NO exchange on either side. */
   private[ops] def verifiedPairs(
       sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
     // Broadcast the candidate-doc list into a semi-join against the cached
     // shingle table: the corpus-sized side never shuffles — the only data
     // that moves from here on is the candidate docs' shingles (O(cand)).
+    // No distinct() before the broadcast: a semi-join build side dedups
+    // its keys internally, so the pre-shuffle would be pure overhead.
     // (For a candidate set too large to broadcast, drop the hint and this
     // degrades to a shuffled semi-join; the rest is unchanged.)
+    // shC is NOT persisted: it is a narrow broadcast semi-join over the
+    // already-cached shingle table, so each of its three references
+    // (counts child, both self-join sides) replays one cheap hash-lookup
+    // pass over the cache — where a persist cost a full extra
+    // cache-write wave per query. The broadcast build happens once
+    // (identical subtree ⇒ exchange reuse).
     val candDocs = cand.select(col("d1").as("doc_id"))
-      .union(cand.select(col("d2").as("doc_id"))).distinct()
+      .union(cand.select(col("d2").as("doc_id")))
     val shC = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Per-doc shingle counts ride THROUGH the self-join (n is constant per
+    // doc_id, so max() per pair recovers it) instead of re-joining the
+    // pair list against a counts table twice — one broadcast build of the
+    // tiny counts table replaces two, and the pair table never shuffles
+    // again after its aggregate.
     val counts = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // Common-shingle counts via a self-join of the SMALL slice (shuffled
-    // by shingle hash), then semi-joined back to the sketch's pairs —
-    // cheaper than joining the pair list against the corpus twice.
-    val common = shC.as("a")
-      .join(shC.as("b"), col("a.sh") === col("b.sh") &&
+    val shCn = shC.join(broadcast(counts), "doc_id")
+    shCn.as("a")
+      .join(shCn.as("b"), col("a.sh") === col("b.sh") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("common"))
-      .join(cand, Seq("d1", "d2"), "left_semi")
-    common
-      .join(counts.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-      .join(counts.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("common"),
+        max(col("na")).as("n1"), max(col("nb")).as("n2"))
+      .join(broadcast(cand), Seq("d1", "d2"), "left_semi")
       .select(col("d1"), col("d2"), col("n1"), col("n2"), col("common"),
         (col("common").cast(DoubleType) /
           (col("n1") + col("n2") - col("common")).cast(DoubleType)).as("jaccard"))
@@ -298,7 +318,21 @@ object Dedup {
   }
 
   /** Candidate pairs from banded minhash signatures over a (persisted)
-    * hashed-shingle table. */
+    * hashed-shingle table — ONE shuffle end-to-end.
+    *
+    * The per-band bucket rows aggregate straight into a bounded member
+    * list per (band, bucket) via `graft_bounded_collect`
+    * (graft.functions.BoundedCollectLongs): every aggregation buffer is
+    * capped at `bucketCap` longs by construction, an over-cap bucket
+    * evaluates to NULL (= the hot-bucket drop), and pairs explode
+    * narrowly from each kept list (≤ cap²/2 pairs per bucket). This
+    * replaces the previous 4-wave chain — bucket-table persist, hot-list
+    * aggregate, anti-join, two-sided self-join shuffle — with a single
+    * map-side-combined aggregation (measured 2.4 → 1.3 s at sf0.1 for
+    * the full minhash query; same output set). A `collect_list` would
+    * have the same wave count but unbounded buffers — one degenerate
+    * bucket OOMs an executor at 100 TB; the bounded aggregate makes the
+    * memory ceiling a compile-time constant. */
   private[ops] def minhashCandidates(sh: DataFrame, bucketCap: Int): DataFrame = {
     // All 64 signature slots come from ONE custom imperative aggregate
     // (graft.functions.MinHashSigs): tight JVM hash-and-min loop, 512-byte
@@ -313,22 +347,21 @@ object Dedup {
         .map(i => col("sig").getItem(i))
       struct(lit(b).as("band"), hash(rows: _*).as("bucket"))
     }
-    // One (band, bucket) row per doc per band — persisted because the
-    // hot-bucket guard and both sides of the self-join read it.
-    val buckets = dropHotBuckets(
-      sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      bucketCap, col("band"), col("bucket"))
-
-    // NOT distinct()ed: a pair matching in several bands appears once per
-    // band, but every consumer is duplicate-insensitive (semi-joins in
-    // verifiedPairs; candDocs distincts itself), so the dedup shuffle
-    // would be pure overhead.
-    buckets.as("x")
-      .join(buckets.as("y"), Seq("band", "bucket"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+    // Pairs are NOT distinct()ed: a pair matching in several bands appears
+    // once per band, but every consumer is duplicate-insensitive
+    // (semi-joins in verifiedPairs; candDocs distincts itself), so the
+    // dedup shuffle would be pure overhead.
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .groupBy(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .agg(call_function("graft_bounded_collect",
+        col("doc_id"), lit(bucketCap)).as("ds"))
+      .filter(col("ds").isNotNull && size(col("ds")) >= 2)
+      .select(explode(flatten(expr(
+        "transform(sequence(0, size(ds)-2), i -> " +
+          "transform(sequence(i+1, size(ds)-1), j -> " +
+          "struct(least(ds[i], ds[j]) as d1, greatest(ds[i], ds[j]) as d2)))")))
+        .as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
   }
 
   val minhashLshSql: String = nearDupPairsSql
@@ -366,8 +399,11 @@ object Dedup {
 
   private[ops] def simhashPairs(docs: DataFrame, bucketCap: Int): DataFrame = {
     // repartition: spread the per-row signature work (tokenize + 64-bit
-    // vote loop) across cores even from a single input split
-    val sig = docs.repartition(col("doc_id"))
+    // vote loop) across cores even from a single input split; explicit
+    // count so AQE cannot coalesce the exchange to one task (see
+    // hashedShingles)
+    val sig = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         expr("graft_simhash64(split(text, ' '))").as("simhash"))
     val blockStructs = (0 until SimHashBlocks).map { b =>

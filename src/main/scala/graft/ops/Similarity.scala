@@ -210,25 +210,24 @@ object Similarity {
     import org.apache.spark.sql.types.{DecimalType, DoubleType => DD}
     val em = Tables.embeddings(spark, dir)
 
-    def collectCents(df: DataFrame): Seq[(Int, Seq[Double])] =
-      df.collect().toSeq
-        .map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
-
-    var cents: Seq[(Int, Seq[Double])] = collectCents(
+    var cents: Seq[(Int, Seq[Double])] =
       em.filter(col("vec_id") < IvfCells)
         .select(col("vec_id").cast("int").as("cid"),
-          expr("transform(embedding, x -> cast(x as double))").as("centroid")))
+          expr("transform(embedding, x -> cast(x as double))").as("centroid"))
+        .collect().toSeq
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
 
     // Assignment score ‖c‖² − 2·v·c ranks cells identically to the true
     // squared distance (‖v‖² is constant per vector). ‖c‖² is folded
     // left-to-right on the driver — the identical IEEE operation sequence
-    // as the in-plan aggregate(transform(...)) it replaces, so results
-    // stay bit-equal to the DuckDB twin.
+    // as the in-plan fold it replaces, so results stay bit-equal to the
+    // DuckDB twin. The dot itself is the codegen'd FloatDoubleDot
+    // expression (same element order and widening as the declarative
+    // aggregate(zip_with(...)) — which, being a higher-order function,
+    // ran INTERPRETED in this per-row × per-cell hot loop).
     def cellScore(emb: Column, c: (Int, Seq[Double])): Column = {
       val csq = c._2.foldLeft(0.0)((acc, x) => acc + x * x)
-      lit(csq) - lit(2.0) * aggregate(
-        zip_with(emb, typedLit(c._2), (x, y) => x.cast(DD) * y),
-        lit(0.0), (acc, v) => acc + v)
+      lit(csq) - lit(2.0) * call_function("graft_vec_dot_fd", emb, typedLit(c._2))
     }
     def scoreStructs(emb: Column): Seq[Column] = cents.map(c =>
       struct(cellScore(emb, c).as("s"), lit(c._1).as("c")))
@@ -241,15 +240,22 @@ object Similarity {
       // nearestCid must live in its own projection: a select that also
       // carries a generator goes through the Generate rewrite, which
       // drops nested struct-field aliases (FIELD_NOT_FOUND on `c`).
-      cents = collectCents(
+      // The k×dim per-dimension means come back as ROWS and assemble into
+      // centroid arrays ON THE DRIVER (k·dim values, constant-sized) —
+      // the previous in-plan collect_list/sort_array assembly cost a
+      // second full shuffle per Lloyd round just to build 8 arrays.
+      cents =
         em.select(nearestCid(col("embedding")).as("cid"), col("embedding"))
           .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
           .groupBy(col("cid"), col("pos"))
           .agg((sum(col("x").cast(DecimalType(28, 8))).cast(DD) /
             count(lit(1))).as("m"))
-          .groupBy(col("cid"))
-          .agg(expr("transform(sort_array(collect_list(struct(pos, m))), s -> s.m)")
-            .as("centroid")))
+          .collect().toSeq
+          .groupBy(_.getInt(0))
+          .map { case (cid, rows) =>
+            cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          }
+          .toSeq.sortBy(_._1)
     }
 
     // Final assignment — narrow, re-derived per consumer from the scan
