@@ -37,6 +37,7 @@ object SparkEntry {
     "agg_monthly_orders"  -> (Aggregations.monthlyOrders _),
     "agg_grouping_sets"   -> (Aggregations.groupingSets_ _),
     "agg_salted_skew"     -> (Skew.saltedHotKeyAgg _),
+    "join_salted_skew"    -> (Skew.saltedSkewJoin _),
     "agg_approx_distinct" -> (Aggregations.approxDistinct _),
     "agg_approx_quantiles" -> (Aggregations.approxQuantiles _),
     "agg_custom_udaf"     -> (CustomAgg.weightedAvgDiscount _),
@@ -71,6 +72,7 @@ object SparkEntry {
     "sort_topk"             -> (SortsLimits.topK _),
     "sort_multi_col"        -> (SortsLimits.multiColSort _),
     "sort_filtered_bottomk" -> (SortsLimits.filteredBottomK _),
+    "sort_global_ranged" -> (SortsLimits.globalRangedSort _),
     // Set ops
     "setop_union_all"      -> (SetOps.unionAll _),
     "setop_intersect"      -> (SetOps.intersect_ _),
@@ -149,6 +151,7 @@ object SparkEntry {
     "agg_monthly_orders"  -> Aggregations.monthlyOrdersSql,
     "agg_grouping_sets"   -> Aggregations.groupingSetsSql,
     "agg_salted_skew"     -> Skew.saltedHotKeyAggSql,
+    "join_salted_skew"    -> Skew.saltedSkewJoinSql,
     "agg_custom_udaf"     -> CustomAgg.weightedAvgDiscountSql,
     "filter_predicates"     -> Filters.predicatesSql,
     "filter_null_semantics" -> Filters.nullSemanticsSql,
@@ -180,6 +183,7 @@ object SparkEntry {
     "sort_topk"             -> SortsLimits.topKSql,
     "sort_multi_col"        -> SortsLimits.multiColSortSql,
     "sort_filtered_bottomk" -> SortsLimits.filteredBottomKSql,
+    "sort_global_ranged" -> SortsLimits.globalRangedSortSql,
     "setop_union_all"      -> SetOps.unionAllSql,
     "setop_intersect"      -> SetOps.intersectSql,
     "setop_except"         -> SetOps.exceptSql,

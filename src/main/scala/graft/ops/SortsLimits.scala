@@ -61,4 +61,75 @@ object SortsLimits {
     """SELECT c_custkey, c_name, c_acctbal FROM customer
       |WHERE c_acctbal < 0.0
       |ORDER BY c_acctbal ASC, c_custkey LIMIT 25""".stripMargin
+
+  /** Globally-ordered sink pattern — the ONLY scale-safe total order:
+    * `repartitionByRange` on the sort key (range exchange: each partition
+    * holds a contiguous, disjoint key range in partition-index order) +
+    * `sortWithinPartitions` (parallel per-partition sorts). A plain
+    * `orderBy` on a fact table funnels everything through range exchange
+    * TOO — but a sorted WRITE needs exactly this pair and nothing more,
+    * and no step ever materializes the whole order on one node.
+    *
+    * The emitted result is the per-month MANIFEST CENSUS such a sorted
+    * write would record (rows, min/max key, exact quantity checksum per
+    * range) — computed in a `mapPartitions` pass that ASSERTS the
+    * within-partition sort order row by row, so the query output is
+    * evidence the layout really is sorted (an unsorted partition throws,
+    * it does not mis-census; and sitting above mapPartitions, the sort
+    * cannot be optimized away). Range boundaries come from sampling and
+    * are not deterministic — the census is per month BIN, which is
+    * boundary-independent, so the result hash-matches a plain GROUP
+    * BY/ORDER BY DuckDB twin. Quantity sums ride as exact 4-dp cents
+    * (longs; overflow at ~2⁶³ ≈ 10¹⁴ rows × max-50 quantity — safe
+    * beyond 100 TB) and convert to double through decimal division,
+    * matching the oracle's DECIMAL sum → DOUBLE cast bit-exactly. */
+  def globalRangedSort(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keyed = Tables.lineitem(spark, dir)
+      .select(
+        expr("year(cast(l_shipdate as date)) * 12 + month(cast(l_shipdate as date)) - 1")
+          .as("rid"),
+        expr("unix_date(cast(l_shipdate as date))").as("d"),
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val sorted = keyed
+      .repartitionByRange(32, col("d"), col("l_orderkey"), col("l_linenumber"))
+      .sortWithinPartitions(col("d"), col("l_orderkey"), col("l_linenumber"))
+      .as[(Int, Int, Long, Int, Double)]
+    sorted.mapPartitions { it =>
+      var lastD = Int.MinValue; var lastO = Long.MinValue; var lastL = Int.MinValue
+      // rid -> (n, minD, maxD, cents); insertion-ordered but re-merged below
+      val acc = scala.collection.mutable.LinkedHashMap.empty[Int, (Long, Int, Int, Long)]
+      it.foreach { case (rid, d, o, l, q) =>
+        val ok = d > lastD ||
+          (d == lastD && (o > lastO || (o == lastO && l >= lastL)))
+        require(ok, s"global ranged sort violated at (day=$d, order=$o, line=$l)")
+        lastD = d; lastO = o; lastL = l
+        val cents = java.math.BigDecimal.valueOf(q).movePointRight(4).longValueExact()
+        acc.get(rid) match {
+          case Some((n, mn, mx, c)) =>
+            acc(rid) = (n + 1, math.min(mn, d), math.max(mx, d), c + cents)
+          case None => acc(rid) = (1L, d, d, cents)
+        }
+      }
+      acc.iterator.map { case (rid, (n, mn, mx, c)) => (rid, n, mn, mx, c) }
+    }.toDF("rid", "n", "min_d", "max_d", "cents")
+      // a month bin can straddle two adjacent range partitions — merge
+      .groupBy(col("rid"))
+      .agg(sum(col("n")).as("n_rows"), min(col("min_d")).as("min_d"),
+        max(col("max_d")).as("max_d"), sum(col("cents")).as("cents"))
+      .select(col("rid").cast("long").as("range_id"), col("n_rows"),
+        date_from_unix_date(col("min_d")).cast("string").as("min_ship"),
+        date_from_unix_date(col("max_d")).cast("string").as("max_ship"),
+        (col("cents").cast("decimal(38,4)") / lit(10000)).cast("double").as("sum_qty"))
+      .orderBy(col("range_id"))
+  }
+
+  val globalRangedSortSql: String =
+    """SELECT CAST(year(d0) * 12 + month(d0) - 1 AS BIGINT) AS range_id,
+      |  COUNT(*) AS n_rows,
+      |  CAST(MIN(d0) AS VARCHAR) AS min_ship,
+      |  CAST(MAX(d0) AS VARCHAR) AS max_ship,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM (SELECT CAST(l_shipdate AS DATE) AS d0, l_quantity FROM lineitem) t
+      |GROUP BY 1 ORDER BY range_id""".stripMargin
 }

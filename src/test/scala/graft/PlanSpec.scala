@@ -54,4 +54,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double," +
       "o_orderpriority:string>"))
   }
+
+  test("global ranged sort: RangePartitioning exchange, no single-partition data sort") {
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    import org.apache.spark.sql.execution.SortExec
+    val df = SortsLimits.globalRangedSort(spark, dir)
+    // unwrap the AQE root: collect() does not traverse into
+    // AdaptiveSparkPlanExec's inner plan before execution
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val rangeExchanges = plan.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+    }
+    assert(rangeExchanges.nonEmpty, "the sorted layout must come from a range exchange")
+    assert(rangeExchanges.forall(_.outputPartitioning.numPartitions > 1),
+      "range exchange must spread over many partitions, not funnel into one")
+    // every sort over the fact data is within-partition (global=false);
+    // the only global sort allowed is the final ORDER BY on the tiny
+    // per-month manifest (after the aggregation)
+    val dataSorts = plan.collect {
+      case s: SortExec if s.global &&
+        s.output.exists(_.name == "l_orderkey") => s
+    }
+    assert(dataSorts.isEmpty, "fact rows must never be globally sorted on one node")
+  }
 }

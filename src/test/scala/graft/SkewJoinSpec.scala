@@ -60,4 +60,30 @@ class SkewJoinSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
       }
     }
   }
+
+  test("salted skew join shuffles on (key, salt) and never broadcasts or plain-shuffles") {
+    val df = graft.ops.Skew.saltedSkewJoin(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val p = plan.toString
+    assert(!p.contains("BroadcastHashJoin"),
+      "the salted demo must keep the shuffled join it demonstrates")
+    val joins = collect(plan) {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(joins.nonEmpty, "expected a shuffled hash join")
+    assert(joins.head.leftKeys.size == 2,
+      "join must be keyed on (event_type, salt), not event_type alone")
+    // correctness: identical to the unsalted join+agg
+    import spark.implicits._
+    val unsalted = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val got = df.select(col("event_type"), col("n_events"))
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    val want = unsalted.as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(got === want)
+  }
 }
