@@ -106,6 +106,78 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("file source -> watermark agg -> file sink resumes exactly-once from checkpoint") {
+    // The property a 100 TB incremental pipeline actually needs: stop the
+    // query, deliver more data, restart from the SAME checkpoint — the
+    // resumed run must process only unseen files and append only new
+    // windows (no duplicates, no losses), and a restart with nothing new
+    // must emit nothing.
+    import org.apache.spark.sql.streaming.Trigger
+    val savedNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    val streamDir = java.nio.file.Files.createTempDirectory("events_restart_src")
+    val outDir = java.nio.file.Files.createTempDirectory("events_restart_out")
+    val ckpt = java.nio.file.Files.createTempDirectory("events_restart_ckpt")
+    try {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/events.parquet") // ts: long nanos
+      val Array(lo, hi) = raw.agg(min(col("ts")), max(col("ts"))).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val mid = lo + (hi - lo) / 2
+
+      def runOnce(): Unit = {
+        val q = StreamingOps.streamingTumblingCounts(spark, streamDir.toString)
+          .writeStream.format("parquet")
+          .option("path", outDir.toString)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try assert(q.awaitTermination(120000), "streaming run did not finish")
+        finally q.stop()
+      }
+      def sink() = spark.read.parquet(outDir.toString)
+        .select(col("day_start"), col("event_type"), col("n_events"))
+
+      // arrival batch 1: first half of event time
+      raw.filter(col("ts") <= mid).coalesce(1)
+        .write.mode("append").parquet(streamDir.toString)
+      runOnce()
+      val afterFirst = sink().count()
+      assert(afterFirst > 0, "first run must close at least one window")
+
+      // arrival batch 2: the rest; restart from the same checkpoint
+      raw.filter(col("ts") > mid).coalesce(1)
+        .write.mode("append").parquet(streamDir.toString)
+      runOnce()
+      val afterSecond = sink().count()
+      assert(afterSecond > afterFirst, "resume must emit the newly closed windows")
+
+      // restart with NO new data: nothing may be re-emitted
+      runOnce()
+      assert(sink().count() === afterSecond, "idle restart must append nothing")
+
+      // no duplicate windows anywhere in the sink
+      assert(sink().select(col("day_start"), col("event_type")).distinct().count()
+        === afterSecond, "restart must not re-emit windows from the first run")
+
+      // and no losses: the sink equals the batch twin on all closed windows
+      val streamed = sink()
+      val maxClosed = streamed.agg(max(col("day_start")))
+        .head().getAs[LocalDateTime](0)
+      val batchClosed = StreamingOps.tumblingDaily(spark, dir)
+        .select(col("day_start"), col("event_type"),
+          col("n_events").cast("long").as("n_events"))
+        .filter(col("day_start") <= lit(maxClosed))
+      assert(streamed.exceptAll(batchClosed).count() === 0L)
+      assert(batchClosed.exceptAll(streamed).count() === 0L)
+    } finally {
+      savedNanos match {
+        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
+    }
+  }
+
   test("dropDuplicatesWithinWatermark over an event-time-ordered source equals the batch twin") {
     // Stage the events parquet re-sorted by event time: with arrival order
     // == event-time order, streaming first-arrival dedup equals the batch
