@@ -131,6 +131,7 @@ object SparkEntry {
     "pipe_contamination"    -> (Pipeline.contamination _),
     "pipe_quality_funnel"   -> (Pipeline.qualityFunnel _),
     "pipe_mixture_sample"   -> (Pipeline.mixtureSample _),
+    "pipe_length_buckets"   -> (Pipeline.lengthBuckets _),
     // Round 5: histogram agg, binned interval join, CSV/JSON round-trips
     "agg_histogram"          -> (Aggregations.histogram _),
     "join_interval_binned"   -> (AdvancedJoins.priorEventsWindow _),
@@ -138,6 +139,7 @@ object SparkEntry {
     "source_json_roundtrip"  -> (Sources.jsonRoundtrip _),
     "events_funnel_ordered"  -> (AdvancedJoins.eventsFunnel _),
     "text_regex_tokens"      -> (TextAnalysis.regexTokens _),
+    "text_bigram_lm_score"   -> (TextAnalysis.bigramLmScore _),
     "pipe_dedup_filter_split" -> (Pipeline.dedupFilterSplit _),
     "multimodal_resize_plan"  -> (graft.multimodal.Multimodal.resizePlan _),
   )
@@ -236,12 +238,14 @@ object SparkEntry {
     "pipe_contamination"    -> Pipeline.contaminationSql,
     "pipe_quality_funnel"   -> Pipeline.qualityFunnelSql,
     "pipe_mixture_sample"   -> Pipeline.mixtureSampleSql,
+    "pipe_length_buckets"   -> Pipeline.lengthBucketsSql,
     "agg_histogram"          -> Aggregations.histogramSql,
     "join_interval_binned"   -> AdvancedJoins.priorEventsWindowSql,
     "source_csv_roundtrip"   -> Sources.csvRoundtripSql,
     "source_json_roundtrip"  -> Sources.jsonRoundtripSql,
     "events_funnel_ordered"  -> AdvancedJoins.eventsFunnelSql,
     "text_regex_tokens"      -> TextAnalysis.regexTokensSql,
+    "text_bigram_lm_score"   -> TextAnalysis.bigramLmScoreSql,
     "pipe_dedup_filter_split" -> Pipeline.dedupFilterSplitSql,
     "multimodal_resize_plan"  -> graft.multimodal.Multimodal.resizePlanSql,
   )

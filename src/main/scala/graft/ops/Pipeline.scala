@@ -330,4 +330,34 @@ object Pipeline {
       |  CAST(SUM(kept) AS BIGINT) AS n_kept,
       |  CAST(SUM(kept) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS achieved_rate
       |FROM k GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Token-length bucket histogram — the planning pass a sequence-packing
+    * stage runs before choosing context-window layout: docs bucketed by
+    * power-of-2 token-count ranges (CASE ladder, integer-only — no log2
+    * transcendental, so both engines agree exactly), with per-bucket doc
+    * and token totals. Per-row codegen + one map-side-combined aggregate
+    * over ≤ 6 groups: embarrassingly parallel at any scale. */
+  def lengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(split(col("text"), " "))
+    val bucket = when(n < 32, 0).when(n < 64, 32).when(n < 128, 64)
+      .when(n < 256, 128).when(n < 512, 256).otherwise(512)
+    Tables.documents(spark, dir)
+      .select(bucket.cast("long").as("bucket_lo"), n.cast("long").as("n_tokens"))
+      .groupBy(col("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy(col("bucket_lo"))
+  }
+
+  val lengthBucketsSql: String =
+    """WITH t AS (
+      |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents)
+      |SELECT CAST(CASE WHEN n < 32 THEN 0 WHEN n < 64 THEN 32
+      |            WHEN n < 128 THEN 64 WHEN n < 256 THEN 128
+      |            WHEN n < 512 THEN 256 ELSE 512 END AS BIGINT) AS bucket_lo,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n) AS BIGINT) AS total_tokens,
+      |  MAX(n) AS max_tokens
+      |FROM t GROUP BY 1 ORDER BY bucket_lo""".stripMargin
 }

@@ -216,4 +216,52 @@ object TextAnalysis {
       |  CAST(SUM(wt) AS BIGINT) AS ws_tokens,
       |  MAX(rt) AS max_regex_tokens
       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Corpus-statistical LM scoring — the two-pass model-build + score
+    * shape (a tiny n-gram language model trained on the corpus itself,
+    * then applied back to every document): pass 1 aggregates the corpus
+    * bigram frequency table; pass 2 joins each document's bigram
+    * occurrences against it and averages. At 100 TB the model table is
+    * corpus-sized (NOT broadcastable), so the score pass is a shuffle
+    * equi-join on the bigram key — both sides come out of the same
+    * persisted bigram explode, so the corpus is read once and the join
+    * is partitioned on the key it aggregates by. All statistics are
+    * integer counts; only the final average divides (double over exact
+    * ints — bit-portable). */
+  def bigramLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val bi = Tables.documents(spark, dir)
+      .repartition(
+        spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks)-2), " +
+          "i -> concat(toks[i], ' ', toks[i+1]))")).as("bg"))
+      // both the model aggregate and the score join read this — persist,
+      // or the tokenize+explode runs twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = bi.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+    bi.join(model, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("df")).cast("long").as("sum_df"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_df"),
+        round(col("sum_df").cast(DoubleType) /
+          col("n_bigrams").cast(DoubleType), 6).as("avg_bigram_freq"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bigramLmScoreSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bi AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bg
+      |  FROM toks WHERE len(t) >= 2),
+      |model AS (SELECT bg, COUNT(*) AS df FROM bi GROUP BY bg)
+      |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(m.df) AS BIGINT) AS sum_df,
+      |  round(CAST(SUM(m.df) AS DOUBLE) / COUNT(*), 6) AS avg_bigram_freq
+      |FROM bi b JOIN model m USING (bg)
+      |GROUP BY 1 ORDER BY doc_id""".stripMargin
 }
