@@ -137,6 +137,7 @@ object SparkEntry {
     "join_interval_binned"   -> (AdvancedJoins.priorEventsWindow _),
     "source_csv_roundtrip"   -> (Sources.csvRoundtrip _),
     "source_json_roundtrip"  -> (Sources.jsonRoundtrip _),
+    "source_partitioned_pruned" -> (Sources.partitionedPruned _),
     "events_funnel_ordered"  -> (AdvancedJoins.eventsFunnel _),
     "text_regex_tokens"      -> (TextAnalysis.regexTokens _),
     "text_bigram_lm_score"   -> (TextAnalysis.bigramLmScore _),
@@ -243,6 +244,7 @@ object SparkEntry {
     "join_interval_binned"   -> AdvancedJoins.priorEventsWindowSql,
     "source_csv_roundtrip"   -> Sources.csvRoundtripSql,
     "source_json_roundtrip"  -> Sources.jsonRoundtripSql,
+    "source_partitioned_pruned" -> Sources.partitionedPrunedSql,
     "events_funnel_ordered"  -> AdvancedJoins.eventsFunnelSql,
     "text_regex_tokens"      -> TextAnalysis.regexTokensSql,
     "text_bigram_lm_score"   -> TextAnalysis.bigramLmScoreSql,

@@ -96,4 +96,37 @@ object Sources {
   }
 
   val jsonRoundtripSql: String = censusSql
+
+  /** Hive-partitioned sink → partition-PRUNED read-back: documents are
+    * written `partitionBy("lang")` and read back with a partition-column
+    * filter, which Spark resolves against the directory listing — the
+    * scan's `PartitionFilters` prune whole directories and the
+    * non-matching partitions are never opened (PlanSpec asserts it). At
+    * 100 TB this is the difference between listing 2 directories and
+    * scanning the corpus: partition-by-low-cardinality-key is the
+    * foundational layout decision for every sliced workload. The census
+    * over the kept partitions must hash-match a plain filtered census on
+    * the original parquet. */
+  def partitionedPruned(spark: SparkSession, dir: String): DataFrame = {
+    val out = tempDir("graft_part_docs")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    prunedCensus(spark.read.parquet(out))
+  }
+
+  /** Split out so PlanSpec can assert PartitionFilters on the same plan. */
+  private[graft] def prunedCensus(partitioned: DataFrame): DataFrame =
+    partitioned
+      .filter(col("lang").isin("en", "es"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy(col("lang"))
+
+  val partitionedPrunedSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents WHERE lang IN ('en', 'es')
+      |GROUP BY lang ORDER BY lang""".stripMargin
 }

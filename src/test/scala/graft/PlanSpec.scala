@@ -55,6 +55,20 @@ class PlanSpec extends AnyFunSuite {
       "o_orderpriority:string>"))
   }
 
+  test("partitioned read prunes to the filtered lang directories") {
+    val out = java.nio.file.Files.createTempDirectory("planspec_part").toString
+    Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.col("n_chars"))
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    val p = planString(Sources.prunedCensus(spark.read.parquet(out)))
+    assert(p.contains("PartitionFilters: [lang#") && p.contains("IN (en,es"),
+      s"the IN filter must prune directories via PartitionFilters:\n$p")
+    assert(p.contains("DataFilters: []"),
+      s"pruning must be directory-level only — no row-level data filter:\n$p")
+  }
+
   test("global ranged sort: RangePartitioning exchange, no single-partition data sort") {
     import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
     import org.apache.spark.sql.execution.SortExec
