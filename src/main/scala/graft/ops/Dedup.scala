@@ -430,16 +430,16 @@ object Dedup {
   /** Near-dup clusters as connected components over the verified pair
     * graph — the canonical-assignment step a production dedup pipeline
     * runs after pair generation (keep one representative per cluster,
-    * drop the rest). Distributed label propagation: every clustered doc
-    * starts as its own representative; each round replaces a doc's label
-    * with the minimum label in its closed neighborhood; fixpoint when no
-    * label changes. Rounds = cluster diameter — near-dup clusters are
-    * shallow (pairs/triples), so 2-3 rounds here; corpora needing
-    * O(log n) rounds use star-contraction (Kiveris et al., "Connected
-    * Components in MapReduce and Beyond", SoCC 2014) with the identical
-    * per-round join shape. Each round shuffles only (node, label) pairs
-    * for CLUSTERED docs — O(dup pairs), not corpus. The per-round action
-    * (convergence count) is a scalar aggregate, not a collect.
+    * drop the rest). Three implementations, dispatched by graph size:
+    * single-task primitive union-find for pair graphs up to
+    * `SmallGraphMaxEdges` (the common case — pair graphs are O(near-dup
+    * pairs), tiny relative to their corpus), distributed star contraction
+    * (`starContractionCC`, O(log² n) rounds, diameter-independent) above
+    * it, and label propagation (`labelPropagationCC`, rounds = diameter,
+    * right for the shallow clusters near-dup graphs actually have) kept
+    * as a third agreement-tested variant. Everything shuffles only
+    * (node, label)/(edge) pairs for CLUSTERED docs — O(dup pairs), not
+    * corpus.
     *
     * Output: (doc_id, canonical_id, cluster_size) per clustered doc —
     * engine-independent; the DuckDB twin computes the same components
@@ -456,8 +456,8 @@ object Dedup {
     * threshold (all primitive arrays, no boxing): 2×5M edge longs (80 MB)
     * + a 10M-long sort buffer (80 MB) + sorted id array (≤80 MB) + int
     * parent/long size arrays (~120 MB) ≈ 360 MB peak in one task — fits a
-    * default executor; above it, the iterative label propagation runs and
-    * the outputs are identical. */
+    * default executor; above it, the distributed star contraction runs
+    * and the outputs are identical. */
   private[ops] val SmallGraphMaxEdges = 5_000_000L
 
   /** Connected components over an explicit (d1, d2) pair table — split out
