@@ -76,6 +76,10 @@ object Dedup {
   private[ops] val MaxShingleDf = 1000
 
   private[ops] def hashedShingles(docs: DataFrame, maxDf: Int): DataFrame = {
+    // self-registers: the df cap below needs graft_bounded_collect, and
+    // callers (contamination, specs) must not depend on some earlier
+    // query having registered the functions in the shared session
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     // Shingle identity is a 64-bit hash, not the shingle string, and the
     // hash is COMPOSED: each token is xxhash64'd once, then a shingle is
     // the hash of its 3 token hashes. No 3-gram string is ever

@@ -181,8 +181,10 @@ object Pipeline {
   private[ops] def contaminationDf(d: DataFrame): DataFrame = {
     val sh = Dedup.hashedShingles(d, Dedup.MaxShingleDf)
     val benchIds = d.filter(col("source") === "src0").select(col("doc_id"))
+    // no distinct() before the broadcast: a semi-join build side dedups
+    // its keys internally, so the pre-shuffle would be pure overhead
     val benchSh = sh.join(broadcast(benchIds), Seq("doc_id"), "left_semi")
-      .select(col("sh")).distinct()
+      .select(col("sh"))
     sh.join(broadcast(benchIds), Seq("doc_id"), "left_anti")
       .join(broadcast(benchSh), Seq("sh"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
