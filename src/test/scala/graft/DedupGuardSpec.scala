@@ -182,6 +182,43 @@ class DedupGuardSpec extends AnyFunSuite {
       spark.sharedState.cacheManager.clearCache()
     }
 
+  test("bounded-collect candidate pairs equal the classic bucket self-join formulation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // The one-shuffle bounded-collect pairing must produce EXACTLY the
+    // pair SET of the textbook formulation it replaced (bucket table
+    // self-joined on (band, bucket) with a count-based hot-bucket cap) —
+    // multiplicity aside, which consumers ignore.
+    val sh = Dedup.hashedShingles(
+      graft.Tables.documents(spark, "/root/testdata/sf0.01"), Dedup.MaxShingleDf)
+    val sigs = sh.groupBy(col("doc_id"))
+      .agg(call_function("graft_minhash_sigs", col("sh"), lit(Dedup.NumHashes)).as("sig"))
+    val bandStructs = (0 until Dedup.Bands).map { b =>
+      struct(lit(b).as("band"),
+        hash((Dedup.RowsPerBand * b until Dedup.RowsPerBand * (b + 1))
+          .map(i => col("sig").getItem(i)): _*).as("bucket"))
+    }
+    val buckets = sigs
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .persist()
+    val hot = buckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > Dedup.MaxBucketSize)
+      .select(col("band"), col("bucket"))
+    val kept = buckets.join(hot, Seq("band", "bucket"), "left_anti")
+    val classic = kept.as("x").join(kept.as("y"), Seq("band", "bucket"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct().as[(Long, Long)].collect().toSet
+    val bounded = Dedup.minhashCandidates(sh, Dedup.MaxBucketSize)
+      .distinct().as[(Long, Long)].collect().toSet
+    buckets.unpersist()
+    spark.sharedState.cacheManager.clearCache()
+    assert(bounded === classic)
+    assert(bounded.nonEmpty)
+  }
+
   test("minhash banding recall covers the exact-Jaccard ground truth (gate SF)") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)

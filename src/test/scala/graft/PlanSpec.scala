@@ -55,6 +55,15 @@ class PlanSpec extends AnyFunSuite {
       "o_orderpriority:string>"))
   }
 
+  test("bigram LM model aggregate partial-aggregates before its exchange") {
+    val p = planString(TextAnalysis.bigramLmScore(spark, dir))
+    assert(p.contains("partial_count"),
+      "the bigram frequency model must map-side combine before shuffling")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      "both model and score passes must read the persisted bigram explode, not re-scan the corpus")
+    org.apache.spark.sql.SparkSession.active.sharedState.cacheManager.clearCache()
+  }
+
   test("partitioned read prunes to the filtered lang directories") {
     val out = java.nio.file.Files.createTempDirectory("planspec_part").toString
     Tables.documents(spark, dir)
