@@ -139,6 +139,39 @@ object StreamingOps {
       |  FROM events) t
       |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
 
+  /** Stream-stream INTERVAL JOIN — the real two-stream plan: error
+    * events join the same user's prior events within 1 hour, both sides
+    * watermarked so the join state is BOUNDED (rows older than the
+    * watermark minus the interval are evicted — without the time-range
+    * condition + watermarks, stream-stream join state grows forever;
+    * with them, Spark derives the state-retention bound from the
+    * predicate). This is the streaming twin of the batch
+    * `join_interval_binned` semantics; `StreamingSpec` proves the
+    * emitted pair set equals the batch theta join. Returned unstarted. */
+  def streamingPriorEventsJoin(spark: SparkSession, eventsDir: String): DataFrame =
+    Tables.withNanosAsLong(spark) {
+    val schema = spark.read.parquet(eventsDir).schema
+    def src() = spark.readStream
+      .schema(schema)
+      .parquet(eventsDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val errors = src()
+      .filter(col("event_type") === "error")
+      .select(col("user_id").as("a_user"), col("event_id").as("a_event"),
+        col("ts").as("a_ts"))
+      .withWatermark("a_ts", "2 hours")
+    val prior = src()
+      .select(col("user_id").as("b_user"), col("event_id").as("b_event"),
+        col("ts").as("b_ts"))
+      .withWatermark("b_ts", "2 hours")
+    errors.join(prior,
+      col("a_user") === col("b_user") &&
+        col("b_ts") < col("a_ts") &&
+        col("b_ts") >= col("a_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("a_event"), col("b_event"),
+        col("a_ts").cast("timestamp_ntz").as("a_ts"))
+  }
+
   /** The real streaming dedup plan: readStream → watermark →
     * dropDuplicatesWithinWatermark on the business key. State stores one
     * row per key seen within the watermark horizon and evicts as the

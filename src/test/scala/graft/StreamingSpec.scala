@@ -106,6 +106,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join emits exactly the batch theta-join pair set") {
+    val staged = java.nio.file.Files.createTempDirectory("events_ssjoin")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val q = StreamingOps.streamingPriorEventsJoin(spark, staged.toString)
+      .writeStream.format("memory").queryName("ssjoin_test")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(120000), "stream-stream join did not finish")
+    finally q.stop()
+
+    import spark.implicits._
+    val streamed = spark.table("ssjoin_test")
+      .select(col("a_event"), col("b_event"))
+      .as[(Long, Long)].collect().toSet
+    // batch theta join over the same data (the join_interval_binned
+    // semantics, as explicit pairs)
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    val batch = e.filter(col("event_type") === "error").as("a")
+      .join(e.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.ts") < col("a.ts") &&
+          col("b.ts") >= col("a.ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("a.event_id"), col("b.event_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
+
   test("file source -> watermark agg -> file sink resumes exactly-once from checkpoint") {
     // The property a 100 TB incremental pipeline actually needs: stop the
     // query, deliver more data, restart from the SAME checkpoint — the
