@@ -284,11 +284,12 @@ object Dedup {
   private def dropHotBuckets(buckets: DataFrame, cap: Int, keys: Column*): DataFrame = {
     // Aggregate → anti-join (not a window): the over-cap list is near-empty
     // by construction (≤ rows/cap buckets can exceed the cap), so the count
-    // shuffles only map-side-combined partials and AQE broadcasts the
-    // anti-join; a window would re-sort every bucket row.
+    // shuffles only map-side-combined partials; the broadcast is hinted
+    // explicitly so the anti-join never depends on AQE's runtime switch
+    // (a window would re-sort every bucket row).
     val hot = buckets.groupBy(keys: _*).agg(count(lit(1)).as("_bsz"))
       .filter(col("_bsz") > cap).select(keys: _*)
-    buckets.join(hot, keys.map(_.toString), "left_anti")
+    buckets.join(broadcast(hot), keys.map(_.toString), "left_anti")
   }
 
   /** MinHash + LSH banding — the linear-scale near-dup path. 64 min-hashes

@@ -135,7 +135,10 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = sigs.groupBy(col("bucket")).agg(count(lit(1)).as("_bsz"))
       .filter(col("_bsz") > AnnBucketCap).select(col("bucket"))
-    val capped = sigs.join(hot, Seq("bucket"), "left_anti")
+    // broadcast explicitly: hot is ≤ rows/cap entries by construction, and
+    // without the hint this anti-join is a plan-time sort-merge (AQE's
+    // runtime broadcast switch must not be load-bearing)
+    val capped = sigs.join(broadcast(hot), Seq("bucket"), "left_anti")
     val pairs = capped.as("a").join(capped.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"),
