@@ -15,6 +15,14 @@ class InventorySpec extends AnyFunSuite {
     assert(orphan.isEmpty, s"oracleSql without queries: $orphan")
   }
 
+  test("every query is oracle-checked (no rows-only entries)") {
+    // The inventory's standing claim is 100% oracle coverage — a new
+    // query landing without its DuckDB twin must fail here, not silently
+    // downgrade to the driver's weaker rows-only check.
+    val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unchecked.isEmpty, s"queries without oracleSql: $unchecked")
+  }
+
   test("entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
