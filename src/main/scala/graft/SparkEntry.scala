@@ -141,6 +141,7 @@ object SparkEntry {
     "events_funnel_ordered"  -> (AdvancedJoins.eventsFunnel _),
     "text_regex_tokens"      -> (TextAnalysis.regexTokens _),
     "text_bigram_lm_score"   -> (TextAnalysis.bigramLmScore _),
+    "text_char_trigrams"     -> (TextAnalysis.charTrigrams _),
     "pipe_dedup_filter_split" -> (Pipeline.dedupFilterSplit _),
     "multimodal_resize_plan"  -> (graft.multimodal.Multimodal.resizePlan _),
   )
@@ -248,6 +249,7 @@ object SparkEntry {
     "events_funnel_ordered"  -> AdvancedJoins.eventsFunnelSql,
     "text_regex_tokens"      -> TextAnalysis.regexTokensSql,
     "text_bigram_lm_score"   -> TextAnalysis.bigramLmScoreSql,
+    "text_char_trigrams"     -> TextAnalysis.charTrigramsSql,
     "pipe_dedup_filter_split" -> Pipeline.dedupFilterSplitSql,
     "multimodal_resize_plan"  -> graft.multimodal.Multimodal.resizePlanSql,
   )

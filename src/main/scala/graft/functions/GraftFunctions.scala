@@ -36,6 +36,9 @@ object GraftFunctions {
     "graft_bounded_collect" -> { args =>
       BoundedCollectLongs(args(0),
         cap = args(1).eval().asInstanceOf[Number].intValue())
+    },
+    "graft_char_ngrams" -> { args =>
+      CharNGrams(args(0), n = args(1).eval().asInstanceOf[Number].intValue())
     }
   )
 
@@ -111,6 +114,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_bounded_collect"),
       new ExpressionInfo(classOf[BoundedCollectLongs].getName, "graft_bounded_collect"),
       (args: Seq[Expression]) => BoundedCollectLongs(args(0),
+        args(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("graft_char_ngrams"),
+      new ExpressionInfo(classOf[CharNGrams].getName, "graft_char_ngrams"),
+      (args: Seq[Expression]) => CharNGrams(args(0),
         args(1).eval().asInstanceOf[Number].intValue())))
     ext.injectOptimizerRule(_ => VecDotSelfToSqNorm)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)

@@ -217,6 +217,31 @@ object TextAnalysis {
       |  MAX(rt) AS max_regex_tokens
       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Top character trigrams over the corpus via the custom `Generator`
+    * expression `graft_char_ngrams` (graft.functions.CharNGrams): grams
+    * STREAM out of each document row into partial aggregation with O(n)
+    * live bytes per row — the declarative transform+explode materializes
+    * a document-sized gram array first (see the Generator's Scaladoc).
+    * One map-side-combined aggregate, then a bounded top-k. */
+  def charTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(expr("graft_char_ngrams(text, 3)").as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(20)
+  }
+
+  val charTrigramsSql: String =
+    """WITH g AS (
+      |  SELECT unnest(list_transform(range(1, length(text) - 1),
+      |    i -> substr(text, CAST(i AS INTEGER), 3))) AS gram
+      |  FROM documents WHERE length(text) >= 3)
+      |SELECT gram, COUNT(*) AS n FROM g
+      |GROUP BY gram ORDER BY n DESC, gram LIMIT 20""".stripMargin
+
   /** Corpus-statistical LM scoring — the two-pass model-build + score
     * shape (a tiny n-gram language model trained on the corpus itself,
     * then applied back to every document): pass 1 aggregates the corpus
