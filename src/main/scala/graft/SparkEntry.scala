@@ -89,6 +89,7 @@ object SparkEntry {
     "scalar_json"        -> (Scalars.jsonFuncs _),
     "scalar_array"       -> (Scalars.arrayFuncs _),
     "scalar_struct_map"  -> (Scalars.structMapFuncs _),
+    "scalar_bitwise"     -> (Scalars.bitwiseFuncs _),
     // Composite TPC-H shapes
     "tpch_q3_shipping_priority" -> (TpchShapes.q3ShippingPriority _),
     "tpch_q5_local_supplier"    -> (TpchShapes.q5LocalSupplierVolume _),
@@ -202,6 +203,7 @@ object SparkEntry {
     "scalar_json"        -> Scalars.jsonFuncsSql,
     "scalar_array"       -> Scalars.arrayFuncsSql,
     "scalar_struct_map"  -> Scalars.structMapFuncsSql,
+    "scalar_bitwise"     -> Scalars.bitwiseFuncsSql,
     "tpch_q3_shipping_priority" -> TpchShapes.q3ShippingPrioritySql,
     "tpch_q5_local_supplier"    -> TpchShapes.q5LocalSupplierVolumeSql,
     "multimodal_joined_pipeline" -> TpchShapes.multimodalJoinedPipelineSql,

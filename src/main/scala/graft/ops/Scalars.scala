@@ -200,4 +200,39 @@ object Scalars {
       |  round(sqrt(list_sum(list_transform(embedding,
       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
       |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  /** Bitwise scalar family census: AND / OR / XOR, shifts, and popcount
+    * over the integer keys — per-row codegen folded into one
+    * map-side-combined aggregate (the bit ops family the other scalar
+    * queries do not touch; `bit_count` is also the simhash hot path,
+    * here exercised as a first-class scalar). */
+  def bitwiseFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.select(col("l_linestatus"),
+        col("l_orderkey").bitwiseAND(col("l_partkey")).as("band"),
+        col("l_orderkey").bitwiseOR(col("l_suppkey")).as("bor"),
+        col("l_orderkey").bitwiseXOR(col("l_partkey")).as("bxor"),
+        expr("cast(bit_count(l_orderkey) as bigint)").as("pop"),
+        shiftleft(col("l_orderkey"), 2).as("shl"),
+        shiftright(col("l_partkey"), 1).as("shr"))
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("band")).cast("long").as("sum_and"),
+        sum(col("bor")).cast("long").as("sum_or"),
+        sum(col("bxor")).cast("long").as("sum_xor"),
+        sum(col("pop")).cast("long").as("sum_popcount"),
+        sum(col("shl")).cast("long").as("sum_shl"),
+        sum(col("shr")).cast("long").as("sum_shr"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  val bitwiseFuncsSql: String =
+    """SELECT l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(l_orderkey & l_partkey) AS BIGINT) AS sum_and,
+      |  CAST(SUM(l_orderkey | l_suppkey) AS BIGINT) AS sum_or,
+      |  CAST(SUM(xor(l_orderkey, l_partkey)) AS BIGINT) AS sum_xor,
+      |  CAST(SUM(bit_count(l_orderkey)) AS BIGINT) AS sum_popcount,
+      |  CAST(SUM(l_orderkey << 2) AS BIGINT) AS sum_shl,
+      |  CAST(SUM(l_partkey >> 1) AS BIGINT) AS sum_shr
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 }
