@@ -67,6 +67,7 @@ object SparkEntry {
     "window_rank_dense"     -> (Windows.rankDense _),
     "window_distribution"   -> (Windows.distribution _),
     "window_range_frame"    -> (Windows.rangeFrame _),
+    "window_time_range_frame" -> (Windows.timeRangeFrame _),
     "window_first_last_nth" -> (Windows.firstLastNth _),
     // Sorts / limits / top-k
     "sort_topk"             -> (SortsLimits.topK _),
@@ -133,15 +134,22 @@ object SparkEntry {
     "pipe_quality_funnel"   -> (Pipeline.qualityFunnel _),
     "pipe_mixture_sample"   -> (Pipeline.mixtureSample _),
     "pipe_length_buckets"   -> (Pipeline.lengthBuckets _),
+    "pipe_stratified_sample" -> (Pipeline.stratifiedSample _),
     // Round 5: histogram agg, binned interval join, CSV/JSON round-trips
     "agg_histogram"          -> (Aggregations.histogram _),
     "join_interval_binned"   -> (AdvancedJoins.priorEventsWindow _),
     "source_csv_roundtrip"   -> (Sources.csvRoundtrip _),
     "source_json_roundtrip"  -> (Sources.jsonRoundtrip _),
     "source_partitioned_pruned" -> (Sources.partitionedPruned _),
+    "source_orc_roundtrip"   -> (Sources.orcRoundtrip _),
+    // Lakehouse maintenance
+    "merge_upsert"        -> (Lakehouse.mergeUpsert _),
+    "merge_scd2"          -> (Lakehouse.scd2UserStatus _),
+    "cluster_zorder_bins" -> (Lakehouse.zorderBins _),
     "events_funnel_ordered"  -> (AdvancedJoins.eventsFunnel _),
     "text_regex_tokens"      -> (TextAnalysis.regexTokens _),
     "text_bigram_lm_score"   -> (TextAnalysis.bigramLmScore _),
+    "text_pii_redact"        -> (TextAnalysis.piiRedact _),
     "text_char_trigrams"     -> (TextAnalysis.charTrigrams _),
     "pipe_dedup_filter_split" -> (Pipeline.dedupFilterSplit _),
     "multimodal_resize_plan"  -> (graft.multimodal.Multimodal.resizePlan _),
@@ -184,6 +192,7 @@ object SparkEntry {
     "window_rank_dense"     -> Windows.rankDenseSql,
     "window_distribution"   -> Windows.distributionSql,
     "window_range_frame"    -> Windows.rangeFrameSql,
+    "window_time_range_frame" -> Windows.timeRangeFrameSql,
     "window_first_last_nth" -> Windows.firstLastNthSql,
     "sort_topk"             -> SortsLimits.topKSql,
     "sort_multi_col"        -> SortsLimits.multiColSortSql,
@@ -243,14 +252,20 @@ object SparkEntry {
     "pipe_quality_funnel"   -> Pipeline.qualityFunnelSql,
     "pipe_mixture_sample"   -> Pipeline.mixtureSampleSql,
     "pipe_length_buckets"   -> Pipeline.lengthBucketsSql,
+    "pipe_stratified_sample" -> Pipeline.stratifiedSampleSql,
     "agg_histogram"          -> Aggregations.histogramSql,
     "join_interval_binned"   -> AdvancedJoins.priorEventsWindowSql,
     "source_csv_roundtrip"   -> Sources.csvRoundtripSql,
     "source_json_roundtrip"  -> Sources.jsonRoundtripSql,
     "source_partitioned_pruned" -> Sources.partitionedPrunedSql,
+    "source_orc_roundtrip"   -> Sources.orcRoundtripSql,
+    "merge_upsert"        -> Lakehouse.mergeUpsertSql,
+    "merge_scd2"          -> Lakehouse.scd2UserStatusSql,
+    "cluster_zorder_bins" -> Lakehouse.zorderBinsSql,
     "events_funnel_ordered"  -> AdvancedJoins.eventsFunnelSql,
     "text_regex_tokens"      -> TextAnalysis.regexTokensSql,
     "text_bigram_lm_score"   -> TextAnalysis.bigramLmScoreSql,
+    "text_pii_redact"        -> TextAnalysis.piiRedactSql,
     "text_char_trigrams"     -> TextAnalysis.charTrigramsSql,
     "pipe_dedup_filter_split" -> Pipeline.dedupFilterSplitSql,
     "multimodal_resize_plan"  -> graft.multimodal.Multimodal.resizePlanSql,

@@ -39,7 +39,12 @@ object GraftFunctions {
     },
     "graft_char_ngrams" -> { args =>
       CharNGrams(args(0), n = args(1).eval().asInstanceOf[Number].intValue())
-    }
+    },
+    "graft_bloom_build" -> { args =>
+      BloomBuildLongs(args(0),
+        numBits = args(1).eval().asInstanceOf[Number].intValue())
+    },
+    "graft_bloom_contains" -> { args => BloomMightContain(args(0), args(1)) }
   )
 
   def register(spark: SparkSession): Unit = {

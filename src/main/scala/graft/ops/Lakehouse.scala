@@ -1,0 +1,209 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lakehouse-maintenance shapes: MERGE-style upsert, SCD type-2 dimension
+  * derivation, and Z-order (Morton-curve) clustering — the table-upkeep
+  * operators a 100 TB corpus needs between query workloads. No table
+  * format (Delta/Iceberg) ships in this environment, so each is expressed
+  * as the underlying relational plan those systems execute; swapping the
+  * sink for a format-aware writer changes none of the dataflow.
+  *
+  * Scale posture:
+  *  - MERGE = one sort-merge full-outer shuffle on the key. With the base
+  *    table bucketed by key (the layout a maintained table would have),
+  *    the base side's exchange disappears and only the (small) changeset
+  *    shuffles; a format-aware writer additionally prunes to the files
+  *    whose key ranges overlap the changeset.
+  *  - SCD2 = two window passes over the SAME (user) partitioning — one
+  *    exchange, two in-partition sorts; never a self-join.
+  *  - Z-order = pure per-row bit arithmetic (codegen'd) + one census
+  *    aggregate; the clustered WRITE is repartitionByRange(z) +
+  *    sortWithinPartitions(z), demonstrated with real parquet footers in
+  *    `ZOrderSpec`.
+  */
+object Lakehouse {
+
+  // ---------------------------------------------------------------- MERGE
+
+  /** Deterministic changeset derived from the base table itself: keys
+    * ≡ 0 (mod 10) get an update (price bumped by exactly +100.0, status
+    * 'U'); keys ≡ 3 (mod 17) spawn an insert under a shifted key range
+    * that cannot collide with base keys. Deriving changes from the base
+    * keeps the query self-contained and the oracle twin exact. */
+  private val InsertKeyShift = 100000000L
+
+  private def baseAndChanges(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val upd = base.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") + lit(100.0)).as("o_totalprice"),
+        lit("U").as("o_orderstatus"))
+    val ins = base.filter(col("o_orderkey") % 17 === 3)
+      .select((col("o_orderkey") + lit(InsertKeyShift)).as("o_orderkey"),
+        col("o_totalprice"), lit("N").as("o_orderstatus"))
+    (base, upd.union(ins))
+  }
+
+  /** MERGE INTO base USING changes ON key — WHEN MATCHED UPDATE, WHEN NOT
+    * MATCHED INSERT — expressed as the full-outer join + coalesce plan
+    * every MERGE lowers to. The `action` column labels each output row
+    * (update/insert/carry) so the changeset routing itself is part of the
+    * hash-checked result. Output is sampled by key (mod 7) to bound the
+    * result; the sample crosses all three action classes. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val (base, chg) = baseAndChanges(spark, dir)
+    base.as("b").join(chg.as("c"), Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"),
+        coalesce(col("c.o_totalprice"), col("b.o_totalprice")).as("o_totalprice"),
+        coalesce(col("c.o_orderstatus"), col("b.o_orderstatus")).as("o_orderstatus"),
+        when(col("c.o_orderstatus").isNotNull && col("b.o_orderstatus").isNotNull,
+          lit("update"))
+          .when(col("b.o_orderstatus").isNull, lit("insert"))
+          .otherwise(lit("carry")).as("action"))
+      .filter(col("o_orderkey") % 7 === 0)
+      .orderBy(col("o_orderkey"))
+  }
+
+  val mergeUpsertSql: String =
+    s"""WITH base AS (
+      |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+      |chg AS (
+      |  SELECT o_orderkey, o_totalprice + 100.0 AS o_totalprice,
+      |    'U' AS o_orderstatus
+      |  FROM base WHERE o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey + $InsertKeyShift, o_totalprice, 'N'
+      |  FROM base WHERE o_orderkey % 17 = 3)
+      |SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+      |  COALESCE(c.o_totalprice, b.o_totalprice) AS o_totalprice,
+      |  COALESCE(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+      |  CASE WHEN c.o_orderstatus IS NOT NULL AND b.o_orderstatus IS NOT NULL
+      |         THEN 'update'
+      |       WHEN b.o_orderstatus IS NULL THEN 'insert'
+      |       ELSE 'carry' END AS action
+      |FROM base b FULL OUTER JOIN chg c ON b.o_orderkey = c.o_orderkey
+      |WHERE COALESCE(c.o_orderkey, b.o_orderkey) % 7 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ----------------------------------------------------------------- SCD2
+
+  /** Slowly-changing-dimension type 2 over the events stream: per user,
+    * collapse consecutive same-type events and emit one versioned row per
+    * type CHANGE with [effective_from, effective_to) validity and an
+    * is_current flag — the standard history-keeping dimension build.
+    * Two window functions over the same (user_id) partitioning: the
+    * change filter runs on lag(), the validity range on lead() AFTER the
+    * filter (so effective_to is the next *change*, not the next event).
+    * Ties on ts are ordered by event_id, which also rides along as the
+    * deterministic version anchor. */
+  def scd2UserStatus(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val chg = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    chg
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("first_event_id"),
+        col("ts").as("effective_from"),
+        lead(col("ts"), 1).over(byUser).as("effective_to"))
+      .withColumn("is_current", col("effective_to").isNull)
+      .filter(col("user_id") % 25 === 0)
+      .orderBy(col("user_id"), col("effective_from"), col("first_event_id"))
+  }
+
+  val scd2UserStatusSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |chg AS (
+      |  SELECT user_id, event_id, ts, event_type FROM e
+      |  WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, event_type, event_id AS first_event_id,
+      |  ts AS effective_from,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS effective_to,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+      |FROM chg
+      |WHERE user_id % 25 = 0
+      |ORDER BY user_id, effective_from, first_event_id""".stripMargin
+
+  // -------------------------------------------------------------- Z-order
+
+  /** Morton bit-spread of a 16-bit value into the even bits of a 32-bit
+    * word — the classic magic-mask ladder, all LONG arithmetic so both
+    * engines evaluate identically. */
+  private def spread16(x: Column): Column = {
+    val s0 = x.bitwiseAND(lit(65535L))
+    val s1 = (s0.bitwiseOR(shiftleft(s0, 8))).bitwiseAND(lit(16711935L)) // 0x00FF00FF
+    val s2 = (s1.bitwiseOR(shiftleft(s1, 4))).bitwiseAND(lit(252645135L)) // 0x0F0F0F0F
+    val s3 = (s2.bitwiseOR(shiftleft(s2, 2))).bitwiseAND(lit(858993459L)) // 0x33333333
+    (s3.bitwiseOR(shiftleft(s3, 1))).bitwiseAND(lit(1431655765L)) // 0x55555555
+  }
+
+  /** 2-D Morton (Z-order) interleave of two 16-bit dims → 32-bit z. */
+  private[ops] def morton2(a: Column, b: Column): Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+
+  /** The same ladder as portable SQL (DuckDB `<<`/`&`/`|` on BIGINT). */
+  private def spread16Sql(x: String): String = {
+    val s0 = s"(($x) & 65535)"
+    val s1 = s"((($s0 << 8) | $s0) & 16711935)"
+    val s2 = s"((($s1 << 4) | $s1) & 252645135)"
+    val s3 = s"((($s2 << 2) | $s2) & 858993459)"
+    s"((($s3 << 1) | $s3) & 1431655765)"
+  }
+
+  private def morton2Sql(a: String, b: String): String =
+    s"(${spread16Sql(a)} | (${spread16Sql(b)} << 1))"
+
+  /** Z-order clustering census: lineitem keyed by the Morton interleave of
+    * (l_partkey, l_suppkey), bucketed by the top 10 z bits. Because z-bins
+    * are axis-aligned boxes on the interleaved grid, each bin's
+    * min/max span on BOTH dims is bounded (~2¹¹ here) — the locality
+    * property that makes a z-sorted layout prunable on either column, vs
+    * a single-column sort which is prunable on one. The census output IS
+    * that property, hash-checked; the physical clustered write
+    * (repartitionByRange(z) + sortWithinPartitions(z) + parquet footers)
+    * is pinned by `ZOrderSpec`. */
+  def zorderBins(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      pmod(col("l_partkey"), lit(65536L)).as("p"),
+      pmod(col("l_suppkey"), lit(65536L)).as("s"))
+    li.withColumn("zbin", shiftrightunsigned(morton2(col("p"), col("s")), 22))
+      .groupBy(col("zbin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("p")).as("p_min"), max(col("p")).as("p_max"),
+        min(col("s")).as("s_min"), max(col("s")).as("s_max"))
+      .orderBy(col("zbin"))
+  }
+
+  val zorderBinsSql: String = {
+    val z = morton2Sql("l_partkey % 65536", "l_suppkey % 65536")
+    s"""WITH zed AS (
+      |  SELECT l_partkey % 65536 AS p, l_suppkey % 65536 AS s,
+      |    ($z >> 22) AS zbin
+      |  FROM lineitem)
+      |SELECT zbin, COUNT(*) AS n_rows,
+      |  MIN(p) AS p_min, MAX(p) AS p_max,
+      |  MIN(s) AS s_min, MAX(s) AS s_max
+      |FROM zed GROUP BY zbin ORDER BY zbin""".stripMargin
+  }
+
+  /** The clustered write itself, split out for `ZOrderSpec`: range-shuffle
+    * on z then sort each output file by z — every file covers a tight z
+    * interval, hence a bounded box on both dims, which parquet footer
+    * min/max stats expose to any reader for two-column pruning. */
+  private[graft] def zorderClusteredWrite(df: DataFrame, nFiles: Int): DataFrame = {
+    val zed = df.select(
+      pmod(col("l_partkey"), lit(65536L)).as("p"),
+      pmod(col("l_suppkey"), lit(65536L)).as("s"))
+      .withColumn("z", morton2(col("p"), col("s")))
+    zed.repartitionByRange(nFiles, col("z")).sortWithinPartitions(col("z"))
+  }
+}

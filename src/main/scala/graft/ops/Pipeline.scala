@@ -362,4 +362,43 @@ object Pipeline {
       |  CAST(SUM(n) AS BIGINT) AS total_tokens,
       |  MAX(n) AS max_tokens
       |FROM t GROUP BY 1 ORDER BY bucket_lo""".stripMargin
+
+  /** Exact stratified sampling: within every lang stratum, take EXACTLY
+    * ⌈20%⌉ of documents, chosen by ranking on a stateless multiplicative
+    * hash of doc_id (same portability rules as `hashSplit` — no rand(),
+    * no engine RNG). Unlike `DataFrame.sample` (Bernoulli per row:
+    * approximate counts, seed-and-partitioning dependent), ranked-hash
+    * sampling is reproducible across engines, runs, AND cluster layouts,
+    * which is what a training-mixture spec needs. One exchange on the
+    * stratum key; the rank and the stratum size come from the same window
+    * partitioning (no second shuffle, no join back). */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val hv = (col("doc_id") * lit(2654435761L) + lit(12345L)) % lit(1000000007L)
+    val byLang = Window.partitionBy(col("lang"))
+    val d = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("hv", hv)
+      .withColumn("rn", row_number().over(byLang.orderBy(col("hv"), col("doc_id"))))
+      .withColumn("n_total", count(lit(1)).over(byLang))
+    d.filter(col("rn") <= expr("(n_total + 4) div 5"))
+      .groupBy(col("lang"))
+      .agg(max(col("n_total")).as("n_docs"),
+        count(lit(1)).as("n_sample"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+        sum(col("n_chars")).cast("long").as("sample_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val stratifiedSampleSql: String =
+    """WITH r AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY (doc_id*2654435761+12345) % 1000000007, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n_total
+      |  FROM documents)
+      |SELECT lang, MAX(n_total) AS n_docs, COUNT(*) AS n_sample,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sample_chars
+      |FROM r WHERE rn <= (n_total + 4) // 5
+      |GROUP BY lang ORDER BY lang""".stripMargin
 }

@@ -97,6 +97,19 @@ object Sources {
 
   val jsonRoundtripSql: String = censusSql
 
+  /** lineitem slice → ORC files → read back (explicit schema) → census.
+    * ORC is the third columnar format a warehouse-grade engine must speak
+    * (Hive-ecosystem tables); Spark's native vectorized ORC reader gets
+    * the same pushdown/pruning treatment as parquet. Round-trip is exact:
+    * ORC stores the slice's doubles/strings natively, no text parse. */
+  def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = tempDir("graft_orc_rt")
+    slice(spark, dir).write.mode("overwrite").orc(out)
+    census(spark.read.schema(censusSchema).orc(out))
+  }
+
+  val orcRoundtripSql: String = censusSql
+
   /** Hive-partitioned sink → partition-PRUNED read-back: documents are
     * written `partitionBy("lang")` and read back with a partition-column
     * filter, which Spark resolves against the directory listing — the

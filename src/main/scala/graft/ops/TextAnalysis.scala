@@ -289,4 +289,68 @@ object TextAnalysis {
       |  round(CAST(SUM(m.df) AS DOUBLE) / COUNT(*), 6) AS avg_bigram_freq
       |FROM bi b JOIN model m USING (bg)
       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /** PII redaction — the scrub pass every training corpus runs before any
+    * text leaves the pipeline: regex-redact emails, US phone numbers, and
+    * SSN-shaped ids, and count what was removed per document (the audit
+    * trail). Patterns are deliberately RE2-safe (no lookaround, no
+    * backreferences) so the same regex runs identically on Java's engine
+    * and DuckDB's RE2 — the portability constraint any multi-engine scrub
+    * spec has to respect. The corpus text is synthetic word-soup with no
+    * PII, so the document under scrub is a deterministic contact string
+    * derived from doc_id in BOTH engines (same construction rule), making
+    * redaction correctness hash-checkable; on real data the same
+    * expressions point at the text column. Pure per-row codegen — no
+    * shuffle except the output sample's final sort. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val ssn = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), expr(
+        "concat('contact user', doc_id, '@corp.example.com or call 415-555-', " +
+          "lpad(cast((doc_id * 7919) % 10000 as string), 4, '0'), " +
+          "' ssn ', lpad(cast((doc_id % 900) + 100 as string), 3, '0'), '-', " +
+          "lpad(cast((doc_id * 31) % 100 as string), 2, '0'), '-', " +
+          "lpad(cast((doc_id * 97) % 10000 as string), 4, '0'), ' end')").as("raw"))
+      .select(col("doc_id"),
+        // Column-form regexp functions (not expr() SQL strings): a Spark
+        // single-quoted SQL literal eats the `\` in `\.`, silently turning
+        // the dot-escape into match-any; lit() passes the pattern verbatim.
+        size(regexp_extract_all(col("raw"), lit(email), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(phone), lit(0)))
+          .cast("long").as("n_phones"),
+        size(regexp_extract_all(col("raw"), lit(ssn), lit(0)))
+          .cast("long").as("n_ssns"),
+        regexp_replace(regexp_replace(regexp_replace(col("raw"),
+          lit(email), lit("<EMAIL>")),
+          lit(phone), lit("<PHONE>")),
+          lit(ssn), lit("<SSN>")).as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  val piiRedactSql: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val ssn = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+    s"""WITH raw AS (
+      |  SELECT doc_id,
+      |    'contact user' || doc_id || '@corp.example.com or call 415-555-' ||
+      |    lpad(CAST((doc_id * 7919) % 10000 AS VARCHAR), 4, '0') ||
+      |    ' ssn ' || lpad(CAST((doc_id % 900) + 100 AS VARCHAR), 3, '0') || '-' ||
+      |    lpad(CAST((doc_id * 31) % 100 AS VARCHAR), 2, '0') || '-' ||
+      |    lpad(CAST((doc_id * 97) % 10000 AS VARCHAR), 4, '0') || ' end' AS raw
+      |  FROM documents WHERE doc_id % 10 = 0)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(raw, '$email')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(raw, '$phone')) AS BIGINT) AS n_phones,
+      |  CAST(len(regexp_extract_all(raw, '$ssn')) AS BIGINT) AS n_ssns,
+      |  regexp_replace(regexp_replace(regexp_replace(raw,
+      |    '$email', '<EMAIL>', 'g'),
+      |    '$phone', '<PHONE>', 'g'),
+      |    '$ssn', '<SSN>', 'g') AS redacted
+      |FROM raw ORDER BY doc_id""".stripMargin
+  }
 }

@@ -151,6 +151,37 @@ object Windows {
       |             RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)
       |ORDER BY o_custkey, o_totalprice, o_orderkey""".stripMargin
 
+  /** Time-interval RANGE frame: per user, the trailing-1-hour event count
+    * and exact value sum at every event — the rate/rolling-metric window a
+    * sessionized event log is queried with. The frame bound is an INTERVAL
+    * over the timestamp ordering (value-based, so simultaneous events are
+    * frame peers — deterministic, unlike a ROWS frame under ties). One
+    * exchange on user_id; the interval arithmetic is NTZ wall-clock on
+    * both engines, so no session-timezone sensitivity. */
+  def timeRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    // The user_id filter PRECEDES the window (and pushes to the scan):
+    // the partition key is the filter key, so kept users keep all their
+    // events and the frame semantics are unchanged — at scale this is the
+    // difference between windowing the corpus and windowing the slice.
+    val over = "OVER (PARTITION BY user_id ORDER BY ts " +
+      "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"
+    graft.Tables.events(spark, dir)
+      .filter(col("user_id") % 20 === 0)
+      .selectExpr("user_id", "event_id", "ts",
+        s"COUNT(*) $over AS n_last_hour",
+        s"CAST(SUM(CAST(value AS DECIMAL(18,4))) $over AS DOUBLE) AS sum_last_hour")
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  val timeRangeFrameSql: String =
+    """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |  COUNT(*) OVER w AS n_last_hour,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_last_hour
+      |FROM events WHERE user_id % 20 = 0
+      |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+      |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, ts, event_id""".stripMargin
+
   /** first_value / last_value / nth_value over a fully-specified frame. */
   def firstLastNth(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
