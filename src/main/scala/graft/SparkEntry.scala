@@ -146,6 +146,7 @@ object SparkEntry {
     "merge_upsert"        -> (Lakehouse.mergeUpsert _),
     "merge_scd2"          -> (Lakehouse.scd2UserStatus _),
     "cluster_zorder_bins" -> (Lakehouse.zorderBins _),
+    "join_bloom_prefilter" -> (RuntimeFilter.bloomPrefilteredJoin _),
     "events_funnel_ordered"  -> (AdvancedJoins.eventsFunnel _),
     "text_regex_tokens"      -> (TextAnalysis.regexTokens _),
     "text_bigram_lm_score"   -> (TextAnalysis.bigramLmScore _),
@@ -262,6 +263,7 @@ object SparkEntry {
     "merge_upsert"        -> Lakehouse.mergeUpsertSql,
     "merge_scd2"          -> Lakehouse.scd2UserStatusSql,
     "cluster_zorder_bins" -> Lakehouse.zorderBinsSql,
+    "join_bloom_prefilter" -> RuntimeFilter.bloomPrefilteredJoinSql,
     "events_funnel_ordered"  -> AdvancedJoins.eventsFunnelSql,
     "text_regex_tokens"      -> TextAnalysis.regexTokensSql,
     "text_bigram_lm_score"   -> TextAnalysis.bigramLmScoreSql,

@@ -147,7 +147,7 @@ object Lakehouse {
   }
 
   /** 2-D Morton (Z-order) interleave of two 16-bit dims → 32-bit z. */
-  private[ops] def morton2(a: Column, b: Column): Column =
+  private[graft] def morton2(a: Column, b: Column): Column =
     spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
 
   /** The same ladder as portable SQL (DuckDB `<<`/`&`/`|` on BIGINT). */
@@ -163,9 +163,9 @@ object Lakehouse {
     s"(${spread16Sql(a)} | (${spread16Sql(b)} << 1))"
 
   /** Z-order clustering census: lineitem keyed by the Morton interleave of
-    * (l_partkey, l_suppkey), bucketed by the top 10 z bits. Because z-bins
-    * are axis-aligned boxes on the interleaved grid, each bin's
-    * min/max span on BOTH dims is bounded (~2¹¹ here) — the locality
+    * (l_partkey, l_suppkey), bucketed into 32×32 boxes
+    * (z >> 10). Because z-bins are axis-aligned boxes on the interleaved
+    * grid, each bin's min/max span on BOTH dims is bounded (≤ 31) — the locality
     * property that makes a z-sorted layout prunable on either column, vs
     * a single-column sort which is prunable on one. The census output IS
     * that property, hash-checked; the physical clustered write
@@ -175,7 +175,7 @@ object Lakehouse {
     val li = Tables.lineitem(spark, dir).select(
       pmod(col("l_partkey"), lit(65536L)).as("p"),
       pmod(col("l_suppkey"), lit(65536L)).as("s"))
-    li.withColumn("zbin", shiftrightunsigned(morton2(col("p"), col("s")), 22))
+    li.withColumn("zbin", shiftrightunsigned(morton2(col("p"), col("s")), 10))
       .groupBy(col("zbin"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("p")).as("p_min"), max(col("p")).as("p_max"),
@@ -187,7 +187,7 @@ object Lakehouse {
     val z = morton2Sql("l_partkey % 65536", "l_suppkey % 65536")
     s"""WITH zed AS (
       |  SELECT l_partkey % 65536 AS p, l_suppkey % 65536 AS s,
-      |    ($z >> 22) AS zbin
+      |    ($z >> 10) AS zbin
       |  FROM lineitem)
       |SELECT zbin, COUNT(*) AS n_rows,
       |  MIN(p) AS p_min, MAX(p) AS p_max,
