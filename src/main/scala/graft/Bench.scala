@@ -27,6 +27,11 @@ object Bench {
       // SkewJoinSpec pins the skew-split behavior explicitly.
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+      // Scan-split size (env-overridable A/B knob): the sf0.1 tables are
+      // single small parquet files, so with the 128 MiB default every
+      // scan is ONE task regardless of cores.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAXPART", "134217728"))
       // Compression confs stay at Spark defaults (ON): measured A/B
       // (2× interleaved full-bench runs, JVM-per-arm) put
       // shuffle/broadcast/cache compression OFF at ~45.0 s vs ~42.7 s

@@ -102,6 +102,7 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> (Dedup.minhashLsh _),
     "dedup_simhash"       -> (Dedup.simhash _),
     "dedup_connected_components" -> (Dedup.connectedComponents _),
+    "dedup_apply"         -> (Dedup.dedupApply _),
     // Similarity search (north-star)
     "sim_cosine_topk"       -> (Similarity.cosineTopK _),
     "sim_embedding_neardup" -> (Similarity.embeddingNearDup _),
@@ -142,11 +143,13 @@ object SparkEntry {
     "source_json_roundtrip"  -> (Sources.jsonRoundtrip _),
     "source_partitioned_pruned" -> (Sources.partitionedPruned _),
     "source_orc_roundtrip"   -> (Sources.orcRoundtrip _),
+    "source_text_lines"      -> (Sources.textLinesRoundtrip _),
     // Lakehouse maintenance
     "merge_upsert"        -> (Lakehouse.mergeUpsert _),
     "merge_scd2"          -> (Lakehouse.scd2UserStatus _),
     "cluster_zorder_bins" -> (Lakehouse.zorderBins _),
     "join_bloom_prefilter" -> (RuntimeFilter.bloomPrefilteredJoin _),
+    "events_retention_cohorts" -> (AdvancedJoins.retentionCohorts _),
     "events_funnel_ordered"  -> (AdvancedJoins.eventsFunnel _),
     "text_regex_tokens"      -> (TextAnalysis.regexTokens _),
     "text_bigram_lm_score"   -> (TextAnalysis.bigramLmScore _),
@@ -226,6 +229,7 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> Dedup.minhashLshSql,
     "dedup_simhash"       -> Dedup.simhashSql,
     "dedup_connected_components" -> Dedup.connectedComponentsSql,
+    "dedup_apply"         -> Dedup.dedupApplySql,
     "sim_cosine_topk"       -> Similarity.cosineTopKSql,
     "sim_embedding_neardup" -> Similarity.embeddingNearDupSql,
     "sim_ann_lsh_bucketed"  -> Similarity.annLshBucketedSql,
@@ -260,10 +264,12 @@ object SparkEntry {
     "source_json_roundtrip"  -> Sources.jsonRoundtripSql,
     "source_partitioned_pruned" -> Sources.partitionedPrunedSql,
     "source_orc_roundtrip"   -> Sources.orcRoundtripSql,
+    "source_text_lines"      -> Sources.textLinesRoundtripSql,
     "merge_upsert"        -> Lakehouse.mergeUpsertSql,
     "merge_scd2"          -> Lakehouse.scd2UserStatusSql,
     "cluster_zorder_bins" -> Lakehouse.zorderBinsSql,
     "join_bloom_prefilter" -> RuntimeFilter.bloomPrefilteredJoinSql,
+    "events_retention_cohorts" -> AdvancedJoins.retentionCohortsSql,
     "events_funnel_ordered"  -> AdvancedJoins.eventsFunnelSql,
     "text_regex_tokens"      -> TextAnalysis.regexTokensSql,
     "text_bigram_lm_score"   -> TextAnalysis.bigramLmScoreSql,

@@ -221,4 +221,41 @@ object AdvancedJoins {
       |UNION ALL SELECT 'c_click_after_view', COUNT(*) FROM c
       |UNION ALL SELECT 'd_purchase_after_click', COUNT(*) FROM p
       |ORDER BY stage""".stripMargin
+
+  /** Cohort retention matrix: users bucketed by first-seen week (cohort),
+    * counted per week-offset of later activity — THE product-analytics
+    * rollup over an event log. Dataflow: per-user first-day aggregate
+    * (key-only shuffle), distinct (user, day) activity, one join back on
+    * user_id (the first-day side is user-cardinality — small relative to
+    * events; Catalyst broadcasts it when stats allow), then a grouped
+    * distinct count. Week arithmetic is DATE-level (no session-tz
+    * sensitivity); both engines' date_trunc('week') is ISO Monday. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+    val firstDay = e.groupBy(col("user_id")).agg(min(col("d")).as("first_day"))
+    e.distinct()
+      .join(firstDay, "user_id")
+      .select(
+        date_trunc("week", col("first_day")).cast("date").as("cohort_week"),
+        expr("datediff(cast(date_trunc('week', d) as date), " +
+          "cast(date_trunc('week', first_day) as date)) div 7")
+          .cast("long").as("week_no"),
+        col("user_id"))
+      .groupBy(col("cohort_week"), col("week_no"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_no"))
+  }
+
+  val retentionCohortsSql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |fs AS (
+      |  SELECT user_id, MIN(d) AS first_day FROM e GROUP BY user_id)
+      |SELECT CAST(date_trunc('week', first_day) AS DATE) AS cohort_week,
+      |  date_diff('day', date_trunc('week', first_day), date_trunc('week', d)) // 7
+      |    AS week_no,
+      |  COUNT(DISTINCT e.user_id) AS n_users
+      |FROM e JOIN fs USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_no""".stripMargin
 }

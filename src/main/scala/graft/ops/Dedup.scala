@@ -700,6 +700,51 @@ object Dedup {
       |FROM comp JOIN sized USING (canonical_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** The step the whole dedup tier exists for: RETURN THE DEDUPLICATED
+    * CORPUS. Connected components over the verified near-dup graph pick
+    * one canonical doc per cluster (minimum id); every other clustered
+    * doc drops; unclustered docs pass through untouched. Output is the
+    * per-lang census of the surviving corpus.
+    *
+    * Scale: the drop list is O(near-dup docs minus clusters) — key-only
+    * (8 B/doc) and usually a small corpus fraction, but NOT hinted as a
+    * broadcast: at 100 TB a heavily duplicated crawl can make it
+    * executor-memory-sized, and a key-only shuffled anti-join (the
+    * fallback Catalyst picks when stats say it is big) is always safe.
+    * Locally Catalyst broadcasts it from size stats anyway. */
+  def dedupApply(spark: SparkSession, dir: String): DataFrame = {
+    val drop = connectedComponents(spark, dir)
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id"))
+    Tables.documents(spark, dir)
+      .join(drop, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val dedupApplySql: String =
+    s"""WITH RECURSIVE pairs AS (
+      |  SELECT d1, d2 FROM ($nearDupPairsSql) base),
+      |edges AS (
+      |  SELECT d1, d2 FROM pairs
+      |  UNION SELECT d2, d1 FROM pairs
+      |  UNION SELECT d1, d1 FROM pairs
+      |  UNION SELECT d2, d2 FROM pairs),
+      |reach(v, r) AS (
+      |  SELECT d1 AS v, d2 AS r FROM edges
+      |  UNION
+      |  SELECT e.d1 AS v, reach.r
+      |  FROM edges e JOIN reach ON reach.v = e.d2),
+      |comp AS (SELECT v, MIN(r) AS canonical_id FROM reach GROUP BY v),
+      |dropped AS (SELECT v AS doc_id FROM comp WHERE v <> canonical_id)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Oracle twin: re-derives the FNV-1a simhash with HUGEINT arithmetic
     * (64 vote columns), then brute-forces all pairs — the blocking above
     * must reproduce this exactly (completeness for K = 3). */

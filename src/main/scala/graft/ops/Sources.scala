@@ -110,6 +110,32 @@ object Sources {
 
   val orcRoundtripSql: String = censusSql
 
+  /** Raw text-lines source: documents' text written one-doc-per-line via
+    * the text sink, read back with `spark.read.text` — the format every
+    * crawl/log ingest starts from (no schema, no delimiter discipline,
+    * just lines). The census (line count + exact total/min/max line
+    * lengths) must match the same stats computed on the original table's
+    * text column, proving lossless line round-tripping. Writer/reader are
+    * both narrow passes; only the census aggregate shuffles (one row per
+    * partition after partial aggregation). */
+  def textLinesRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = tempDir("graft_text_rt")
+    Tables.documents(spark, dir).select(col("text"))
+      .write.mode("overwrite").text(out)
+    spark.read.text(out)
+      .select(length(col("value")).cast("long").as("len"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("len")).cast("long").as("total_chars"),
+        min(col("len")).as("min_chars"), max(col("len")).as("max_chars"))
+  }
+
+  val textLinesRoundtripSql: String =
+    """SELECT COUNT(*) AS n_lines,
+      |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+      |  CAST(MIN(length(text)) AS BIGINT) AS min_chars,
+      |  CAST(MAX(length(text)) AS BIGINT) AS max_chars
+      |FROM documents""".stripMargin
+
   /** Hive-partitioned sink → partition-PRUNED read-back: documents are
     * written `partitionBy("lang")` and read back with a partition-column
     * filter, which Spark resolves against the directory listing — the

@@ -210,6 +210,79 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("foreachBatch incremental merge converges to the batch aggregate") {
+    // The #1 streaming SINK pattern in production: each micro-batch
+    // upserts into a maintained snapshot table (per-user event count +
+    // latest event time), versioned write per batch. After streaming the
+    // corpus in 3 arrival chunks, the final snapshot must equal the batch
+    // aggregate over everything — per-key mergeability is what makes the
+    // incremental pipeline equivalent to the batch one.
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.DataFrame
+    val streamDir = java.nio.file.Files.createTempDirectory("events_merge_src")
+    val snapRoot = java.nio.file.Files.createTempDirectory("events_merge_snap")
+    val ckpt = java.nio.file.Files.createTempDirectory("events_merge_ckpt")
+    val savedNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    try {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/events.parquet") // ts: long nanos
+        .select(col("user_id"), col("ts"))
+      // three arrival chunks, one file each → 3 micro-batches at
+      // maxFilesPerTrigger=1
+      val Array(lo, hi) = raw.agg(min(col("ts")), max(col("ts"))).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      val cut1 = lo + (hi - lo) / 3
+      val cut2 = lo + 2 * ((hi - lo) / 3)
+      Seq(col("ts") <= cut1, col("ts") > cut1 && col("ts") <= cut2,
+        col("ts") > cut2).foreach { p =>
+        raw.filter(p).coalesce(1).write.mode("append").parquet(streamDir.toString)
+      }
+
+      val current = new java.util.concurrent.atomic.AtomicReference[String](null)
+      val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+      def mergeBatch(batch: DataFrame, id: Long): Unit = {
+        val s = batch.sparkSession
+        val agg = batch.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"), max(col("ts")).as("last_ts"))
+        val prev = Option(current.get()).map(s.read.parquet(_))
+          .getOrElse(s.emptyDataFrame
+            .select(lit(0L).as("user_id"), lit(0L).as("n"), lit(0L).as("last_ts"))
+            .limit(0))
+        val merged = prev.as("p").join(agg.as("b"), Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            (coalesce(col("p.n"), lit(0L)) + coalesce(col("b.n"), lit(0L))).as("n"),
+            greatest(coalesce(col("p.last_ts"), lit(Long.MinValue)),
+              coalesce(col("b.last_ts"), lit(Long.MinValue))).as("last_ts"))
+        val next = s"$snapRoot/v${nBatches.incrementAndGet()}"
+        merged.write.mode("overwrite").parquet(next)
+        current.set(next)
+      }
+
+      val q = spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+        .writeStream
+        .foreachBatch(mergeBatch _)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try assert(q.awaitTermination(120000), "merge stream did not finish")
+      finally q.stop()
+
+      assert(nBatches.get() === 3, s"expected 3 micro-batches, got ${nBatches.get()}")
+      val streamed = spark.read.parquet(current.get())
+      val batchTwin = raw.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), max(col("ts")).as("last_ts"))
+      assert(streamed.exceptAll(batchTwin).count() === 0L)
+      assert(batchTwin.exceptAll(streamed).count() === 0L)
+    } finally {
+      savedNanos match {
+        case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+        case None => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
+    }
+  }
+
   test("dropDuplicatesWithinWatermark over an event-time-ordered source equals the batch twin") {
     // Stage the events parquet re-sorted by event time: with arrival order
     // == event-time order, streaming first-arrival dedup equals the batch
