@@ -33,6 +33,10 @@ object GraftFunctions {
       MinHashSigs(args(0),
         numHashes = args(1).eval().asInstanceOf[Number].intValue())
     },
+    "graft_minhash_sigs_row" -> { args =>
+      MinHashSigsRow(args(0),
+        numHashes = args(1).eval().asInstanceOf[Number].intValue())
+    },
     "graft_bounded_collect" -> { args =>
       BoundedCollectLongs(args(0),
         cap = args(1).eval().asInstanceOf[Number].intValue())

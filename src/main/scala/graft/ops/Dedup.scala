@@ -316,11 +316,31 @@ object Dedup {
     * candidates are tiny. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val sh = hashedShingles(Tables.documents(spark, dir), MaxShingleDf)
-    val cand = minhashCandidates(sh, MaxBucketSize)
+    val docs = Tables.documents(spark, dir)
+    val sh = hashedShingles(docs, MaxShingleDf)
+    val cand = candidatesFromSigs(rowSigs(docs), MaxBucketSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     verifiedPairs(sh, cand, 0.8)
   }
+
+  /** Per-row signatures straight off the scan (graft_minhash_sigs_row —
+    * codegen, no explode/aggregate/shuffle): at 100 TB the aggregate
+    * formulation's only remaining exchange was re-shuffling the exploded
+    * corpus to regroup it by doc; this computes the identical signatures
+    * (when the df cap does not bind — see MinHashSigsRow) inside the
+    * projection and moves nothing. The leading repartition subtree is
+    * BYTE-IDENTICAL to `hashedShingles`' — one exchange feeds both the
+    * shingle cache build and this projection via ReusedExchange, so the
+    * sig path costs zero extra scans or shuffles. */
+  private[ops] def rowSigs(docs: DataFrame): DataFrame =
+    docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        expr("transform(split(text, ' '), t -> xxhash64(t))").as("th"))
+      .filter(size(col("th")) >= 3)
+      .select(col("doc_id"),
+        call_function("graft_minhash_sigs_row",
+          col("th"), lit(NumHashes)).as("sig"))
 
   /** Candidate pairs from banded minhash signatures over a (persisted)
     * hashed-shingle table — ONE shuffle end-to-end.
@@ -339,14 +359,25 @@ object Dedup {
     * bucket OOMs an executor at 100 TB; the bounded aggregate makes the
     * memory ceiling a compile-time constant. */
   private[ops] def minhashCandidates(sh: DataFrame, bucketCap: Int): DataFrame = {
-    // All 64 signature slots come from ONE custom imperative aggregate
+    // Aggregate-path variant, kept next to the per-row production path
+    // (`rowSigs`): signatures over an EXPLICIT (already df-capped) shingle
+    // table — the formulation for corpora where capped shingles must stay
+    // out of the sketch, and the harness the guard specs drive. All 64
+    // slots come from ONE custom imperative aggregate
     // (graft.functions.MinHashSigs): tight JVM hash-and-min loop, 512-byte
     // mergeable buffer, map-side combined — instead of 64 generated
     // min-aggregate columns whose whole-stage-codegen compilation alone
     // cost ~2 s (see MinHashSigs Scaladoc).
-    val sigs = sh.groupBy(col("doc_id"))
-      .agg(call_function("graft_minhash_sigs", col("sh"), lit(NumHashes)).as("sig"))
+    candidatesFromSigs(
+      sh.groupBy(col("doc_id"))
+        .agg(call_function("graft_minhash_sigs",
+          col("sh"), lit(NumHashes)).as("sig")),
+      bucketCap)
+  }
 
+  /** Banding + bounded-bucket pairing over a (doc_id, sig) table — ONE
+    * shuffle end-to-end, shared by both signature derivations. */
+  private[ops] def candidatesFromSigs(sigs: DataFrame, bucketCap: Int): DataFrame = {
     val bandStructs = (0 until Bands).map { b =>
       val rows = (RowsPerBand * b until RowsPerBand * (b + 1))
         .map(i => col("sig").getItem(i))

@@ -13,9 +13,9 @@ import org.apache.spark.sql.functions._
   *
   * Dataflow: the filtered dim's KEYS fold into a fixed-size bloom sketch
   * (one aggregate row, 16 KiB at 2¹⁷ bits — broadcastable no matter how
-  * wide the dim rows are); the sketch cross-joins into the fact scan and
-  * `graft_bloom_contains` drops non-matching fact rows INSIDE the scan's
-  * codegen, before the join exchange. The exact join then runs on the
+  * wide the dim rows are); the sketch embeds as a literal
+  * in the fact scan's filter, where the codegen `graft_bloom_contains`
+  * probe drops non-matching rows before the join exchange. The exact join then runs on the
   * survivors — false positives (a few per mille at these parameters) are
   * eliminated there, so the output is bit-identical to the unfiltered
   * join and the oracle twin is the PLAIN join SQL.
@@ -40,17 +40,28 @@ object RuntimeFilter {
       .select(col("p_partkey"), col("p_brand"))
 
   /** Fact rows surviving the bloom probe — split out so the spec can
-    * measure the pre-join selectivity and false-positive rate. */
+    * measure the pre-join selectivity and false-positive rate.
+    *
+    * The built sketch is collected to the driver and embedded as a
+    * LITERAL in the probe predicate — the same shape Spark's own
+    * InjectRuntimeFilter produces (bloom as a reusable scalar-subquery
+    * result). The collect is CONSTANT-size by construction (BloomBits/8
+    * bytes — 16 KiB — whatever the key count; same fenced pattern as the
+    * IVF centroids, see Similarity.annIvf). The literal matters: a
+    * broadcast-cross-join + filter formulation puts the probe into a
+    * BroadcastNestedLoopJoin CONDITION, which evaluates interpreted, row
+    * by row, outside whole-stage codegen — measured 2.6 s vs ~0.6 s at
+    * sf0.1 for the identical result. As a literal the probe compiles
+    * straight into the scan's generated loop. */
   private[graft] def bloomPrunedFact(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val bloom = dim(spark, dir)
+    val bf: Array[Byte] = dim(spark, dir)
       .agg(call_function("graft_bloom_build",
         col("p_partkey"), lit(BloomBits)).as("bf"))
+      .head().getAs[Array[Byte]](0)
     Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_extendedprice"))
-      .crossJoin(broadcast(bloom))
-      .filter(call_function("graft_bloom_contains", col("bf"), col("l_partkey")))
-      .drop("bf")
+      .filter(call_function("graft_bloom_contains", lit(bf), col("l_partkey")))
   }
 
   def bloomPrefilteredJoin(spark: SparkSession, dir: String): DataFrame =

@@ -31,6 +31,11 @@ object Sources {
     StructField("l_quantity", DoubleType),
     StructField("l_extendedprice", DoubleType)))
 
+  /** No writer repartition: at this scale the serial write beats the
+    * shuffle + many-file read-back (A/B at sf0.1: repartition(32) made
+    * csv 1.2 → 2.0 s and orc 0.9 → 1.3 s). At 100 TB the calculus flips —
+    * writer width gets sized to the cluster with exactly such an explicit
+    * exchange — but the local regime keeps the narrow single-pass plan. */
   private def slice(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir).select(
       col("l_returnflag"), col("l_linestatus"),
