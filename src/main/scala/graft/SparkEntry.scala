@@ -120,8 +120,10 @@ object SparkEntry {
     "multimodal_frame_sample" -> (graft.multimodal.Multimodal.frameSample _),
     "multimodal_image_decode" -> (graft.multimodal.Multimodal.imageDecode _),
     "multimodal_audio_decode" -> (graft.multimodal.Multimodal.audioDecode _),
+    "multimodal_phash_dedup" -> (graft.multimodal.Multimodal.phashDedup _),
     // Streaming shapes (batch twins of the Structured Streaming plans)
     "stream_tumbling_daily" -> (graft.streaming.StreamingOps.tumblingDaily _),
+    "stream_topk_windowed"  -> (graft.streaming.StreamingOps.topkWindowed _),
     "stream_sliding_window" -> (graft.streaming.StreamingOps.slidingWindow _),
     "stream_session_window" -> (graft.streaming.StreamingOps.sessionWindow _),
     "stream_dedup"          -> (graft.streaming.StreamingOps.streamDedup _),
@@ -144,6 +146,7 @@ object SparkEntry {
     "source_partitioned_pruned" -> (Sources.partitionedPruned _),
     "source_orc_roundtrip"   -> (Sources.orcRoundtrip _),
     "source_text_lines"      -> (Sources.textLinesRoundtrip _),
+    "join_dpp_pruned"        -> (Sources.dppPrunedJoin _),
     // Lakehouse maintenance
     "merge_upsert"        -> (Lakehouse.mergeUpsert _),
     "merge_scd2"          -> (Lakehouse.scd2UserStatus _),
@@ -244,7 +247,9 @@ object SparkEntry {
     "multimodal_frame_sample" -> graft.multimodal.Multimodal.frameSampleSql,
     "multimodal_image_decode" -> graft.multimodal.Multimodal.imageDecodeSql,
     "multimodal_audio_decode" -> graft.multimodal.Multimodal.audioDecodeSql,
+    "multimodal_phash_dedup" -> graft.multimodal.Multimodal.phashDedupSql,
     "stream_tumbling_daily" -> graft.streaming.StreamingOps.tumblingDailySql,
+    "stream_topk_windowed"  -> graft.streaming.StreamingOps.topkWindowedSql,
     "stream_sliding_window" -> graft.streaming.StreamingOps.slidingWindowSql,
     "stream_session_window" -> graft.streaming.StreamingOps.sessionWindowSql,
     "stream_dedup"          -> graft.streaming.StreamingOps.streamDedupSql,
@@ -265,6 +270,7 @@ object SparkEntry {
     "source_partitioned_pruned" -> Sources.partitionedPrunedSql,
     "source_orc_roundtrip"   -> Sources.orcRoundtripSql,
     "source_text_lines"      -> Sources.textLinesRoundtripSql,
+    "join_dpp_pruned"        -> Sources.dppPrunedJoinSql,
     "merge_upsert"        -> Lakehouse.mergeUpsertSql,
     "merge_scd2"          -> Lakehouse.scd2UserStatusSql,
     "cluster_zorder_bins" -> Lakehouse.zorderBinsSql,

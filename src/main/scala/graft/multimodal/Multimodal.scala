@@ -152,6 +152,9 @@ object Multimodal {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select(col("doc_id").as("asset_id")).as[Long]
+      // explicit width: the source is one parquet split, and the codec
+      // loop below is the hot CPU path — same rationale as hashedShingles
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         // one encoder context per partition; disable ImageIO's disk cache
         // or every encode/decode spills through a temp file
@@ -282,6 +285,9 @@ object Multimodal {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select(col("doc_id").as("asset_id")).as[Long]
+      // explicit width: the source is one parquet split, and the codec
+      // loop below is the hot CPU path — same rationale as hashedShingles
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         // one encoder format context per partition
         val fmt = new javax.sound.sampled.AudioFormat(
@@ -369,4 +375,98 @@ object Multimodal {
       |       ELSE greatest(1, (CAST(height AS BIGINT) * 256) // greatest(width, height))
       |       END AS BIGINT) AS out_h
       |FROM d ORDER BY asset_id""".stripMargin
+
+  case class PHash(doc_id: Long, simhash: Long)
+
+  /** 64-bit average-hash (aHash) from the REAL decoded pixels: the image
+    * is partitioned into an 8×8 block grid (pixel x → block x·8 div w, so
+    * every block is non-empty for w,h ≥ 8), and bit (by·8+bx) is set iff
+    * that block's mean EXCEEDS the global mean — compared by integer
+    * cross-multiplication (`bsum·npix > total·bn`), so the signature is
+    * exact and the DuckDB oracle reproduces it from the generating
+    * formula without ever touching a double. */
+  private[graft] def phashes(assets: Iterator[ImageAsset]): Iterator[PHash] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    assets.map { a =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.png))
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      val bsum = new Array[Long](64)
+      val bn = new Array[Long](64)
+      var total = 0L
+      var y = 0
+      while (y < h) {
+        val by = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val bit = by * 8 + x * 8 / w
+          val v = raster.getSample(x, y, 0)
+          bsum(bit) += v; bn(bit) += 1; total += v
+          x += 1
+        }
+        y += 1
+      }
+      val npix = w.toLong * h
+      var sig = 0L
+      var b = 0
+      while (b < 64) {
+        if (bsum(b) * npix > total * bn(b)) sig |= (1L << b)
+        b += 1
+      }
+      PHash(a.asset_id, sig)
+    }
+  }
+
+  /** Perceptual near-duplicate images: aHash signatures from the real PNG
+    * decode, paired by the SAME Manku 4×16-bit block banding the text
+    * simhash tier uses (complete for Hamming ≤ 3) — never an all-pairs
+    * join; the DuckDB oracle re-derives every signature arithmetically
+    * (HUGEINT bit assembly, exact integer mean comparison) and
+    * brute-forces all pairs, independently cross-checking both the hash
+    * and the blocking. The corpus genuinely contains duplicate images
+    * (generator pattern repeats with asset_id period 256), so the output
+    * is non-trivial at every SF. */
+  def phashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val sigs = imageAssets(spark, dir).mapPartitions(phashes).toDF()
+    graft.ops.Dedup.hammingPairs(sigs, bucketCap = 1000)
+  }
+
+  val phashDedupSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id AS asset_id,
+      |    CAST(16 + doc_id % 32 AS INTEGER) AS width,
+      |    CAST(16 + (doc_id * 7) % 32 AS INTEGER) AS height
+      |  FROM documents),
+      |px AS (
+      |  SELECT asset_id, width, height,
+      |    ((y.i * 8) // height) * 8 + (x.i * 8) // width AS bit,
+      |    (asset_id * 31 + 7 * x.i + 13 * y.i) % 256 AS v
+      |  FROM dims, range(0, 48) x(i), range(0, 48) y(i)
+      |  WHERE x.i < width AND y.i < height),
+      |blocks AS (
+      |  SELECT asset_id, bit, SUM(v) AS bsum, COUNT(*) AS bn
+      |  FROM px GROUP BY asset_id, bit),
+      |tot AS (
+      |  SELECT asset_id, SUM(v) AS total, COUNT(*) AS npix
+      |  FROM px GROUP BY asset_id),
+      |ph0 AS (
+      |  SELECT b.asset_id,
+      |    SUM(CASE WHEN b.bsum * t.npix > t.total * b.bn
+      |             THEN CAST(power(2, b.bit) AS HUGEINT)
+      |             ELSE CAST(0 AS HUGEINT) END) AS s
+      |  FROM blocks b JOIN tot t USING (asset_id)
+      |  GROUP BY b.asset_id),
+      |ph AS (
+      |  SELECT asset_id,
+      |    CAST(CASE WHEN s >= CAST(9223372036854775808 AS HUGEINT)
+      |              THEN s - CAST(18446744073709551616 AS HUGEINT) ELSE s END
+      |         AS BIGINT) AS sig
+      |  FROM ph0)
+      |SELECT a.asset_id AS d1, b.asset_id AS d2,
+      |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+      |FROM ph a JOIN ph b ON a.asset_id < b.asset_id
+      |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+      |ORDER BY d1, d2""".stripMargin
 }

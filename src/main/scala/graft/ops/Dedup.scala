@@ -75,7 +75,7 @@ object Dedup {
     * exercises the binding case adversarially). */
   private[ops] val MaxShingleDf = 1000
 
-  private[ops] def hashedShingles(docs: DataFrame, maxDf: Int): DataFrame = {
+  private[graft] def hashedShingles(docs: DataFrame, maxDf: Int): DataFrame = {
     // self-registers: the df cap below needs graft_bounded_collect, and
     // callers (contamination, specs) must not depend on some earlier
     // query having registered the functions in the shared session
@@ -332,7 +332,7 @@ object Dedup {
     * BYTE-IDENTICAL to `hashedShingles`' — one exchange feeds both the
     * shingle cache build and this projection via ReusedExchange, so the
     * sig path costs zero extra scans or shuffles. */
-  private[ops] def rowSigs(docs: DataFrame): DataFrame =
+  private[graft] def rowSigs(docs: DataFrame): DataFrame =
     docs.repartition(
       docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
@@ -442,6 +442,14 @@ object Dedup {
       docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         expr("graft_simhash64(split(text, ' '))").as("simhash"))
+    hammingPairs(sig, bucketCap)
+  }
+
+  /** Manku block-banded Hamming-≤-K pairing over ANY (doc_id, simhash)
+    * signature table — shared by the text simhash tier and the multimodal
+    * perceptual-hash tier (same 64-bit-signature problem, same complete
+    * blocking for K ≤ 3). */
+  private[graft] def hammingPairs(sig: DataFrame, bucketCap: Int): DataFrame = {
     val blockStructs = (0 until SimHashBlocks).map { b =>
       struct(lit(b).as("blk"),
         expr(s"shiftrightunsigned(simhash, ${b * 16}) & 65535").as("bits"))

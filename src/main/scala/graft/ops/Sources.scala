@@ -159,6 +159,63 @@ object Sources {
     prunedCensus(spark.read.parquet(out))
   }
 
+  /** Dynamic partition pruning — the star-schema prune: the fact table is
+    * laid out partitioned by o_orderstatus; a status DIM table is
+    * filtered on a NON-KEY attribute (`status_class <> 'pending'`), so
+    * the surviving join keys are only known at runtime. Catalyst injects
+    * a DynamicPruningExpression into the partitioned scan: the dim side
+    * executes first (its broadcast is reused) and the non-qualifying
+    * partition ('P') is never listed or opened. With partition-keyed
+    * layouts at 100 TB this is the highest-leverage prune there is,
+    * complementing the bloom runtime filter (rows, not partitions).
+    * DPP's build-side check wants scan→filter→project — an
+    * aggregate-derived key set does NOT qualify (measured; that shape
+    * falls back to a post-scan join filter), which is why the dim is a
+    * real table here, exactly like the date-dim prunes production DPP
+    * serves. `PlanSpec` asserts the dynamicpruning subquery reaches the
+    * scan and that 'P' is pruned. */
+  def dppPrunedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val factOut = tempDir("graft_dpp_orders")
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(factOut)
+    val dimOut = tempDir("graft_dpp_statusdim")
+    statusDim(spark, dir)
+      .write.mode("overwrite").parquet(dimOut)
+    dppCensus(spark.read.parquet(factOut), spark.read.parquet(dimOut))
+  }
+
+  /** Tiny status dimension (key + class attribute), derived once from the
+    * source table so the query stays self-contained. */
+  private def statusDim(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus")).distinct()
+      .select(col("o_orderstatus"),
+        when(col("o_orderstatus") === "F", lit("done"))
+          .when(col("o_orderstatus") === "O", lit("open"))
+          .otherwise(lit("pending")).as("status_class"))
+
+  /** Split out so PlanSpec can assert the pruning subquery on the plan. */
+  private[graft] def dppCensus(fact: DataFrame, dim: DataFrame): DataFrame =
+    fact.join(broadcast(dim.filter(col("status_class") =!= "pending")),
+        Seq("o_orderstatus"))
+      .groupBy(col("o_orderstatus"), col("status_class"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+
+  val dppPrunedJoinSql: String =
+    """WITH dim AS (
+      |  SELECT o_orderstatus,
+      |    CASE o_orderstatus WHEN 'F' THEN 'done' WHEN 'O' THEN 'open'
+      |         ELSE 'pending' END AS status_class
+      |  FROM (SELECT DISTINCT o_orderstatus FROM orders) s)
+      |SELECT o.o_orderstatus, d.status_class, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM orders o JOIN dim d USING (o_orderstatus)
+      |WHERE d.status_class <> 'pending'
+      |GROUP BY 1, 2 ORDER BY o_orderstatus""".stripMargin
+
   /** Split out so PlanSpec can assert PartitionFilters on the same plan. */
   private[graft] def prunedCensus(partitioned: DataFrame): DataFrame =
     partitioned

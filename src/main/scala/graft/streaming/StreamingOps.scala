@@ -31,6 +31,38 @@ object StreamingOps {
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY day_start, event_type""".stripMargin
 
+  /** Windowed top-k: the 2 most frequent event types per tumbling day
+    * (ties broken by type name) — the trending-items rollup every event
+    * dashboard runs; in streaming deployment the same plan runs per
+    * closed window on the watermark (rank-on-update via foreachBatch or
+    * complete-mode sink). Aggregate first, rank over the tiny per-window
+    * census — the window function never touches raw events. */
+  def topkWindowed(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("day_start"), col("event_type"), col("n_events"))
+    val byDay = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("day_start"))
+      .orderBy(col("n_events").desc, col("event_type"))
+    counts.withColumn("rk", row_number().over(byDay))
+      .filter(col("rk") <= 2)
+      .orderBy(col("day_start"), col("rk"))
+  }
+
+  val topkWindowedSql: String =
+    """WITH c AS (
+      |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+      |    event_type, COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT day_start, event_type, n_events,
+      |    ROW_NUMBER() OVER (PARTITION BY day_start
+      |      ORDER BY n_events DESC, event_type) AS rk
+      |  FROM c)
+      |SELECT day_start, event_type, n_events, rk
+      |FROM r WHERE rk <= 2 ORDER BY day_start, rk""".stripMargin
+
   /** Sliding window (1 day, advancing 12h): each event lands in 2 windows. */
   def slidingWindow(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

@@ -35,6 +35,37 @@ class MinHashSigsSpec extends AnyFunSuite {
     assert(a.zip(b).forall { case (x, y) => y <= x })
   }
 
+  test("per-row signatures equal the aggregate path on random corpora") {
+    // The production path (graft_minhash_sigs_row off the raw token
+    // hashes) and the aggregate path (graft_minhash_sigs over the
+    // exploded df-capped shingle table) must produce IDENTICAL signatures
+    // whenever the df cap does not bind — same shingle fold, same family,
+    // min duplicate-insensitive. This is the invariant that let the
+    // pipeline drop the regroup shuffle.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docs = (0L until 200L).map { id =>
+      val n = 1 + rnd.nextInt(30) // includes <3-token docs (no shingles)
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val rowPath = graft.ops.Dedup.rowSigs(docs)
+    val aggPath = graft.ops.Dedup
+      .hashedShingles(docs, maxDf = Int.MaxValue)
+      .groupBy(col("doc_id"))
+      .agg(call_function("graft_minhash_sigs", col("sh"), lit(64)).as("sig"))
+    val row = rowPath.as[(Long, Seq[Long])].collect().toMap
+    val viaAgg = aggPath.as[(Long, Seq[Long])].collect().toMap
+    // both paths drop <3-token docs (no shingles): identical key sets
+    assert(row.keySet === viaAgg.keySet)
+    viaAgg.foreach { case (id, sig) =>
+      assert(row(id) === sig, s"doc $id signatures diverge")
+    }
+  }
+
   test("null inputs are ignored") {
     val withNull = agg.update(updated(Seq(7L)), InternalRow(null))
     assert(withNull.toSeq === updated(Seq(7L)).toSeq)

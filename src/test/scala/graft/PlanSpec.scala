@@ -78,6 +78,40 @@ class PlanSpec extends AnyFunSuite {
       s"pruning must be directory-level only — no row-level data filter:\n$p")
   }
 
+  test("DPP join prunes fact partitions with a runtime subquery") {
+    // write the partitioned layout once, then assert the census plan
+    // carries a dynamic-pruning subquery on the partitioned scan (the
+    // partitions to read come from the runtime aggregate, not a static
+    // filter) — and that executing it prunes the rare 'P' partition.
+    val out = java.nio.file.Files.createTempDirectory("graft_dpp_spec").toString
+    try {
+      import org.apache.spark.sql.functions.{col, lit, when}
+      graft.Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+      val dim = graft.Tables.orders(spark, dir)
+        .select(col("o_orderstatus")).distinct()
+        .select(col("o_orderstatus"),
+          when(col("o_orderstatus") === "F", lit("done"))
+            .when(col("o_orderstatus") === "O", lit("open"))
+            .otherwise(lit("pending")).as("status_class"))
+        .write.mode("overwrite").parquet(s"$out-dim")
+      val df = Sources.dppCensus(
+        spark.read.parquet(out), spark.read.parquet(s"$out-dim"))
+      val planStr = df.queryExecution.executedPlan.toString
+      assert(planStr.contains("dynamicpruningexpression"),
+        "partition filter must be a runtime DPP subquery")
+      // dim filter drops status_class 'pending' → partition 'P' pruned
+      val kept = df.collect().map(_.getString(0)).toSet
+      assert(kept === Set("F", "O"), s"expected P pruned, got $kept")
+    } finally {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del)); f.delete(): Unit
+      }
+      del(new java.io.File(out)); del(new java.io.File(s"$out-dim"))
+    }
+  }
+
   test("global ranged sort: RangePartitioning exchange, no single-partition data sort") {
     import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
     import org.apache.spark.sql.execution.SortExec
