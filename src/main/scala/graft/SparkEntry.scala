@@ -138,6 +138,7 @@ object SparkEntry {
     "pipe_mixture_sample"   -> (Pipeline.mixtureSample _),
     "pipe_length_buckets"   -> (Pipeline.lengthBuckets _),
     "pipe_stratified_sample" -> (Pipeline.stratifiedSample _),
+    "pipe_quality_constraints" -> (Pipeline.qualityConstraints _),
     // Round 5: histogram agg, binned interval join, CSV/JSON round-trips
     "agg_histogram"          -> (Aggregations.histogram _),
     "join_interval_binned"   -> (AdvancedJoins.priorEventsWindow _),
@@ -263,6 +264,7 @@ object SparkEntry {
     "pipe_mixture_sample"   -> Pipeline.mixtureSampleSql,
     "pipe_length_buckets"   -> Pipeline.lengthBucketsSql,
     "pipe_stratified_sample" -> Pipeline.stratifiedSampleSql,
+    "pipe_quality_constraints" -> Pipeline.qualityConstraintsSql,
     "agg_histogram"          -> Aggregations.histogramSql,
     "join_interval_binned"   -> AdvancedJoins.priorEventsWindowSql,
     "source_csv_roundtrip"   -> Sources.csvRoundtripSql,

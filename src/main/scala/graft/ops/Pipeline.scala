@@ -389,6 +389,71 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  /** Data-quality constraint report (the Deequ-style validation gate a
+    * pipeline runs before consuming a drop): completeness, key
+    * uniqueness, value bounds, domain membership, and referential
+    * integrity — emitted as one (constraint, metric, passed) row each.
+    * All scalar metrics come from ONE pass over the fact table (a single
+    * aggregate; the distinct-key count rides the same shuffle); the
+    * referential check is a key-only anti-join against orders. The
+    * uniqueness constraint genuinely FAILS on this corpus
+    * ((l_orderkey, l_linenumber) repeats) — a report that can only say
+    * "passed" tests nothing. */
+  def qualityConstraints(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val metrics = li.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("l_returnflag").isNotNull, 1L).otherwise(0L)).as("nn_flag"),
+      countDistinct(col("l_orderkey"), col("l_linenumber")).as("n_pk"),
+      min(col("l_quantity")).as("min_qty"),
+      max(col("l_discount")).as("max_disc"),
+      sum(when(col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L))
+        .as("n_dom"))
+    val orphans = li.select(col("l_orderkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    metrics.crossJoin(orphans)
+      .select(expr(
+        """stack(6,
+          |'completeness_returnflag', cast(nn_flag as double) / n, nn_flag = n,
+          |'unique_orderkey_linenumber', cast(n_pk as double) / n, n_pk = n,
+          |'min_quantity_ge_1', cast(min_qty as double), min_qty >= 1.0,
+          |'max_discount_le_0.1', cast(max_disc as double), max_disc <= 0.1,
+          |'returnflag_in_domain', cast(n_dom as double) / n, n_dom = n,
+          |'ref_integrity_orders', cast(n_orphans as double), n_orphans = 0
+          |) as (constraint_name, metric, passed)""".stripMargin))
+      .orderBy(col("constraint_name"))
+  }
+
+  val qualityConstraintsSql: String =
+    """WITH m AS (
+      |  SELECT COUNT(*) AS n,
+      |    SUM(CASE WHEN l_returnflag IS NOT NULL THEN 1 ELSE 0 END) AS nn_flag,
+      |    COUNT(DISTINCT (l_orderkey, l_linenumber)) AS n_pk,
+      |    MIN(l_quantity) AS min_qty,
+      |    MAX(l_discount) AS max_disc,
+      |    SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END) AS n_dom
+      |  FROM lineitem),
+      |o AS (
+      |  SELECT COUNT(*) AS n_orphans FROM lineitem l
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l.l_orderkey)),
+      |r AS (
+      |  SELECT 'completeness_returnflag' AS constraint_name,
+      |    CAST(nn_flag AS DOUBLE) / n AS metric, nn_flag = n AS passed
+      |  FROM m, o
+      |  UNION ALL SELECT 'unique_orderkey_linenumber',
+      |    CAST(n_pk AS DOUBLE) / n, n_pk = n FROM m, o
+      |  UNION ALL SELECT 'min_quantity_ge_1',
+      |    CAST(min_qty AS DOUBLE), min_qty >= 1.0 FROM m, o
+      |  UNION ALL SELECT 'max_discount_le_0.1',
+      |    CAST(max_disc AS DOUBLE), max_disc <= 0.1 FROM m, o
+      |  UNION ALL SELECT 'returnflag_in_domain',
+      |    CAST(n_dom AS DOUBLE) / n, n_dom = n FROM m, o
+      |  UNION ALL SELECT 'ref_integrity_orders',
+      |    CAST(n_orphans AS DOUBLE), n_orphans = 0 FROM m, o)
+      |SELECT constraint_name, metric, passed FROM r ORDER BY constraint_name""".stripMargin
+
   val stratifiedSampleSql: String =
     """WITH r AS (
       |  SELECT lang, doc_id, n_chars,
