@@ -112,6 +112,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2 runs both window passes over ONE hash exchange") {
+    // change-filter (lag) and validity-range (lead) share the user_id
+    // partitioning: Spark must not re-shuffle between them — at 100 TB a
+    // second exchange would double the op's cost for nothing. The only
+    // other exchange allowed is the final ORDER BY's range partitioning.
+    val p = planString(Lakehouse.scd2UserStatus(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"scd2 must shuffle exactly once on user_id:\n$p")
+  }
+
+  test("time-range window uses a true RANGE frame over the interval") {
+    // a ROWS frame under timestamp ties would be nondeterministic; the
+    // optimized plan must carry a RangeFrame with the interval bound
+    val p = Windows.timeRangeFrame(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("specifiedwindowframe(RangeFrame"),
+      "trailing-hour frame must be value-based (RANGE), not ROWS")
+    assert(p.contains("HOUR"), "frame bound must be the hour interval")
+  }
+
   test("global ranged sort: RangePartitioning exchange, no single-partition data sort") {
     import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
     import org.apache.spark.sql.execution.SortExec
