@@ -53,6 +53,7 @@ object SparkEntry {
     "join_anti"                  -> (Joins.anti _),
     "join_range_band"            -> (Joins.rangeBand _),
     "join_three_way"             -> (Joins.threeWay _),
+    "join_bucketed_colocated"    -> (Joins.bucketedColocated _),
     "join_asof"                  -> (AdvancedJoins.asofPurchaseView _),
     "agg_pivot"                  -> (AdvancedJoins.pivotStatusPriority _),
     "agg_percentiles"            -> (AdvancedJoins.percentiles _),
@@ -189,6 +190,7 @@ object SparkEntry {
     "join_anti"                  -> Joins.antiSql,
     "join_range_band"            -> Joins.rangeBandSql,
     "join_three_way"             -> Joins.threeWaySql,
+    "join_bucketed_colocated"    -> Joins.bucketedColocatedSql,
     "join_asof"                  -> AdvancedJoins.asofPurchaseViewSql,
     "agg_pivot"                  -> AdvancedJoins.pivotStatusPrioritySql,
     "agg_percentiles"            -> AdvancedJoins.percentilesSql,

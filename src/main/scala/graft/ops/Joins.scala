@@ -134,6 +134,49 @@ object Joins {
     * two shuffle joins on different keys — the canonical re-partitioning
     * pipeline a 100 TB engine must get right (AQE coalesces the post-join
     * partitions). */
+  /** Bucketed co-located join: both sides saved `bucketBy(8, key)` +
+    * `sortBy(key)` — the storage layout a maintained 100 TB fact table
+    * would have — so the sort-merge join consumes bucket files DIRECTLY:
+    * zero exchange on either side, and grouping on the bucket key stays
+    * exchange-free too (`BucketedJoinSpec` + the hash-exchange-free
+    * assertion in PlanSpec pin it). This is the layout decision that
+    * turns every repeated fact⋈fact shuffle into a scan-side property;
+    * the write cost is paid once per table, not once per query. The MERGE
+    * hint pins the sort-merge path so the demo is bucketing, not a
+    * broadcast that happens to fit. Tables are EXTERNAL (explicit scratch
+    * path) so the shared session's warehouse stays untouched. */
+  def bucketedColocated(spark: SparkSession, dir: String): DataFrame = {
+    val root = Sources.tempDir("graft_bucketed")
+    spark.sql("DROP TABLE IF EXISTS graft_orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS graft_lineitem_bkt")
+    Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderstatus"))
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$root/orders").mode("overwrite")
+      .saveAsTable("graft_orders_bkt")
+    Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_quantity"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$root/lineitem").mode("overwrite")
+      .saveAsTable("graft_lineitem_bkt")
+    bucketedColocatedJoin(spark.table("graft_orders_bkt"),
+      spark.table("graft_lineitem_bkt"))
+  }
+
+  /** Split out so PlanSpec can assert the exchange-free shape. */
+  private[graft] def bucketedColocatedJoin(o: DataFrame, li: DataFrame): DataFrame =
+    o.hint("merge")
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("o_orderkey") % 100 === 0)
+      .orderBy(col("o_orderkey"))
+
+  val bucketedColocatedSql: String =
+    """SELECT o_orderkey, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey % 100 = 0
+      |GROUP BY 1 ORDER BY o_orderkey""".stripMargin
+
   def threeWay(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir)

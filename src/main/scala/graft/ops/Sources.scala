@@ -75,7 +75,7 @@ object Sources {
     p
   }
 
-  private[ops] def tempDir(name: String): String =
+  private[graft] def tempDir(name: String): String =
     scratchRoot.resolve(name).toString
 
   /** lineitem slice → CSV files → read back (explicit schema, header) →

@@ -19,6 +19,14 @@ class BucketedJoinSpec extends AnyFunSuite {
     finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("inventory query join_bucketed_colocated runs with zero hash exchanges") {
+    val df = graft.ops.Joins.bucketedColocated(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join + bucket-key aggregation must not shuffle:\n$p")
+  }
+
   private def bucketedJoinBody(): Unit = {
     spark.sql("DROP TABLE IF EXISTS orders_bkt")
     spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
