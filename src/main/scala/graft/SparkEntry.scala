@@ -104,6 +104,7 @@ object SparkEntry {
     "dedup_simhash"       -> (Dedup.simhash _),
     "dedup_connected_components" -> (Dedup.connectedComponents _),
     "dedup_apply"         -> (Dedup.dedupApply _),
+    "graph_pagerank_bipartite" -> (Graph.pagerankBipartite _),
     // Similarity search (north-star)
     "sim_cosine_topk"       -> (Similarity.cosineTopK _),
     "sim_embedding_neardup" -> (Similarity.embeddingNearDup _),
@@ -236,6 +237,7 @@ object SparkEntry {
     "dedup_simhash"       -> Dedup.simhashSql,
     "dedup_connected_components" -> Dedup.connectedComponentsSql,
     "dedup_apply"         -> Dedup.dedupApplySql,
+    "graph_pagerank_bipartite" -> Graph.pagerankBipartiteSql,
     "sim_cosine_topk"       -> Similarity.cosineTopKSql,
     "sim_embedding_neardup" -> Similarity.embeddingNearDupSql,
     "sim_ann_lsh_bucketed"  -> Similarity.annLshBucketedSql,
