@@ -37,24 +37,35 @@ object Graph {
     // in- and out-degree ≥ 1 (no dangling-mass handling needed)
     val edges = e0.select(col("a").as("src"), col("b").as("dst"))
       .union(e0.select(col("b").as("src"), col("a").as("dst")))
+    // The degree table IS the node table (unique per src, node-sized):
+    // nodes, N, and r0 all derive from this one cached aggregate — no
+    // separate distinct pass. Persisted node-sized; the edge table joins
+    // it by BROADCAST (narrow — no co-partitioning shuffle of edges).
+    // On a graph whose node table exceeds broadcast size, drop this hint
+    // (and the per-round one): the joins degrade to shuffles on src and
+    // the dataflow is the standard partitioned PageRank — same plan
+    // shape, keyed exchanges instead of broadcasts.
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // (src, dst, deg): referenced once per round — persist, or each round
-    // re-derives the distinct + union + degree subtree from the scan
-    val ed = edges.join(deg, "src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = edges.select(col("src").as("node")).distinct()
-    val nDf = nodes.agg(count(lit(1)).as("nn"))
-    val r0 = nodes.crossJoin(broadcast(nDf))
-      .select(col("node"), expr(s"$Scale div nn").as("r"))
+    val ed = edges.join(broadcast(deg), "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDf = deg.agg(count(lit(1)).as("nn"))
+    // N rides the rank table as a constant column: a crossJoin-broadcast
+    // of the count per round would add a stage wave per iteration for a
+    // value that never changes (max(nn) in the round aggregate recovers
+    // it for free).
+    val r0 = deg.select(col("src").as("node")).crossJoin(broadcast(nDf))
+      .select(col("node"), expr(s"$Scale div nn").as("r"), col("nn"))
     val rFinal = (1 to Rounds).foldLeft(r0) { (r, _) =>
       ed.join(broadcast(r), col("src") === col("node"))
         .groupBy(col("dst"))
-        .agg(sum(expr("r div deg")).as("inc"))
-        .crossJoin(broadcast(nDf))
+        .agg(sum(expr("r div deg")).as("inc"), max(col("nn")).as("nn"))
         .select(col("dst").as("node"),
-          expr(s"(15 * ($Scale div nn)) div 100 + (85 * inc) div 100").as("r"))
+          expr(s"(15 * ($Scale div nn)) div 100 + (85 * inc) div 100").as("r"),
+          col("nn"))
     }
-    rFinal.orderBy(col("r").desc, col("node")).limit(20)
+    rFinal.select(col("node"), col("r"))
+      .orderBy(col("r").desc, col("node")).limit(20)
   }
 
   val pagerankBipartiteSql: String = {
