@@ -98,6 +98,7 @@ object SparkEntry {
     "multimodal_joined_pipeline" -> (TpchShapes.multimodalJoinedPipeline _),
     // Dedup (north-star)
     "dedup_exact"         -> (Dedup.exact _),
+    "dedup_exact_normalized" -> (Dedup.exactNormalized _),
     "dedup_keep_first"    -> (Dedup.keepFirst _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash_lsh"   -> (Dedup.minhashLsh _),
@@ -228,6 +229,7 @@ object SparkEntry {
     "tpch_q5_local_supplier"    -> TpchShapes.q5LocalSupplierVolumeSql,
     "multimodal_joined_pipeline" -> TpchShapes.multimodalJoinedPipelineSql,
     "dedup_exact"         -> Dedup.exactSql,
+    "dedup_exact_normalized" -> Dedup.exactNormalizedSql,
     "dedup_keep_first"    -> Dedup.keepFirstSql,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
     // LSH tiers output exact-Jaccard-verified pairs (threshold 0.8), so

@@ -45,6 +45,43 @@ object Dedup {
     """SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_dups
       |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin
 
+  /** Exact dedup AFTER normalization — the tier `Pipeline.normalizeStats`
+    * exists to justify: lowercase, strip non-alphanumerics, collapse
+    * spaces, trim, then dedup on the normalized form (catches the
+    * case/punctuation-variant duplicates byte-exact dedup misses, at the
+    * same key-only-shuffle cost). Output is the per-lang census: docs in,
+    * distinct surviving forms, and how many dropped — plus the canonical
+    * (minimum) id sum as a content check on WHICH docs survived. */
+  def exactNormalized(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    d.select(col("lang"), norm.as("norm"), col("doc_id"))
+      .groupBy(col("lang"), col("norm"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_forms"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_forms")).as("n_docs"),
+        count(lit(1)).as("n_kept"),
+        (sum(col("n_forms")) - count(lit(1))).cast("long").as("n_dropped"),
+        sum(col("canonical_id")).cast("long").as("canonical_id_sum"))
+      .orderBy(col("lang"))
+  }
+
+  val exactNormalizedSql: String =
+    """WITH n AS (
+      |  SELECT lang, doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |      ' +', ' ', 'g')) AS norm
+      |  FROM documents),
+      |g AS (
+      |  SELECT lang, norm, MIN(doc_id) AS canonical_id, COUNT(*) AS n_forms
+      |  FROM n GROUP BY lang, norm)
+      |SELECT lang, CAST(SUM(n_forms) AS BIGINT) AS n_docs,
+      |  COUNT(*) AS n_kept,
+      |  CAST(SUM(n_forms) - COUNT(*) AS BIGINT) AS n_dropped,
+      |  CAST(SUM(canonical_id) AS BIGINT) AS canonical_id_sum
+      |FROM g GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Deterministic "keep first" dedup: one representative row per
     * (lang, source), chosen by smallest doc_id — the deterministic version
     * of dropDuplicates (which keeps an arbitrary row and would never
