@@ -6,11 +6,13 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType}
 
-/** Blocked-free classic Bloom filter over long keys, shared by the build
-  * aggregate (`BloomBuildLongs`) and the probe expression
-  * (`BloomMightContain`). K positions per key come from Kirsch-Mitzenmacher
-  * double hashing (h1 + i·h2) over a splitmix64 mix — one multiply chain
-  * per key, no per-i rehash.
+/** Blocked-free classic Bloom filter (Bloom, "Space/time trade-offs in
+  * hash coding with allowable errors", CACM 1970) over long keys, shared
+  * by the build aggregate (`BloomBuildLongs`) and the probe expression
+  * (`BloomMightContain`). K positions per key come from double hashing
+  * (h1 + i·h2; Kirsch/Mitzenmacher, "Less hashing, same performance",
+  * ESA 2006) over a splitmix64 mix — one multiply chain per key, no
+  * per-i rehash.
   *
   * This is the RUNTIME FILTER primitive (the semi-join pushdown every
   * warehouse engine injects for selective dim→fact joins): build once over

@@ -378,7 +378,8 @@ object Multimodal {
 
   case class PHash(doc_id: Long, simhash: Long)
 
-  /** 64-bit average-hash (aHash) from the REAL decoded pixels: the image
+  /** 64-bit average-hash (aHash — the pHash-family baseline popularized by
+    * Krawetz, "Looks Like It", 2011) from the REAL decoded pixels: the image
     * is partitioned into an 8×8 block grid (pixel x → block x·8 div w, so
     * every block is non-empty for w,h ≥ 8), and bit (by·8+bx) is set iff
     * that block's mean EXCEEDS the global mean — compared by integer

@@ -135,8 +135,9 @@ object Lakehouse {
 
   // -------------------------------------------------------------- Z-order
 
-  /** Morton bit-spread of a 16-bit value into the even bits of a 32-bit
-    * word — the classic magic-mask ladder, all LONG arithmetic so both
+  /** Morton-code (Morton 1966; the Z-order curve of Orenstein/Merrett 1984
+    * and Delta/Databricks OPTIMIZE ZORDER) bit-spread of a 16-bit value
+    * into the even bits of a 32-bit word — the classic magic-mask ladder, all LONG arithmetic so both
     * engines evaluate identically. */
   private def spread16(x: Column): Column = {
     val s0 = x.bitwiseAND(lit(65535L))
