@@ -163,6 +163,55 @@ object AdvancedJoins {
       .orderBy(col("event_id"))
   }
 
+  /** Attribution pairs — the other canonical interval-join shape: every
+    * (view, purchase) pair by the same user with the purchase inside the
+    * 30 minutes AFTER the view, with the exact attribution lag. This is
+    * the batch twin of a stream-stream interval join (two watermarked
+    * streams, join condition `p.ts ∈ (v.ts, v.ts + 30m]`; the real
+    * readStream version of the same dataflow is
+    * [[graft.streaming.StreamingOps.streamingPriorEventsJoin]]).
+    *
+    * Executed binned like [[priorEventsWindowDf]]: views replicate to
+    * their 30-minute bin and the next (a width-W interval spans ≤ 2
+    * width-W bins), purchases stay in their own bin, candidates equi-join
+    * on (user_id, bin) — linear shuffle, no per-user nested loop. A view
+    * replica pair can match a purchase at most once (the two replicas
+    * live in different bins). Bins derive from NTZ wall-clock fields —
+    * timezone-independent (see the DST note in priorEventsWindowDf). The
+    * lag is an exact integer microsecond diff, so both engines agree
+    * bit-for-bit. */
+  def attributionPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+        expr("unix_date(cast(ts as date)) * 48 + hour(ts) * 2 + minute(ts) div 30")
+          .as("bin"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("v_event"),
+        col("ts").as("v_ts"),
+        explode(array(col("bin"), col("bin") + 1)).as("bin"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_event"),
+        col("ts").as("p_ts"), col("bin"))
+    views.join(purchases, Seq("user_id", "bin"))
+      .filter(col("p_ts") > col("v_ts") &&
+        col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTE"))
+      .select(col("user_id"), col("v_event"), col("p_event"),
+        expr("timestampdiff(MICROSECOND, v_ts, p_ts)").as("lag_us"))
+      .orderBy(col("p_event"), col("v_event"))
+  }
+
+  val attributionPairsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events)
+      |SELECT v.user_id, v.event_id AS v_event, p.event_id AS p_event,
+      |  date_diff('microsecond', v.ts, p.ts) AS lag_us
+      |FROM e v JOIN e p
+      |  ON p.user_id = v.user_id
+      |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+      |  AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+      |ORDER BY p_event, v_event""".stripMargin
+
   val priorEventsWindowSql: String =
     """WITH e AS (
       |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts

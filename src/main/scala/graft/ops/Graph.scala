@@ -93,4 +93,82 @@ object Graph {
       |  ${round("r2")})
       |SELECT node, r FROM r3 ORDER BY r DESC, node LIMIT 20""".stripMargin
   }
+
+  // Co-occurrence graph knobs: a (event_type, hour) bucket with more than
+  // MaxBucketUsers users is dropped before pairing (the hot-bucket cap that
+  // bounds the quadratic pair expansion — same posture as the LSH tiers in
+  // [[Dedup]]), and a user pair must co-occur in at least MinCooccur
+  // buckets to become an edge (sparsifies the saturated co-presence graph
+  // into a repeated-interaction one).
+  private val MaxBucketUsers = 40
+  private val MinCooccur = 4
+
+  /** Triangle counting (Schank/Wagner 2005 compact-forward shape) over the
+    * user co-occurrence graph: top-20 users by triangle participation.
+    *
+    * Edges are oriented a<b once (each triangle is generated exactly once
+    * as a<b<c), then counted by the two-path + closing-edge equi-join —
+    * the standard distributed formulation: both joins are plain hash
+    * shuffles on node keys, never a cartesian. The quadratic step (pairs
+    * within a bucket) is bounded by MaxBucketUsers²; at 100 TB the further
+    * refinement is degree-ordering the orientation (arrows point to the
+    * higher-degree endpoint) which caps two-path fan-out at O(E^1.5) —
+    * same dataflow, one extra degree join, noted not built because the
+    * id-orientation already meets the inventory's scale bar on capped
+    * buckets. The DuckDB twin runs the identical relational program. */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.events(spark, dir)
+      .select(col("event_type"), date_trunc("HOUR", col("ts")).as("hb"),
+        col("user_id"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ok = occ.groupBy(col("event_type"), col("hb"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= MaxBucketUsers)
+      .select(col("event_type"), col("hb"))
+    // bucket-id table is (types × hours)-sized → broadcast; occ then
+    // self-joins on the bucket key (hash shuffle, both sides identical —
+    // the exchange is computed once and reused)
+    val occOk = occ.join(broadcast(ok), Seq("event_type", "hb"))
+    val edges = occOk.as("x").join(occOk.as("y"), Seq("event_type", "hb"))
+      .filter(col("x.user_id") < col("y.user_id"))
+      .groupBy(col("x.user_id").as("a"), col("y.user_id").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= MinCooccur)
+      .select(col("a"), col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e2.a") === col("e1.b"))
+      .join(edges.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("user_id"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("user_id"))
+      .limit(20)
+  }
+
+  val triangleCountSql: String =
+    s"""WITH occ AS (
+      |  SELECT DISTINCT event_type, date_trunc('hour', ts) AS hb, user_id
+      |  FROM events),
+      |ok AS (
+      |  SELECT event_type, hb FROM occ
+      |  GROUP BY event_type, hb HAVING COUNT(*) <= $MaxBucketUsers),
+      |edges AS (
+      |  SELECT x.user_id AS a, y.user_id AS b
+      |  FROM occ x JOIN ok USING (event_type, hb)
+      |  JOIN occ y USING (event_type, hb)
+      |  WHERE x.user_id < y.user_id
+      |  GROUP BY x.user_id, y.user_id HAVING COUNT(*) >= $MinCooccur),
+      |tri AS (
+      |  SELECT e1.a, e1.b, e2.b AS c
+      |  FROM edges e1
+      |  JOIN edges e2 ON e2.a = e1.b
+      |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b)
+      |SELECT user_id, COUNT(*) AS n_triangles
+      |FROM (SELECT unnest([a, b, c]) AS user_id FROM tri)
+      |GROUP BY user_id
+      |ORDER BY n_triangles DESC, user_id LIMIT 20""".stripMargin
 }

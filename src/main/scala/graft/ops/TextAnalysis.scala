@@ -353,4 +353,55 @@ object TextAnalysis {
       |    '$ssn', '<SSN>', 'g') AS redacted
       |FROM raw ORDER BY doc_id""".stripMargin
   }
+
+  /** TF-IDF top terms: the 3 highest-scoring tokens per document.
+    * tf = in-doc term count; df = documents containing the token; the idf
+    * factor is the FIXED-POINT rational (N·10⁶) div df — integer
+    * arithmetic, so scores are bit-identical across engines (a log-idf is
+    * the same ranking through a monotone map, but transcendentals never
+    * cross-engine hash-match; see the PageRank precedent in
+    * [[graft.ops.Graph]]).
+    * Plan: one explode → (doc,token) count (map-side combined) → token df
+    * aggregate (vocabulary-sized, BROADCAST back — Zipf keeps vocabularies
+    * millions, not billions, at 100 TB) → per-doc top-3 via
+    * WindowGroupLimit (rank filter keeps 3 rows per doc before the window
+    * shuffle). The corpus shuffles once, on (doc,token). */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val tf = d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_fp").desc, col("token"))
+    tf.join(broadcast(df_), "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score_fp", expr("tf * ((n_docs * 1000000) div df)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("token"), col("tf"), col("df"),
+        col("score_fp"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  val tfidfTopTermsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+      |df AS (
+      |  SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, token, tf, df,
+      |    tf * ((n_docs * 1000000) // df) AS score_fp,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                       ORDER BY tf * ((n_docs * 1000000) // df) DESC,
+      |                                token) AS rk
+      |  FROM tf JOIN df USING (token), n)
+      |SELECT doc_id, rk, token, tf, df, score_fp
+      |FROM scored WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 }

@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series resampling (north-star extension): downsample an event
+  * stream into fixed-width OHLC bars — the canonical "resample + first/
+  * last/min/max" rollup of metric and market pipelines.
+  *
+  * First/last within a bar are derived from two ROW_NUMBERs over one
+  * window partition (ascending and descending time, unique-key
+  * tiebreaker), then collapsed by conditional aggregation — this costs a
+  * single Exchange on (series, bar) feeding two sorts, and both engines
+  * agree exactly because the order is total. An argmin/argmax aggregate
+  * would halve the sort work but Spark's `min_by` breaks ties arbitrarily
+  * — not cross-engine-deterministic on tied timestamps, so the windowed
+  * formulation is the contract-grade one.
+  *
+  * Scale: bars are epoch-aligned via Spark's own `window()` (tumbling),
+  * computed per-row inside the scan — the partition key (series, bar) is
+  * bounded (series × bars), and each partition holds one bar's events, so
+  * the window sort never sees more than a bar's worth of rows.
+  */
+object TimeSeries {
+
+  /** 15-minute OHLC bars per event type over the events stream. */
+  def ohlcResample(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts"), col("event_id"), col("value"))
+      .withColumn("bar", window(col("ts"), "15 minutes").getField("start"))
+    val asc = Window.partitionBy(col("event_type"), col("bar"))
+      .orderBy(col("ts"), col("event_id"))
+    val desc = Window.partitionBy(col("event_type"), col("bar"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    e.withColumn("rna", row_number().over(asc))
+      .withColumn("rnd", row_number().over(desc))
+      .groupBy(col("event_type"), col("bar"))
+      .agg(
+        max(when(col("rna") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rnd") === 1, col("value"))).as("close"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"), col("bar"))
+  }
+
+  // Spark's window(ts, 15m) is epoch-aligned; mirrored with integer
+  // epoch-microsecond arithmetic (make_timestamp stays naive/TZ-free).
+  val ohlcResampleSql: String =
+    """WITH b AS (
+      |  SELECT event_type, ts, event_id, value,
+      |    make_timestamp((epoch_us(ts) // 900000000) * 900000000) AS bar
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, bar, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, bar
+      |                       ORDER BY ts, event_id) AS rna,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, bar
+      |                       ORDER BY ts DESC, event_id DESC) AS rnd
+      |  FROM b)
+      |SELECT event_type, bar,
+      |  MAX(CASE WHEN rna = 1 THEN value END) AS open,
+      |  MAX(value) AS high,
+      |  MIN(value) AS low,
+      |  MAX(CASE WHEN rnd = 1 THEN value END) AS close,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM r GROUP BY event_type, bar
+      |ORDER BY event_type, bar""".stripMargin
+}

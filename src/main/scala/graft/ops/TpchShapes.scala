@@ -102,6 +102,39 @@ object TpchShapes {
       .orderBy(col("lang"))
   }
 
+  /** Q18 shape (large-volume customers): orders whose line quantity total
+    * exceeds a threshold, joined back to customer, top-100 by price.
+    * The HAVING aggregate runs first — map-side-combined on l_orderkey, its
+    * survivor set is tiny (big orders are rare), so it BROADCASTS into the
+    * orders join and the fact table shuffles once at most; customer joins
+    * on the already-filtered rows. TakeOrderedAndProject caps the result.
+    * Ref capability: composite join+agg+having pipelines (SURVEY §2b). */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 250.0)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.join(broadcast(big), o("o_orderkey") === big("l_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18LargeOrdersSql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 250.0)
+      |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+      |FROM orders JOIN big ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
   val multimodalJoinedPipelineSql: String =
     """SELECT lang, COUNT(*) AS n_docs,
       |  COUNT(DISTINCT label) AS n_labels,

@@ -225,4 +225,38 @@ object Windows {
       |  CUME_DIST() OVER (PARTITION BY c_nationkey
       |                    ORDER BY c_acctbal, c_custkey) AS cdist
       |FROM customer ORDER BY c_nationkey, c_acctbal, c_custkey""".stripMargin
+
+  /** NTILE(10) decile census per order status: rank orders into price
+    * deciles, then aggregate each decile to its count / price band / exact
+    * sum. The analytic window emits one row per input, but the census
+    * collapses it to statuses × 10 rows — the distribution-profile rollup
+    * a pricing dashboard runs. SQL-standard NTILE over a total order
+    * (price, then unique key) is engine-independent, so both sides bucket
+    * identically. Scale: per-status partitions must fit an executor for
+    * the sort; a 100 TB variant buckets by percent_rank from a sampled CDF
+    * instead — the census shape downstream is unchanged. */
+  def ntileDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    o.withColumn("decile", ntile(10).over(w))
+      .groupBy(col("o_orderstatus"), col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo_price"),
+        max(col("o_totalprice")).as("hi_price"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"), col("decile"))
+  }
+
+  val ntileDecilesSql: String =
+    """WITH d AS (
+      |  SELECT o_orderstatus, o_totalprice,
+      |    NTILE(10) OVER (PARTITION BY o_orderstatus
+      |                    ORDER BY o_totalprice, o_orderkey) AS decile
+      |  FROM orders)
+      |SELECT o_orderstatus, decile, COUNT(*) AS n,
+      |  MIN(o_totalprice) AS lo_price, MAX(o_totalprice) AS hi_price,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM d GROUP BY o_orderstatus, decile
+      |ORDER BY o_orderstatus, decile""".stripMargin
 }
