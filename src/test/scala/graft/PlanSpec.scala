@@ -157,4 +157,42 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(dataSorts.isEmpty, "fact rows must never be globally sorted on one node")
   }
+
+  test("OHLC resample: both window passes and the census share ONE hash exchange") {
+    // rna (asc) and rnd (desc) windows and the bar aggregate all key on
+    // (event_type, bar) — the plan must carry one Exchange; a re-shuffle
+    // between the sorts or before the aggregate would triple the op's
+    // shuffle volume at 100 TB. The only other exchange is the final
+    // ORDER BY's range partitioning.
+    val p = planString(TimeSeries.ohlcResample(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"ohlc must shuffle exactly once on (event_type, bar):\n$p")
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"),
+      "row_number windows must be present")
+  }
+
+  test("TF-IDF: df table broadcasts and rank filter plans as WindowGroupLimit") {
+    val p = planString(TextAnalysis.tfidfTopTerms(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      "token df table must broadcast, never shuffle the tf table again")
+    assert(p.contains("WindowGroupLimit"),
+      "per-doc top-3 must keep 3 rows per group before the window shuffle")
+  }
+
+  test("attribution interval join executes as equi-join, not nested loop") {
+    val plan = AdvancedJoins.attributionPairs(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"binned attribution join must be a hash equi-join:\n$plan")
+  }
+
+  test("triangle count: every join is an equi-join, never a cartesian") {
+    val plan = ops.Graph.triangleCount(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"triangle joins must stay equi-joins:\n$plan")
+    org.apache.spark.sql.SparkSession.active.sharedState.cacheManager.clearCache()
+  }
 }
