@@ -368,7 +368,13 @@ object TextAnalysis {
     * shuffle). The corpus shuffles once, on (doc,token). */
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
+    // Partition the exploded tokens by doc_id ONCE: hash on doc_id (a
+    // subset of the tf grouping key) clusters (doc, token), so the tf
+    // aggregate, the broadcast-join projection, and the per-doc rank
+    // window all ride a single exchange — the df branch reuses it too
+    // (ReusedExchange) before its own vocabulary-sized shuffle.
     val tf = d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .repartition(col("doc_id"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
