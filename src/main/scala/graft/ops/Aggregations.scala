@@ -242,4 +242,44 @@ object Aggregations {
       |  COUNT(*) AS n_orders,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** Deterministic MODE (argmax) per group: the most frequent order
+    * priority per status, plus its share of the group in fixed-point.
+    * `mode()`/`max_by()` tie-break arbitrarily on both engines — not a
+    * cross-engine contract — so the mode is derived as rank-1 over the
+    * (status × priority) census with an explicit total order. The census
+    * is map-side-combined to a bounded table BEFORE the window, so the
+    * rank never touches raw rows — the scale-correct argmax plan. */
+  def modePerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderstatus"))
+      .orderBy(col("n").desc, col("o_orderpriority"))
+    counts
+      .withColumn("rk", row_number().over(w))
+      .withColumn("group_total",
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_orderstatus"))))
+      .filter(col("rk") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+        col("n"), col("group_total"),
+        expr("(n * 1000000) div group_total").as("share_fp"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val modePerGroupSql: String =
+    """WITH c AS (
+      |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      |  FROM orders GROUP BY o_orderstatus, o_orderpriority),
+      |r AS (
+      |  SELECT o_orderstatus, o_orderpriority, n,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+      |                       ORDER BY n DESC, o_orderpriority) AS rk,
+      |    SUM(n) OVER (PARTITION BY o_orderstatus) AS group_total
+      |  FROM c)
+      |SELECT o_orderstatus, o_orderpriority AS mode_priority, n, group_total,
+      |  (n * 1000000) // group_total AS share_fp
+      |FROM r WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin
 }

@@ -1,0 +1,61 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Skyline / Pareto-frontier operator (Börzsönyi et al., ICDE 2001): the
+  * set of points no other point dominates (here: no part that is both
+  * cheaper-or-equal AND larger-or-equal, strict in at least one
+  * dimension).
+  *
+  * The naive plan is the quadratic NOT EXISTS self-join; for 2-D the
+  * frontier is instead computable with sort + prefix-max — linear after
+  * the sort. Dominance splits into two monotone tests over the
+  * price-sorted axis:
+  *   strictMax = max(size) over parts STRICTLY cheaper
+  *   leMax     = max(size) over parts cheaper-or-equal (incl. own tie group)
+  * dominated ⇔ strictMax ≥ size (a strictly cheaper part is at least as
+  * big) OR leMax > size (a cheaper-or-equal part is strictly bigger);
+  * exact duplicate points survive (neither test strict for them), per the
+  * standard skyline definition. Both maxima come from the DISTINCT-PRICE
+  * group table — aggregated, orders of magnitude smaller than the input —
+  * with a running max over consecutive price groups; the points then
+  * broadcast-join back by price. At 100 TB the unpartitioned running max
+  * over price groups becomes the two-pass range-partitioned prefix-max
+  * (exactly the [[Pipeline.packSequences]] exclusive-prefix-sum shape);
+  * the per-point dataflow is unchanged.
+  *
+  * The DuckDB twin runs the NAIVE quadratic NOT EXISTS — an independent
+  * formulation, so agreement cross-validates the prefix-max derivation,
+  * not just the arithmetic. */
+object Skyline {
+
+  def paretoFrontier(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    val grp = pts.groupBy(col("p_retailprice"))
+      .agg(max(col("p_size")).as("gmax"))
+    val w = Window.orderBy(col("p_retailprice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bounds = grp
+      .withColumn("strict_max", max(col("gmax")).over(w))
+      .withColumn("le_max", greatest(col("gmax"),
+        coalesce(col("strict_max"), lit(Int.MinValue))))
+    pts.join(broadcast(bounds), Seq("p_retailprice"))
+      .filter(!(coalesce(col("strict_max") >= col("p_size"), lit(false)) ||
+        col("le_max") > col("p_size")))
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .orderBy(col("p_retailprice"), col("p_partkey"))
+  }
+
+  val paretoFrontierSql: String =
+    """SELECT a.p_partkey, a.p_retailprice, a.p_size
+      |FROM part a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part b
+      |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+      |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+      |ORDER BY a.p_retailprice, a.p_partkey""".stripMargin
+}

@@ -70,4 +70,48 @@ object TimeSeries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       |FROM r GROUP BY event_type, bar
       |ORDER BY event_type, bar""".stripMargin
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * count every consecutive (src → dst) event-type transition (ordered by
+    * time with a unique tiebreaker within each user), then row-normalize
+    * to transition probabilities in FIXED-POINT 10⁶ integer arithmetic
+    * (bit-identical across engines; same rationale as
+    * [[Graph.pagerankBipartite]]'s ranks).
+    *
+    * Plan: one exchange on user_id for the lead() window, then the pair
+    * census map-side-combines into a (types × types)-sized table; the
+    * row-total is a second window over that tiny census, not the events.
+    * This is the sequence-statistics shape (n-gram transition models over
+    * user/session streams) at its scale-correct minimum: the corpus
+    * shuffles once. */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("dst", lead(col("event_type"), 1).over(byUser))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    val bySrc = Window.partitionBy(col("src"))
+    pairs
+      .withColumn("row_total", sum(col("n")).over(bySrc))
+      .withColumn("p_fp", expr("(n * 1000000) div row_total"))
+      .select(col("src"), col("dst"), col("n"), col("row_total"), col("p_fp"))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  val markovTransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS src,
+      |    LEAD(event_type, 1) OVER (PARTITION BY user_id
+      |                              ORDER BY ts, event_id) AS dst
+      |  FROM events),
+      |c AS (
+      |  SELECT src, dst, COUNT(*) AS n FROM seq
+      |  WHERE dst IS NOT NULL GROUP BY src, dst)
+      |SELECT src, dst, n,
+      |  SUM(n) OVER (PARTITION BY src) AS row_total,
+      |  (n * 1000000) // SUM(n) OVER (PARTITION BY src) AS p_fp
+      |FROM c ORDER BY src, dst""".stripMargin
 }
