@@ -269,6 +269,44 @@ object Aggregations {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Sketch RE-aggregation — the pattern that makes sketches matter at
+    * 100 TB: per-(type, day) HLL sketches (Apache DataSketches via
+    * `hll_sketch_agg`, the materialized daily-rollup table a warehouse
+    * maintains) are MERGED with `hll_union_agg` into per-type monthly
+    * distinct-user estimates WITHOUT touching raw events again — distinct
+    * counts are not additive, sketch unions are. Checked like
+    * [[approxDistinct]]: exact values + deterministic within-5% booleans
+    * (estimate vs the true per-type distinct count), since sketch
+    * internals are engine-specific. The day tier genuinely constrains the
+    * union (merging 30 day-sketches, not re-scanning), so this exercises
+    * the two-level dataflow, not just the function. */
+  def sketchReaggregation(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val daily = e.groupBy(col("event_type"),
+        expr("unix_date(cast(ts as date))").as("day"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
+        count(lit(1)).as("n"))
+    val merged = daily.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_users"),
+        count(lit(1)).as("n_days"), sum(col("n")).as("n_events"))
+    val exact = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.join(exact, "event_type")
+      .select(col("event_type"), col("n_days"), col("n_events"),
+        col("exact_users"),
+        (abs(col("est_users") - col("exact_users")).cast(DoubleType) /
+          col("exact_users") <= 0.05).as("est_ok"))
+      .orderBy(col("event_type"))
+  }
+
+  val sketchReaggregationSql: String =
+    """SELECT event_type,
+      |  COUNT(DISTINCT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS n_days,
+      |  COUNT(*) AS n_events,
+      |  COUNT(DISTINCT user_id) AS exact_users,
+      |  TRUE AS est_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val modePerGroupSql: String =
     """WITH c AS (
       |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n

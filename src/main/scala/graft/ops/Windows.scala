@@ -259,4 +259,54 @@ object Windows {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
       |FROM d GROUP BY o_orderstatus, decile
       |ORDER BY o_orderstatus, decile""".stripMargin
+
+  /** Gaps-and-islands: longest run of CONSECUTIVE active days per user.
+    * The classic derivation — island id = day − row_number() over the
+    * user's distinct active days (constant within a consecutive run,
+    * jumps across a gap) — needs only integer date arithmetic, so both
+    * engines agree exactly. Plan: distinct (user, day) pre-partitioned on
+    * user_id so the dedup aggregate, the row_number window, and the
+    * island census all ride ONE exchange (subset-key clustering, same
+    * trick as [[Graph.triangleCount]]); the final per-user max is a
+    * second tiny aggregate on the same partitioning. */
+  def gapsIslands(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), expr("unix_date(cast(ts as date))").as("day"))
+      .repartition(col("user_id"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("run_len"), min(col("day")).as("run_start"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("run_len"), col("run_start"))).as("best"))
+      .select(col("user_id"), col("best.run_len").as("longest_streak"),
+        col("best.run_start").as("streak_start_day"))
+      .orderBy(col("user_id"))
+  }
+
+  // The per-user argmax (longest run, earliest start as tiebreaker) is a
+  // lexicographic struct max in Spark; DuckDB mirrors it with arg-max over
+  // the same composed ordering via ROW_NUMBER.
+  val gapsIslandsSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+      |  FROM events),
+      |isl AS (
+      |  SELECT user_id,
+      |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS island,
+      |    day
+      |  FROM days),
+      |runs AS (
+      |  SELECT user_id, island, COUNT(*) AS run_len, MIN(day) AS run_start
+      |  FROM isl GROUP BY user_id, island),
+      |ranked AS (
+      |  SELECT user_id, run_len, run_start,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY run_len DESC, run_start DESC) AS rk
+      |  FROM runs)
+      |SELECT user_id, run_len AS longest_streak, run_start AS streak_start_day
+      |FROM ranked WHERE rk = 1 ORDER BY user_id""".stripMargin
 }

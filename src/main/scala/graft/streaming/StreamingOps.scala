@@ -204,6 +204,35 @@ object StreamingOps {
         col("a_ts").cast("timestamp_ntz").as("a_ts"))
   }
 
+  /** The real streaming OHLC plan: readStream → watermark → 15-minute
+    * tumbling bars with `min_by`/`max_by` open/close on the UNIQUE
+    * composite (ts, event_id) key — a pure declarative aggregate
+    * (mergeable partial state, no sort, no analytic window), which is
+    * both the streaming-legal formulation and the cheaper batch plan at
+    * scale. The batch twin [[graft.ops.TimeSeries.ohlcResample]] derives
+    * the same bars via ROW_NUMBER (the cross-engine-checkable shape);
+    * StreamingSpec asserts closed-bar agreement between the two. */
+  def streamingOhlcBars(spark: SparkSession, eventsDir: String): DataFrame =
+    Tables.withNanosAsLong(spark) {
+    val schema = spark.read.parquet(eventsDir).schema
+    spark.readStream
+      .schema(schema)
+      .parquet(eventsDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"))
+      .select(col("w.start").cast("timestamp_ntz").as("bar"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** The real streaming dedup plan: readStream → watermark →
     * dropDuplicatesWithinWatermark on the business key. State stores one
     * row per key seen within the watermark horizon and evicts as the

@@ -41,6 +41,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchClosed.exceptAll(streamed).count() === 0L)
   }
 
+  test("streaming OHLC bars equal the batch resample on closed windows") {
+    // min_by/max_by over the unique (ts, event_id) key in the stream must
+    // reproduce the batch twin's ROW_NUMBER-derived open/close exactly —
+    // two independent formulations of the same bars.
+    val staged = java.nio.file.Files.createTempDirectory("events_ohlc")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val q = StreamingOps.streamingOhlcBars(spark, staged.toString)
+      .writeStream
+      .format("memory")
+      .queryName("ohlc_test")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ohlc_test")
+    val maxClosed = streamed.agg(max(col("bar"))).head().getAs[LocalDateTime](0)
+    assert(streamed.count() > 0)
+    val batch = graft.ops.TimeSeries.ohlcResample(spark, dir)
+      .select(col("bar"), col("event_type"), col("open"), col("high"),
+        col("low"), col("close"), col("n_events").cast("long").as("n_events"),
+        col("sum_value"))
+      .filter(col("bar") <= lit(maxClosed))
+    assert(streamed.exceptAll(batch).count() === 0L)
+    assert(batch.exceptAll(streamed).count() === 0L)
+  }
+
   test("streaming sessionization emits the same closed sessions as the batch fold") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
