@@ -48,7 +48,13 @@ object GraftFunctions {
       BloomBuildLongs(args(0),
         numBits = args(1).eval().asInstanceOf[Number].intValue())
     },
-    "graft_bloom_contains" -> { args => BloomMightContain(args(0), args(1)) }
+    "graft_bloom_contains" -> { args => BloomMightContain(args(0), args(1)) },
+    "graft_cms_build" -> { args =>
+      CountMinBuildLongs(args(0),
+        depth = args(1).eval().asInstanceOf[Number].intValue(),
+        width = args(2).eval().asInstanceOf[Number].intValue())
+    },
+    "graft_cms_estimate" -> { args => CountMinEstimate(args(0), args(1)) }
   )
 
   def register(spark: SparkSession): Unit = {

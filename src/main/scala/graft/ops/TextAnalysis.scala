@@ -354,6 +354,47 @@ object TextAnalysis {
       |FROM raw ORDER BY doc_id""".stripMargin
   }
 
+  /** Count-min sketch token frequencies (Cormode/Muthukrishnan 2005):
+    * estimate the top-20 tokens' corpus counts from a 4×4096 counter
+    * sketch built in ONE bounded-memory aggregate pass — the frequency
+    * table for vocabularies too large to hold exactly. Checked the sketch
+    * way ([[Aggregations.approxDistinct]] pattern): exact counts plus two
+    * deterministic booleans — `est_ge_exact` (count-min is one-sided BY
+    * CONSTRUCTION: an estimate below the true count is impossible, so
+    * this pins the implementation, not luck) and `est_within_bound`
+    * (overestimate ≤ ⌈e·N/width⌉, the paper's ε·N bound). The sketch
+    * bytes collect once (fenced CONSTANT-size: 128 KiB whatever the
+    * corpus, same pattern as the bloom literal in [[RuntimeFilter]]) and
+    * the codegen `graft_cms_estimate` probes inline over the tiny top-k
+    * table. */
+  def cmsTokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val row = toks.agg(
+        call_function("graft_cms_build", xxhash64(col("token")),
+          lit(4), lit(4096)).as("cms"),
+        count(lit(1)).as("n_total"))
+      .head()
+    val cms = row.getAs[Array[Byte]](0)
+    val bound = math.ceil(math.E * row.getAs[Long](1) / 4096.0).toLong
+    toks.groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("token"))
+      .limit(20)
+      .withColumn("est",
+        call_function("graft_cms_estimate", lit(cms), xxhash64(col("token"))))
+      .select(col("token"), col("exact_n"),
+        (col("est") >= col("exact_n")).as("est_ge_exact"),
+        (col("est") - col("exact_n") <= bound).as("est_within_bound"))
+      .orderBy(col("exact_n").desc, col("token"))
+  }
+
+  val cmsTokenCountsSql: String =
+    """SELECT token, COUNT(*) AS exact_n,
+      |  TRUE AS est_ge_exact, TRUE AS est_within_bound
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token ORDER BY exact_n DESC, token LIMIT 20""".stripMargin
+
   /** TF-IDF top terms: the 3 highest-scoring tokens per document.
     * tf = in-doc term count; df = documents containing the token; the idf
     * factor is the FIXED-POINT rational (N·10⁶) div df — integer
