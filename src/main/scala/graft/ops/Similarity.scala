@@ -350,4 +350,138 @@ object Similarity {
       |SELECT query_id, vec_id, cos_sim, rnk FROM reranked
       |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
   }
+
+  private val PqM = 4        // subspaces
+  private val PqSub = 16     // dims per subspace (4 × 16 = 64)
+  private val PqK = 8        // codes per subspace codebook
+  private val PqQueryMod = 50L
+
+  /** Product-quantization ANN with ADC scoring (Jégou/Douze/Schmid,
+    * "Product quantization for nearest neighbor search", TPAMI 2011): the
+    * vector splits into 4 × 16-dim subvectors, each quantized against an
+    * 8-entry per-subspace codebook — 64 floats (256 B) compress to 4
+    * code bytes, and queries score against RECONSTRUCTIONS (asymmetric
+    * distance computation) without touching raw corpus vectors.
+    *
+    * Codebooks are seeded from the first k corpus vectors' subvectors —
+    * the k-means init step, held FIXED rather than Lloyd-refined: the
+    * full deterministic-Lloyd machinery is already exercised and
+    * oracle-verified in [[annIvf]]; freezing the codebook here keeps this
+    * twin's SQL tractable while the PQ-specific mechanics (subspace
+    * split, per-subspace argmin encode, ADC scoring) are all live.
+    *
+    * The ADC scan is formulated RELATIONALLY: the approximate score
+    * depends only on (query, code tuple), and the code space is bounded
+    * (k^M = 4096), so the score table is queries × DISTINCT observed
+    * codes — a provably bounded cross join — and the corpus then
+    * EQUI-joins on its code tuple. No per-(query, vector) cartesian
+    * exists in the plan; at 100 TB the corpus side is a scan of a
+    * 4-byte-code column (the 64× compression is the point of PQ),
+    * combining naturally with the IVF cell layout (IVF-PQ). Every dot is
+    * the same left-fold as the other tiers, so both engines agree
+    * bit-for-bit. */
+  def annPqAdc(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val em = Tables.embeddings(spark, dir)
+    // Codebooks: first-k seed subvectors, collected once — CONSTANT size
+    // (k × dim doubles) whatever the corpus, same fenced pattern as the
+    // IVF centroid state.
+    val seeds: Seq[Seq[Double]] = em.filter(col("vec_id") < PqK)
+      .select(col("vec_id").cast("int").as("c"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .collect().toSeq.sortBy(_.getInt(0)).map(_.getSeq[Double](1).toSeq)
+    val cb: Seq[Seq[Seq[Double]]] =
+      (0 until PqM).map(m => seeds.map(_.slice(m * PqSub, (m + 1) * PqSub)))
+
+    def subVec(emb: Column, m: Int): Column = slice(emb, m * PqSub + 1, PqSub)
+    // per-subspace encode: argmin over ‖c‖² − 2·x·c with cid tiebreak
+    // (lexicographic struct min — same contract as the IVF assignment)
+    def code(emb: Column, m: Int): Column = {
+      val structs = (0 until PqK).map { c =>
+        val cent = cb(m)(c)
+        val csq = cent.foldLeft(0.0)((a, x) => a + x * x)
+        struct(
+          (lit(csq) - lit(2.0) *
+            call_function("graft_vec_dot_fd", subVec(emb, m), typedLit(cent))).as("s"),
+          lit(c).as("c"))
+      }
+      array_min(array(structs: _*)).getField("c")
+    }
+
+    val codeCols = (0 until PqM).map(m => s"code$m")
+    val codes = em.select(
+      col("vec_id") +: (0 until PqM).map(m => code(col("embedding"), m).as(s"code$m")): _*)
+    val dcodes = codes.select(codeCols.map(col): _*).distinct()
+    val queries = em.filter(pmod(col("vec_id"), lit(PqQueryMod)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // ADC: reconstruction dot = Σ_m q_m · cb[m][code_m] — a FIXED 4-term
+    // add chain (not an aggregate), so the summation order is pinned
+    def dm(m: Int): Column =
+      call_function("graft_vec_dot_fd", subVec(col("q_emb"), m),
+        element_at(typedLit(cb(m)), col(s"code$m") + 1))
+    val scores = broadcast(queries).crossJoin(dcodes)
+      .withColumn("approx_dot", round(dm(0) + dm(1) + dm(2) + dm(3), 6))
+      .select((col("query_id") +: col("approx_dot") +: codeCols.map(col)): _*)
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dot").desc, col("vec_id"))
+    codes.join(broadcast(scores), codeCols)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("vec_id"), col("approx_dot"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Oracle twin: identical codebook seed, encode argmin, and ADC fold. */
+  val annPqAdcSql: String = {
+    val dotSub = (m: String, e: String, c: String) =>
+      s"""list_sum(list_transform(range(1, $PqSub + 1),
+         |      i -> CAST($e[$m * $PqSub + i] AS DOUBLE) * $c[i]))""".stripMargin
+    s"""WITH cbm AS (SELECT unnest(range($PqM)) AS m),
+      |cb AS (
+      |  SELECT cbm.m, e.vec_id AS c,
+      |    list_transform(list_slice(e.embedding, cbm.m * $PqSub + 1,
+      |      (cbm.m + 1) * $PqSub), x -> CAST(x AS DOUBLE)) AS cent
+      |  FROM embeddings e, cbm WHERE e.vec_id < $PqK),
+      |cbq AS (
+      |  SELECT m, c, cent,
+      |    list_sum(list_transform(cent, x -> x * x)) AS csq FROM cb),
+      |enc AS (
+      |  SELECT vec_id, m, c AS code FROM (
+      |    SELECT e.vec_id, q.m, q.c,
+      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, q.m ORDER BY
+      |        q.csq - 2 * ${dotSub("q.m", "e.embedding", "q.cent")}, q.c) AS rnk
+      |    FROM embeddings e, cbq q) t WHERE rnk = 1),
+      |codes AS (
+      |  SELECT vec_id,
+      |    MAX(CASE WHEN m = 0 THEN code END) AS code0,
+      |    MAX(CASE WHEN m = 1 THEN code END) AS code1,
+      |    MAX(CASE WHEN m = 2 THEN code END) AS code2,
+      |    MAX(CASE WHEN m = 3 THEN code END) AS code3
+      |  FROM enc GROUP BY vec_id),
+      |dcodes AS (SELECT DISTINCT code0, code1, code2, code3 FROM codes),
+      |q AS (SELECT vec_id AS query_id, embedding AS q_emb
+      |  FROM embeddings WHERE vec_id % $PqQueryMod = 0),
+      |scores AS (
+      |  SELECT q.query_id, d.code0, d.code1, d.code2, d.code3,
+      |    round(${dotSub("0", "q.q_emb", "c0.cent")}
+      |        + ${dotSub("1", "q.q_emb", "c1.cent")}
+      |        + ${dotSub("2", "q.q_emb", "c2.cent")}
+      |        + ${dotSub("3", "q.q_emb", "c3.cent")}, 6) AS approx_dot
+      |  FROM q, dcodes d
+      |  JOIN cb c0 ON c0.m = 0 AND c0.c = d.code0
+      |  JOIN cb c1 ON c1.m = 1 AND c1.c = d.code1
+      |  JOIN cb c2 ON c2.m = 2 AND c2.c = d.code2
+      |  JOIN cb c3 ON c3.m = 3 AND c3.c = d.code3),
+      |ranked AS (
+      |  SELECT s.query_id, k.vec_id, s.approx_dot,
+      |    ROW_NUMBER() OVER (PARTITION BY s.query_id
+      |                       ORDER BY s.approx_dot DESC, k.vec_id) AS rnk
+      |  FROM codes k
+      |  JOIN scores s ON s.code0 = k.code0 AND s.code1 = k.code1
+      |               AND s.code2 = k.code2 AND s.code3 = k.code3
+      |  WHERE k.vec_id <> s.query_id)
+      |SELECT query_id, vec_id, approx_dot, rnk FROM ranked
+      |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+  }
 }
