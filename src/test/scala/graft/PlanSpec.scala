@@ -187,6 +187,18 @@ class PlanSpec extends AnyFunSuite {
       s"binned attribution join must be a hash equi-join:\n$plan")
   }
 
+  test("PQ ADC: corpus joins its codes by hash, never a per-vector cartesian") {
+    // the only cross join allowed is queries × distinct code tuples
+    // (bounded by k^M); the corpus side must come back via an equi-join
+    // on the code columns
+    val plan = ops.Similarity.annPqAdc(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"corpus codes must equi-join the bounded score table:\n$plan")
+    val corpusCartesian = plan.contains("CartesianProduct")
+    assert(!corpusCartesian, s"no cartesian may touch the corpus:\n$plan")
+  }
+
   test("triangle count: every join is an equi-join, never a cartesian") {
     val plan = ops.Graph.triangleCount(spark, dir)
       .queryExecution.executedPlan.toString
