@@ -481,4 +481,58 @@ object Pipeline {
       |  CAST(SUM(n_chars) AS BIGINT) AS sample_chars
       |FROM r WHERE rn <= (n_total + 4) // 5
       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  private val ChunkTokens = 64
+  private val ChunkOverlap = 16
+  private val ChunkStride = ChunkTokens - ChunkOverlap
+
+  /** Overlapping-window document chunking manifest — the RAG/retrieval
+    * ingestion shape: each document splits into 64-token chunks with a
+    * 16-token overlap (stride 48). chunk count = 1 + ⌈max(n−C,0)/stride⌉
+    * (every token is covered; the final chunk may be short). Emitted as a
+    * MANIFEST (offsets, lengths, boundary tokens), not materialized chunk
+    * text — at 100 TB the downstream embedder reads (doc, offset) spans
+    * lazily; materializing overlapping text would write the corpus
+    * 1.33× over. Plan: per-row `sequence` explode inside the scan —
+    * linear, no shuffle before the final order. All integer arithmetic,
+    * so the DuckDB range() twin matches exactly. */
+  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("n_chunks",
+        expr(s"1 + (greatest(n - $ChunkTokens, 0) + ${ChunkStride - 1}) " +
+          s"div $ChunkStride"))
+    d.select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_idx"))
+      .withColumn("start_token", col("chunk_idx") * ChunkStride)
+      .withColumn("chunk_len",
+        least(lit(ChunkTokens), col("n") - col("start_token")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_token").cast("long").as("start_token"),
+        col("chunk_len").cast("long").as("chunk_len"),
+        element_at(col("toks"), (col("start_token") + 1).cast("int"))
+          .as("first_token"),
+        element_at(col("toks"),
+          (col("start_token") + col("chunk_len")).cast("int")).as("last_token"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val docChunksSql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, toks, n,
+      |    unnest(range(0, 1 + (greatest(n - $ChunkTokens, 0) + $ChunkStride - 1)
+      |      // $ChunkStride)) AS chunk_idx
+      |  FROM d)
+      |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      |  CAST(chunk_idx * $ChunkStride AS BIGINT) AS start_token,
+      |  CAST(least($ChunkTokens, n - chunk_idx * $ChunkStride) AS BIGINT) AS chunk_len,
+      |  toks[chunk_idx * $ChunkStride + 1] AS first_token,
+      |  toks[chunk_idx * $ChunkStride
+      |    + least($ChunkTokens, n - chunk_idx * $ChunkStride)] AS last_token
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 }

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -114,4 +114,64 @@ object TimeSeries {
       |  SUM(n) OVER (PARTITION BY src) AS row_total,
       |  (n * 1000000) // SUM(n) OVER (PARTITION BY src) AS p_fp
       |FROM c ORDER BY src, dst""".stripMargin
+
+  /** Temporal aggregation lattice: hour → day → month rollups where each
+    * coarser tier re-aggregates the PREVIOUS tier's partials — the raw
+    * table is scanned ONCE (the materialized-rollup reuse chain every
+    * warehouse maintains; exact decimal sums make partial re-aggregation
+    * lossless, which a plain double sum would not be). Emitted as one
+    * union census tagged by grain. Day and month derive from the hour
+    * tier's integer keys — day = hour_id div 24; month from the day via
+    * date arithmetic — so no tier ever returns to the events table.
+    * The DuckDB twin aggregates each tier INDEPENDENTLY from raw rows,
+    * cross-validating that partial reuse loses nothing. */
+  def rollupLattice(spark: SparkSession, dir: String): DataFrame = {
+    val hours = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        expr("unix_date(cast(ts as date)) * 24 + hour(ts)").as("hour_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .as("sv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val days = hours.groupBy(col("event_type"),
+        expr("hour_id div 24").as("day_id"))
+      .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val months = days.groupBy(col("event_type"),
+        expr("(year(date_add(date '1970-01-01', cast(day_id as int))) * 100 + " +
+          "month(date_add(date '1970-01-01', cast(day_id as int))))").as("month_id"))
+      .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"))
+    def tier(df: DataFrame, grain: String, key: Column): DataFrame =
+      df.select(lit(grain).as("grain"), col("event_type"),
+        key.cast("long").as("bucket_id"), col("n"),
+        col("sv").cast("double").as("sum_value"))
+    tier(hours, "hour", col("hour_id"))
+      .unionAll(tier(days, "day", col("day_id")))
+      .unionAll(tier(months, "month", col("month_id")))
+      .orderBy(col("grain"), col("event_type"), col("bucket_id"))
+  }
+
+  val rollupLatticeSql: String =
+    """WITH base AS (
+      |  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(value AS DECIMAL(18,4)) AS v
+      |  FROM events),
+      |h AS (
+      |  SELECT 'hour' AS grain, event_type,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) * 24
+      |      + hour(ts) AS bucket_id,
+      |    COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS sum_value
+      |  FROM base GROUP BY event_type, bucket_id),
+      |d AS (
+      |  SELECT 'day' AS grain, event_type,
+      |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS bucket_id,
+      |    COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS sum_value
+      |  FROM base GROUP BY event_type, bucket_id),
+      |m AS (
+      |  SELECT 'month' AS grain, event_type,
+      |    CAST(year(ts) * 100 + month(ts) AS BIGINT) AS bucket_id,
+      |    COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS sum_value
+      |  FROM base GROUP BY event_type, bucket_id)
+      |SELECT * FROM h UNION ALL SELECT * FROM d UNION ALL SELECT * FROM m
+      |ORDER BY grain, event_type, bucket_id""".stripMargin
 }
