@@ -372,9 +372,9 @@ object Similarity {
     *
     * The ADC scan is formulated RELATIONALLY: the approximate score
     * depends only on (query, code tuple), and the code space is bounded
-    * (k^M = 4096), so the score table is queries × DISTINCT observed
-    * codes — a provably bounded cross join — and the corpus then
-    * EQUI-joins on its code tuple. No per-(query, vector) cartesian
+    * (k^M = 4096), so the score table is queries × the enumerated code
+    * space — a provably bounded cross join built from literals — and the
+    * corpus then EQUI-joins on its code tuple. No per-(query, vector) cartesian
     * exists in the plan; at 100 TB the corpus side is a scan of a
     * 4-byte-code column (the 64× compression is the point of PQ),
     * combining naturally with the IVF cell layout (IVF-PQ). Every dot is
@@ -411,15 +411,26 @@ object Similarity {
     val codeCols = (0 until PqM).map(m => s"code$m")
     val codes = em.select(
       col("vec_id") +: (0 until PqM).map(m => code(col("embedding"), m).as(s"code$m")): _*)
-    val dcodes = codes.select(codeCols.map(col): _*).distinct()
     val queries = em.filter(pmod(col("vec_id"), lit(PqQueryMod)) === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // Score table = queries × the ENTIRE code space (k^M = 4096 tuples,
+    // enumerated from literals — no corpus pass, no distinct exchange, so
+    // the corpus is scanned exactly ONCE, by the encode join below).
+    // When queries × k^M outgrows a broadcast, the variant that scores
+    // only DISTINCT OBSERVED codes (one extra corpus aggregate) bounds it
+    // by the corpus's code diversity instead; same downstream dataflow.
+    val base = (0 until PqM - 1).foldLeft(1)((a, _) => a * PqK)
+    val allCodes = em.sparkSession.range(0, 1L * base * PqK)
+      .select((0 until PqM).map { m =>
+        val div = (0 until PqM - 1 - m).foldLeft(1)((a, _) => a * PqK)
+        expr(s"cast((id div $div) % $PqK as int)").as(s"code$m")
+      }: _*)
     // ADC: reconstruction dot = Σ_m q_m · cb[m][code_m] — a FIXED 4-term
     // add chain (not an aggregate), so the summation order is pinned
     def dm(m: Int): Column =
       call_function("graft_vec_dot_fd", subVec(col("q_emb"), m),
         element_at(typedLit(cb(m)), col(s"code$m") + 1))
-    val scores = broadcast(queries).crossJoin(dcodes)
+    val scores = broadcast(queries).crossJoin(allCodes)
       .withColumn("approx_dot", round(dm(0) + dm(1) + dm(2) + dm(3), 6))
       .select((col("query_id") +: col("approx_dot") +: codeCols.map(col)): _*)
     val wr = Window.partitionBy(col("query_id"))
