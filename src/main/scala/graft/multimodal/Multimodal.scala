@@ -14,9 +14,13 @@ import org.apache.spark.sql.types.DoubleType
   * inside the mapPartitions slot, oracle-verified pixel-exactly. The
   * AUDIO path decodes for real too: `audioDecode` round-trips 16-bit PCM
   * through the JDK's `javax.sound.sampled` WAV codec, oracle-verified
-  * sample-exactly. Only VIDEO remains a STUB (`decodeStub` — this
-  * container has no video codec) deriving dimensions deterministically
-  * from payload bytes. Everything around both — the binary column, the case-class
+  * sample-exactly. The VIDEO path decodes for real as well:
+  * `videoDecode` demuxes a length-prefixed concatenated-PNG container
+  * (the MJPEG idea with the JDK still codec as frame codec) and decodes
+  * every frame with `ImageIO.read`, oracle-verified pixel-exactly.
+  * `decodeStub` remains only as the documented plug-in shape for
+  * external codecs (ffmpeg/soundfile) this container does not ship.
+  * Everything around these — the binary column, the case-class
   * encoders, the mapPartitions batch shape, the frame explode, the
   * partitioning — is the real 100 TB design:
   *
@@ -146,8 +150,8 @@ object Multimodal {
     * equal the generating formula
     * `(asset_id·31 + 7x + 13y) mod 256` — which the DuckDB oracle
     * re-derives arithmetically. This proves the multimodal plumbing with
-    * an actual codec end-to-end; audio/video stay stubbed (no codecs in
-    * this container), plugging into the identical shape. */
+    * an actual codec end-to-end; audio ([[audioDecode]]) and video
+    * ([[videoDecode]]) plug the same shape with their own real codecs. */
   def imageAssets(spark: SparkSession, dir: String): Dataset[ImageAsset] = {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -278,9 +282,8 @@ object Multimodal {
     * `AudioSystem.getAudioInputStream` in the same Iterator→Iterator
     * mapPartitions slot. PCM WAV is lossless, so the decoded samples equal
     * the generating formula `((asset_id·31 + 7i) mod 65536) − 32768` —
-    * which the DuckDB oracle re-derives arithmetically. With this, image
-    * AND audio both run actual JDK codecs end-to-end; only video remains
-    * stubbed (no container codec). */
+    * which the DuckDB oracle re-derives arithmetically. Image, audio and
+    * video ([[videoDecode]]) all run actual JDK codecs end-to-end. */
   def audioAssets(spark: SparkSession, dir: String): Dataset[AudioAsset] = {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -470,4 +473,139 @@ object Multimodal {
       |FROM ph a JOIN ph b ON a.asset_id < b.asset_id
       |WHERE bit_count(xor(a.sig, b.sig)) <= 3
       |ORDER BY d1, d2""".stripMargin
+
+  case class VideoAsset(asset_id: Long, mjpng: Array[Byte])
+  case class DecodedVideo(asset_id: Long, n_frames: Int, width: Int,
+    height: Int, luma_sum: Long, first_sum: Long, last_sum: Long)
+
+  /** REAL video decode (closing the last codec stub): the "video" is a
+    * length-prefixed concatenated-PNG container — the MJPEG idea with the
+    * JDK's own still codec as the frame codec. Layout:
+    * `[int32 n_frames][int32 len, PNG bytes] × n_frames` (big-endian).
+    * Every frame is a REAL `javax.imageio` encode on the write side and a
+    * REAL `ImageIO.read` on the decode side, per partition, in the same
+    * Iterator→Iterator slot as the image/audio paths; the container
+    * framing is parsed with strict bounds checks (a real demuxer's job).
+    * PNG is lossless for 8-bit gray, so decoded pixels equal the
+    * generating formula `(id·31 + 11f + 7x + 13y) mod 256`, which the
+    * DuckDB oracle re-derives arithmetically over (frame, x, y) — the
+    * codec round-trip and the demuxer are both pinned end-to-end. With
+    * this, image, audio AND video all run actual JDK codecs; `decodeStub`
+    * stays only as the documented plug-in shape for external codecs
+    * (ffmpeg etc.) this container does not ship. */
+  def videoAssets(spark: SparkSession, dir: String): Dataset[VideoAsset] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id").as("asset_id")).as[Long]
+      // explicit width: single parquet split in, codec loop is the hot path
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { id =>
+          val nf = 2 + (id % 4).toInt
+          val w = 8 + (id % 8).toInt
+          val h = 8 + ((id * 5) % 8).toInt
+          val bos = new java.io.ByteArrayOutputStream()
+          val dos = new java.io.DataOutputStream(bos)
+          dos.writeInt(nf)
+          var f = 0
+          while (f < nf) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                raster.setSample(x, y, 0,
+                  ((id * 31 + 11 * f + 7 * x + 13 * y) % 256).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            val fb = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", fb)
+            val bytes = fb.toByteArray
+            dos.writeInt(bytes.length)
+            dos.write(bytes)
+            f += 1
+          }
+          VideoAsset(id, bos.toByteArray)
+        }
+      }
+  }
+
+  def decodeVideos(assets: Iterator[VideoAsset]): Iterator[DecodedVideo] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    assets.map { a =>
+      val in = new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(a.mjpng))
+      val nf = in.readInt()
+      require(nf >= 0 && nf <= (1 << 16), s"asset ${a.asset_id}: bad frame count $nf")
+      var total = 0L; var first = 0L; var last = 0L
+      var w = 0; var h = 0
+      var f = 0
+      while (f < nf) {
+        val len = in.readInt()
+        require(len > 0 && len <= a.mjpng.length,
+          s"asset ${a.asset_id}: bad frame length $len")
+        val buf = new Array[Byte](len)
+        in.readFully(buf)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(buf))
+        w = img.getWidth; h = img.getHeight
+        val raster = img.getRaster
+        var fsum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { fsum += raster.getSample(x, y, 0); x += 1 }
+          y += 1
+        }
+        total += fsum
+        if (f == 0) first = fsum
+        if (f == nf - 1) last = fsum
+        f += 1
+      }
+      DecodedVideo(a.asset_id, nf, w, h, total, first, last)
+    }
+  }
+
+  /** Per-asset decode results from the real demux + PNG round-trip. */
+  def videoDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    videoAssets(spark, dir).mapPartitions(decodeVideos)
+      .toDF()
+      .select(col("asset_id"), col("n_frames"), col("width"), col("height"),
+        round(col("luma_sum").cast(DoubleType) /
+          (col("n_frames") * col("width") * col("height")).cast(DoubleType), 6)
+          .as("mean_luma"),
+        round(col("first_sum").cast(DoubleType) /
+          (col("width") * col("height")).cast(DoubleType), 6)
+          .as("first_frame_luma"),
+        round(col("last_sum").cast(DoubleType) /
+          (col("width") * col("height")).cast(DoubleType), 6)
+          .as("last_frame_luma"))
+      .orderBy(col("asset_id"))
+  }
+
+  val videoDecodeSql: String =
+    """WITH dims AS (
+      |  SELECT doc_id AS asset_id,
+      |    CAST(2 + doc_id % 4 AS INTEGER) AS n_frames,
+      |    CAST(8 + doc_id % 8 AS INTEGER) AS width,
+      |    CAST(8 + (doc_id * 5) % 8 AS INTEGER) AS height
+      |  FROM documents),
+      |px AS (
+      |  SELECT asset_id, n_frames, width, height, f.i AS f,
+      |    (asset_id * 31 + 11 * f.i + 7 * x.i + 13 * y.i) % 256 AS v
+      |  FROM dims, range(0, 6) f(i), range(0, 16) x(i), range(0, 16) y(i)
+      |  WHERE f.i < n_frames AND x.i < width AND y.i < height)
+      |SELECT asset_id, n_frames, width, height,
+      |  round(CAST(SUM(v) AS DOUBLE) / (n_frames * width * height), 6) AS mean_luma,
+      |  round(CAST(SUM(CASE WHEN f = 0 THEN v END) AS DOUBLE)
+      |    / (width * height), 6) AS first_frame_luma,
+      |  round(CAST(SUM(CASE WHEN f = n_frames - 1 THEN v END) AS DOUBLE)
+      |    / (width * height), 6) AS last_frame_luma
+      |FROM px GROUP BY asset_id, n_frames, width, height
+      |ORDER BY asset_id""".stripMargin
 }

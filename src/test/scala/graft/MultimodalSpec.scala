@@ -44,4 +44,29 @@ class MultimodalSpec extends AnyFunSuite {
       yield (5L * 31 + 7 * x + 13 * y) % 256).sum
     assert(img.luma_sum === expected)
   }
+
+  test("video demux + per-frame PNG decode is pixel-exact for a sampled asset") {
+    val id = 7L
+    val asset = Multimodal.videoAssets(spark, dir).filter(_.asset_id == id)
+      .collect().head
+    val v = Multimodal.decodeVideos(Iterator(asset)).next()
+    val nf = 2 + (id % 4).toInt
+    val (w, h) = (8 + (id % 8).toInt, 8 + ((id * 5) % 8).toInt)
+    assert(v.n_frames === nf && v.width === w && v.height === h)
+    def frameSum(f: Int): Long = (for { y <- 0 until h; x <- 0 until w }
+      yield (id * 31 + 11 * f + 7 * x + 13 * y) % 256).sum
+    assert(v.first_sum === frameSum(0))
+    assert(v.last_sum === frameSum(nf - 1))
+    assert(v.luma_sum === (0 until nf).map(frameSum).sum)
+  }
+
+  test("video container framing rejects corrupt payloads loudly") {
+    val asset = Multimodal.videoAssets(spark, dir).filter(_.asset_id == 3L)
+      .collect().head
+    val corrupt = asset.mjpng.clone()
+    corrupt(0) = 0x7f.toByte // absurd frame count
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeVideos(Iterator(asset.copy(mjpng = corrupt))).next()
+    }
+  }
 }
