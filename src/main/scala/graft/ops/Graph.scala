@@ -178,4 +178,68 @@ object Graph {
       |FROM (SELECT unnest([a, b, c]) AS user_id FROM tri)
       |GROUP BY user_id
       |ORDER BY n_triangles DESC, user_id LIMIT 20""".stripMargin
+
+  private val BfsRounds = 4
+
+  /** Bounded-depth BFS shortest-path distances from a single source (the
+    * minimum user id) over the undirected user↔event-type bipartite graph
+    * — the traversal primitive missing between the inventory's other
+    * graph tiers (CC answers "same component?", PageRank "how central?",
+    * BFS "how FAR?").
+    *
+    * Each round is the textbook distributed BFS step (Pregel/GraphX
+    * semantics): expand the current distance table along edges, union,
+    * min-combine — one broadcast hash join (the distance table is
+    * node-sized, like [[pagerankBipartite]]'s rank table; on a graph
+    * where nodes outgrow broadcast it degrades to a shuffled join, same
+    * dataflow) plus one map-side-combined min aggregate. Rounds are
+    * UNROLLED for a fixed depth cap, the same posture as the PageRank
+    * unroll (no lineage-truncation machinery needed); an unbounded-
+    * diameter frontier loop with convergence checks is
+    * [[Dedup.labelPropagationCC]]'s pattern. Depth 4 saturates a
+    * connected bipartite graph (u→t→u→t→u covers both partitions); all
+    * arithmetic is integer, so both engines agree exactly. */
+  def bfsDistances(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val e0 = ev
+      .select(concat(lit("u:"), col("user_id")).as("a"),
+        concat(lit("t:"), col("event_type")).as("b"))
+      .distinct()
+    val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+      .union(e0.select(col("b").as("src"), col("a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val d0 = ev.agg(concat(lit("u:"), min(col("user_id"))).as("node"))
+      .select(col("node"), lit(0).as("dist"))
+    val dFinal = (1 to BfsRounds).foldLeft(d0) { (d, _) =>
+      val nxt = edges.join(broadcast(d), col("src") === col("node"))
+        .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
+      d.union(nxt).groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    }
+    dFinal.orderBy(col("dist"), col("node"))
+  }
+
+  val bfsDistancesSql: String = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT node, dist FROM $prev
+         |    UNION ALL
+         |    SELECT dst AS node, dist + 1 AS dist
+         |    FROM edges JOIN $prev ON edges.src = $prev.node) u_$cur
+         |  GROUP BY node)""".stripMargin
+    s"""WITH e0 AS (
+      |  SELECT DISTINCT 'u:' || user_id AS a, 't:' || event_type AS b
+      |  FROM events),
+      |edges AS (
+      |  SELECT a AS src, b AS dst FROM e0
+      |  UNION ALL SELECT b AS src, a AS dst FROM e0),
+      |d0 AS (
+      |  SELECT 'u:' || (SELECT MIN(user_id) FROM events) AS node,
+      |    0 AS dist),
+      |${round("d0", "d1")},
+      |${round("d1", "d2")},
+      |${round("d2", "d3")},
+      |${round("d3", "d4")}
+      |SELECT node, dist FROM d4 ORDER BY dist, node""".stripMargin
+  }
 }

@@ -482,6 +482,59 @@ object Pipeline {
       |FROM r WHERE rn <= (n_total + 4) // 5
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Deterministic WEIGHTED Bernoulli sampling — the mixture-reweighting
+    * primitive (upsample long documents, downsample boilerplate) every
+    * pretraining data recipe applies. Each length tier gets an inclusion
+    * probability w/8 (long 7/8, medium 4/8, short 1/8) and a row keeps
+    * iff pmod(hash(doc_id), 8) < w — integer multiplicative hashing, NOT
+    * rand(): reruns, retries, and both engines agree row-for-row, and at
+    * 100 TB the decision is a per-row expression inside the scan (no
+    * shuffle, no sampled-id ledger to join back). Differs from
+    * [[stratifiedSample]] (fixed per-stratum FRACTION via rank) in that
+    * the rate varies per ROW property — the two compose: stratify by
+    * lang, weight by quality, in one pass. Output is the per-(lang, tier)
+    * acceptance census a pipeline logs to audit realized vs target
+    * rates. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    weightedSampleDf(Tables.documents(spark, dir))
+
+  private[ops] def weightedSampleDf(d: DataFrame): DataFrame = {
+    val tiered = d.withColumn("tier",
+        when(col("n_chars") >= 450, lit("long"))
+          .when(col("n_chars") >= 250, lit("medium"))
+          .otherwise(lit("short")))
+      .withColumn("w",
+        when(col("tier") === "long", lit(7L))
+          .when(col("tier") === "medium", lit(4L)).otherwise(lit(1L)))
+      .withColumn("keep",
+        pmod(col("doc_id") * lit(2654435761L) + lit(40507L), lit(8L)) < col("w"))
+    tiered.groupBy(col("lang"), col("tier"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("keep"), lit(1))).as("n_sampled"),
+        sum(when(col("keep"), col("n_chars"))).as("sampled_chars"),
+        max(col("w")).as("target_w"))
+      .orderBy(col("lang"), col("tier"))
+  }
+
+  // Sign-safe pmod twin, like hashSplitSql.
+  val weightedSampleSql: String =
+    """WITH t AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    CASE WHEN n_chars >= 450 THEN 'long'
+      |         WHEN n_chars >= 250 THEN 'medium' ELSE 'short' END AS tier,
+      |    CASE WHEN n_chars >= 450 THEN 7
+      |         WHEN n_chars >= 250 THEN 4 ELSE 1 END AS w
+      |  FROM documents),
+      |k AS (
+      |  SELECT lang, tier, w, n_chars,
+      |    ((doc_id*2654435761+40507) % 8 + 8) % 8 < w AS keep
+      |  FROM t)
+      |SELECT lang, tier, COUNT(*) AS n_docs,
+      |  COUNT(CASE WHEN keep THEN 1 END) AS n_sampled,
+      |  CAST(SUM(CASE WHEN keep THEN n_chars END) AS BIGINT) AS sampled_chars,
+      |  CAST(MAX(w) AS BIGINT) AS target_w
+      |FROM k GROUP BY lang, tier ORDER BY lang, tier""".stripMargin
+
   private val ChunkTokens = 64
   private val ChunkOverlap = 16
   private val ChunkStride = ChunkTokens - ChunkOverlap

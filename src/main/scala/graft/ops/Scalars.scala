@@ -235,4 +235,43 @@ object Scalars {
       |  CAST(SUM(l_orderkey << 2) AS BIGINT) AS sum_shl,
       |  CAST(SUM(l_partkey >> 1) AS BIGINT) AS sum_shr
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** URL parsing — the web-corpus canonicalization staple (host for
+    * per-domain dedup/quotas, path for routing, query params for
+    * tracking-strip). URLs are synthesized from document columns (the
+    * testdata has no URL column), then decomposed with Spark's builtin
+    * `parse_url` (codegen'd, java.net.URI semantics). The DuckDB twin has
+    * no parse_url, so it re-derives each component with anchored regexes
+    * — an independent cross-check of the parse, not a reimplementation.
+    * Per-row expression work only; at 100 TB this runs inside the scan. */
+  def urlFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val url = concat(lit("https://"), col("source"),
+      lit(".example.com/docs/"), col("lang"), lit("/"), col("doc_id"),
+      lit("?q="), col("n_chars"), lit("&page=2"))
+    d.select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"), col("url"),
+        expr("parse_url(url, 'PROTOCOL')").as("scheme"),
+        expr("parse_url(url, 'HOST')").as("host"),
+        expr("parse_url(url, 'PATH')").as("path"),
+        expr("parse_url(url, 'QUERY', 'q')").as("q_param"),
+        expr("split_part(parse_url(url, 'HOST'), '.', 1)").as("subdomain"))
+      .orderBy(col("doc_id"))
+  }
+
+  val urlFuncsSql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'https://' || source || '.example.com/docs/' || lang || '/' ||
+      |      CAST(doc_id AS VARCHAR) || '?q=' || CAST(n_chars AS VARCHAR) ||
+      |      '&page=2' AS url
+      |  FROM documents)
+      |SELECT doc_id, url,
+      |  regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+      |  regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+      |  regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+      |  regexp_extract(url, '[?&]q=([^&#]*)', 1) AS q_param,
+      |  split_part(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1), '.', 1)
+      |    AS subdomain
+      |FROM u ORDER BY doc_id""".stripMargin
 }

@@ -495,4 +495,52 @@ object Similarity {
       |SELECT query_id, vec_id, approx_dot, rnk FROM ranked
       |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
   }
+
+  /** Exact maximum-inner-product search (MIPS): top-5 by RAW dot product
+    * per query — the recommendation/retrieval objective proper, distinct
+    * from [[cosineTopK]] (MIPS prefers large-norm items; cosine is
+    * norm-invariant, and on unnormalized embeddings the two return
+    * different neighbors).
+    *
+    * Same exact-tier plan as cosine: query side broadcast, ONE corpus
+    * scan, per-query top-5 via WindowGroupLimit — and the same scale
+    * path: MIPS reduces to cosine by norm-augmentation (Bachrach et al.,
+    * RecSys 2014: append sqrt(M²−‖x‖²) to each item, 0 to the query;
+    * ordering is preserved), after which [[annLshBucketed]]/[[annIvf]]/
+    * [[annPqAdc]] apply unchanged. The reduction's order-preservation is
+    * pinned by `FloatVectorOpsSpec` rather than run here — the exact tier
+    * ranks on the raw dot directly so the oracle cross-checks real inner
+    * products, not the reduction's intermediate. */
+  def mipsTopK(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val em = Tables.embeddings(spark, dir)
+    val q = em.filter(pmod(col("vec_id"), lit(71L)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = em.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(dot(col("q_emb"), col("embedding")), 6).as("ip"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ip").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  val mipsTopKSql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, embedding AS q_emb
+      |  FROM embeddings WHERE vec_id % 71 = 0),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    round(list_sum(list_transform(range(1, len(e.embedding)+1),
+      |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))),
+      |      6) AS ip
+      |  FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, ip,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |                       ORDER BY ip DESC, vec_id) AS rnk
+      |  FROM scored)
+      |SELECT query_id, vec_id, ip, rnk FROM ranked
+      |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 }

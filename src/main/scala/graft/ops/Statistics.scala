@@ -67,4 +67,65 @@ object Statistics {
       |  round((sxx - sx * sx / n) / (n - 1), 4) AS var_price,
       |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_price
       |FROM m ORDER BY o_orderstatus""".stripMargin
+
+  /** Per-group ordinary-least-squares regression of order total price on
+    * per-order item count — slope, intercept, and r², closed-form from
+    * the same exact-decimal moments as [[corrStddev]] (the builtin
+    * regr_slope/regr_intercept accumulate doubles in partition order and
+    * can never cross-engine hash-match; the moments are exact decimals,
+    * the closed forms evaluate on identical operands in both engines).
+    * One pass over the joined input, map-side combined — the same
+    * distributed shape MLlib's linear regression summarizer uses for its
+    * sufficient statistics. */
+  def linregByGroup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val itemCounts = li.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).cast(DoubleType).as("n_items"))
+    val joined = o.join(itemCounts, o("o_orderkey") === itemCounts("l_orderkey"))
+      .select(col("o_orderstatus"), col("n_items").as("x"),
+        col("o_totalprice").as("y"))
+    val n = count(lit(1)).cast(DoubleType)
+    joined.groupBy(col("o_orderstatus"))
+      .agg(n.as("n"), dsum2(col("x")).as("sx"), dsum2(col("y")).as("sy"),
+        dsum2(col("x") * col("x")).as("sxx"),
+        dsum2(col("y") * col("y")).as("syy"),
+        dsum2(col("x") * col("y")).as("sxy"))
+      .select(
+        col("o_orderstatus"), col("n").cast("long").as("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"), 4)
+          .as("intercept"),
+        round(((col("n") * col("sxy") - col("sx") * col("sy")) *
+          (col("n") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val linregByGroupSql: String =
+    """WITH ic AS (
+      |  SELECT l_orderkey, CAST(COUNT(*) AS DOUBLE) AS n_items
+      |  FROM lineitem GROUP BY l_orderkey),
+      |j AS (
+      |  SELECT o_orderstatus, n_items AS x, o_totalprice AS y
+      |  FROM orders JOIN ic ON o_orderkey = l_orderkey),
+      |m AS (
+      |  SELECT o_orderstatus,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(y * y AS DECIMAL(28,8))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(28,8))) AS DOUBLE) AS sxy
+      |  FROM j GROUP BY o_orderstatus)
+      |SELECT o_orderstatus, CAST(n AS BIGINT) AS n,
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+      |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+      |    AS intercept,
+      |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+      |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+      |FROM m ORDER BY o_orderstatus""".stripMargin
 }

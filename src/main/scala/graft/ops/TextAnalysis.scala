@@ -451,4 +451,78 @@ object TextAnalysis {
       |  FROM tf JOIN df USING (token), n)
       |SELECT doc_id, rk, token, tf, df, score_fp
       |FROM scored WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  /** BM25 retrieval (Robertson & Zaragoza 2009, k1=1.2 b=0.75): score the
+    * corpus against a fixed 3-term query and return the top-20 documents.
+    * The retrieval twin of [[tfidfTopTerms]] (which ranks terms per doc);
+    * together they are the classic offline search-indexing pair an LLM
+    * data pipeline runs for corpus curation / retrieval-eval.
+    *
+    * Cross-engine exactness: BM25's idf is log((N-df+0.5)/(df+0.5)+1) — a
+    * transcendental that can never hash-match across engines — so the idf
+    * here is the same Robertson/Spärck-Jones odds RATIO without the log,
+    * in fixed point: ((2N-2df+1)·10³) div (2df+1). The log is a monotone
+    * map of this ratio, so per-term ranking is unchanged; the additive
+    * blend weights rare terms more sharply than log-idf, which for a
+    * fixed-query top-k is the same family of ranking. The tf saturation
+    * term tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)) is made rational by
+    * substituting avgdl = total_len/N and multiplying through by
+    * 10·total_len: num = 22·total_len·tf, den = 10·total_len·tf +
+    * 3·total_len + 9·dl·N — exact int64 arithmetic end to end (peak value
+    * ~22·total_len·tf·10³ ≪ 2⁶³ at any SF since tf ≤ dl).
+    *
+    * Plan: ONE corpus scan emits (doc, dl, query-term hit) with the
+    * filter INSIDE the explode lambda — non-query tokens never leave the
+    * scan, so the exploded stream is |Q|-bounded per doc, not dl-bounded.
+    * tf → (vocab-sized) df broadcast back, corpus-stats broadcast, top-20
+    * via TakeOrderedAndProject (no global sort). At 100 TB the only
+    * shuffle is the (doc,term) tf aggregate, map-side combined. */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val hits = d
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(expr(
+          "filter(toks, t -> array_contains(array('dup','spark','merge'), t))"))
+          .as("token"))
+    val tf = hits.groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val stats = d.select(size(split(col("text"), " ")).as("dl0"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl0")).as("total_len"))
+    tf.join(broadcast(dfT), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_fp",
+        expr("((2 * n_docs - 2 * df + 1) * 1000) div (2 * df + 1)"))
+      .withColumn("tf_fp",
+        expr("(22 * total_len * tf * 1000) div " +
+          "(10 * total_len * tf + 3 * total_len + 9 * dl * n_docs)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_terms"),
+        sum(expr("idf_fp * tf_fp")).as("score_fp"))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val bm25TopKSql: String =
+    """WITH hits AS (
+      |  SELECT doc_id, len(string_split(text,' ')) AS dl,
+      |    unnest(list_filter(string_split(text,' '),
+      |      t -> list_contains(['dup','spark','merge'], t))) AS token
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, dl, token, COUNT(*) AS tf FROM hits GROUP BY 1, 2, 3),
+      |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+      |stats AS (SELECT COUNT(*) AS n_docs,
+      |  SUM(len(string_split(text,' '))) AS total_len FROM documents),
+      |scored AS (
+      |  SELECT doc_id, COUNT(*) AS n_hit_terms,
+      |    SUM( (((2 * n_docs - 2 * df + 1) * 1000) // (2 * df + 1))
+      |       * ((22 * total_len * tf * 1000) //
+      |          (10 * total_len * tf + 3 * total_len + 9 * dl * n_docs)) )
+      |      AS score_fp
+      |  FROM tf JOIN df USING (token), stats GROUP BY doc_id)
+      |SELECT doc_id, n_hit_terms,
+      |  CAST(score_fp AS BIGINT) AS score_fp
+      |FROM scored ORDER BY score_fp DESC, doc_id LIMIT 20""".stripMargin
 }

@@ -174,4 +174,52 @@ object TimeSeries {
       |  FROM base GROUP BY event_type, bucket_id)
       |SELECT * FROM h UNION ALL SELECT * FROM d UNION ALL SELECT * FROM m
       |ORDER BY grain, event_type, bucket_id""".stripMargin
+
+  /** Exponentially-weighted moving average (α = ½) of the daily value sum
+    * per event type, over a trailing 8-day window — the standard
+    * time-series smoother (Holt's level term; pandas `ewm(alpha=.5)` over
+    * a bounded window).
+    *
+    * Cross-engine exactness without rounding: the recurrence
+    * s_t = ½·x_t + ½·s_(t−1) only multiplies by the power of two ½ —
+    * EXACT in binary floating point — and both engines evaluate the same
+    * left fold over the same frame-ordered list (Spark `aggregate` /
+    * DuckDB `list_reduce`, both acc-first, init = first element), so
+    * every intermediate double is bit-identical: no tolerance, no
+    * round(). The daily inputs are exact-decimal sums for the same
+    * reason. Any other α would need fixed-point; ½ is the natural
+    * halflife smoother.
+    *
+    * Scale: one map-side-combined daily aggregate (days × types rows),
+    * then a bounded ROWS frame per type — the window partition is the
+    * SERIES, already tiny after aggregation. The fold is per-row over ≤8
+    * elements. A streaming twin is `stream_*`'s stateful shape: the same
+    * recurrence as mapGroupsWithState carrying one double of state. */
+  def ewmaDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(dsum(col("value")).as("v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, 0)
+    daily
+      .withColumn("vs", collect_list(col("v")).over(w))
+      .select(col("event_type"), col("day"), col("v"),
+        expr("aggregate(slice(vs, 2, size(vs) - 1), vs[0]," +
+          " (a, x) -> 0.5 * x + 0.5 * a)").as("ewma"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val ewmaDailySql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2),
+      |fr AS (
+      |  SELECT event_type, day, v,
+      |    list(v) OVER (PARTITION BY event_type ORDER BY day
+      |                  ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS vs
+      |  FROM daily)
+      |SELECT event_type, day, v,
+      |  list_reduce(vs, (a, x) -> 0.5 * x + 0.5 * a) AS ewma
+      |FROM fr ORDER BY event_type, day""".stripMargin
 }
