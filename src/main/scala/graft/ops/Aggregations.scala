@@ -320,4 +320,41 @@ object Aggregations {
       |SELECT o_orderstatus, o_orderpriority AS mode_priority, n, group_total,
       |  (n * 1000000) // group_total AS share_fp
       |FROM r WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin
+
+  /** Gini impurity (1 − Σ pᵢ²) of the event-type mix per user cohort
+    * (user_id mod 10) — the diversity/imbalance signal (CART's split
+    * criterion; ecology's Simpson index) data-mix audits report per
+    * shard. Chosen over Shannon entropy DELIBERATELY: entropy needs a
+    * transcendental log that can never hash-match across engines, while
+    * Gini is a RATIONAL function of the counts — computed here in exact
+    * integer arithmetic (Σnᵢ², n²) and one final double division,
+    * bit-identical in both engines. Two map-side-combined aggregates
+    * (type-counts, then sum-of-squares); no window, no explode. */
+  def giniImpurity(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(pmod(col("user_id"), lit(10L)).as("cohort"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy(col("cohort"))
+      .agg(sum(col("n")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum(col("n") * col("n")).as("sum_sq"))
+      .select(col("cohort"), col("n_events"), col("n_types"),
+        (lit(1.0) - col("sum_sq").cast("double") /
+          (col("n_events") * col("n_events")).cast("double")).as("gini"))
+      .orderBy(col("cohort"))
+  }
+
+  val giniImpuritySql: String =
+    """WITH c AS (
+      |  SELECT ((user_id % 10) + 10) % 10 AS cohort, event_type,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |g AS (
+      |  SELECT cohort, SUM(n) AS n_events, COUNT(*) AS n_types,
+      |    SUM(n * n) AS sum_sq
+      |  FROM c GROUP BY cohort)
+      |SELECT cohort, CAST(n_events AS BIGINT) AS n_events, n_types,
+      |  1.0 - CAST(sum_sq AS DOUBLE) / CAST(n_events * n_events AS DOUBLE)
+      |    AS gini
+      |FROM g ORDER BY cohort""".stripMargin
 }

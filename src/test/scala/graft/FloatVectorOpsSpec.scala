@@ -86,4 +86,33 @@ class FloatVectorOpsSpec extends AnyFunSuite {
       .filter(col("native") =!= col("hof"))
     assert(df.count() === 0L)
   }
+
+  test("MIPS norm-augmentation reduction preserves inner-product order (Bachrach 2014)") {
+    // Append sqrt(M^2 - |x|^2) to each item and 0 to the query: the
+    // augmented vectors all have norm M, so cosine against the augmented
+    // corpus ranks exactly like the raw inner product — the reduction
+    // that lets the ANN tiers (LSH/IVF/PQ) answer MIPS. Checked on the
+    // real embeddings for every query sim_mips_topk uses.
+    val vecs = em.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray.map(_.toDouble)))
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    val maxSq = vecs.map(v => dot(v._2, v._2)).max
+    val queries = vecs.filter(_._1 % 71 == 0)
+    queries.foreach { case (qid, q) =>
+      val others = vecs.filter(_._1 != qid)
+      val byIp = others.sortBy { case (id, x) => (-dot(q, x), id) }
+        .take(5).map(_._1).toSeq
+      // augmented: item -> [x, sqrt(M^2-|x|^2)], query -> [q, 0]; all
+      // augmented item norms equal M, so cosine order == dot order
+      val byAug = others.sortBy { case (id, x) =>
+        val aug = x :+ math.sqrt(math.max(0.0, maxSq - dot(x, x)))
+        val cos = dot(q :+ 0.0, aug) /
+          (math.sqrt(dot(q, q)) * math.sqrt(dot(aug, aug)))
+        (-cos, id)
+      }.take(5).map(_._1).toSeq
+      assert(byIp == byAug, s"query $qid: $byIp != $byAug")
+    }
+  }
 }
