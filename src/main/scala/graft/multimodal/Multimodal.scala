@@ -333,6 +333,80 @@ object Multimodal {
       DecodedAudio(a.asset_id, fmt.getSampleRate.toInt, n.toLong, sumAbs)
     }
 
+  case class AudioFrames(asset_id: Long, n_samples: Long, n_frames: Int,
+    loudest_frame: Int, loudest_abs: Long, total_abs: Long)
+
+  /** FEATURE EXTRACTION on the real decoded stream — the step after
+    * decode in any audio pipeline (VAD, loudness normalization, segment
+    * selection all start from framewise energy). Samples come out of the
+    * actual `javax.sound.sampled` WAV codec, are framed at 80 samples
+    * (10 ms at 8 kHz), and each frame's Σ|amplitude| reduces to the
+    * per-asset loudest-frame summary INSIDE the decoder (mapPartitions —
+    * frames never materialize as rows, so shuffle volume is one summary
+    * row per asset regardless of duration; at 100 TB that is the
+    * difference between shuffling summaries and shuffling audio). The
+    * oracle re-derives every frame arithmetically from the synthesis
+    * formula — so codec round-trip + framing + argmax are all checked
+    * sample-exactly. */
+  def decodeAudioFrames(assets: Iterator[AudioAsset]): Iterator[AudioFrames] =
+    assets.map { a =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(a.wav))
+      val bytes = ais.readAllBytes()
+      val n = bytes.length / 2
+      val frameLen = 80
+      val nFrames = (n + frameLen - 1) / frameLen
+      var loudestFrame = 0
+      var loudestAbs = -1L
+      var totalAbs = 0L
+      var f = 0
+      while (f < nFrames) {
+        var s = 0L
+        var i = f * frameLen
+        val end = math.min(n, i + frameLen)
+        while (i < end) {
+          val v = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+          s += math.abs(v)
+          i += 1
+        }
+        // strictly-greater keeps the LOWEST index on ties, matching the
+        // oracle's (abs DESC, frame_idx ASC) row_number
+        if (s > loudestAbs) { loudestAbs = s; loudestFrame = f }
+        totalAbs += s
+        f += 1
+      }
+      AudioFrames(a.asset_id, n.toLong, nFrames, loudestFrame, loudestAbs, totalAbs)
+    }
+
+  def audioFraming(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    audioAssets(spark, dir).mapPartitions(decodeAudioFrames)
+      .toDF()
+      .orderBy(col("asset_id"))
+  }
+
+  val audioFramingSql: String =
+    """WITH d AS (
+      |  SELECT doc_id AS asset_id,
+      |    CAST(64 + doc_id % 256 AS BIGINT) AS n
+      |  FROM documents),
+      |fr AS (
+      |  SELECT asset_id, n, r.i // 80 AS frame_idx,
+      |    SUM(ABS((asset_id * 31 + 7 * r.i) % 65536 - 32768)) AS s
+      |  FROM d, range(0, 320) r(i)
+      |  WHERE r.i < n GROUP BY 1, 2, 3),
+      |rk AS (
+      |  SELECT asset_id, n, frame_idx, s,
+      |    ROW_NUMBER() OVER (PARTITION BY asset_id
+      |                       ORDER BY s DESC, frame_idx) AS rn,
+      |    COUNT(*) OVER (PARTITION BY asset_id) AS n_frames,
+      |    SUM(s) OVER (PARTITION BY asset_id) AS tot
+      |  FROM fr)
+      |SELECT asset_id, n AS n_samples, CAST(n_frames AS INTEGER) AS n_frames,
+      |  CAST(frame_idx AS INTEGER) AS loudest_frame,
+      |  CAST(s AS BIGINT) AS loudest_abs, CAST(tot AS BIGINT) AS total_abs
+      |FROM rk WHERE rn = 1 ORDER BY asset_id""".stripMargin
+
   /** Per-asset decode results from the real WAV round-trip: the decoded
     * header must carry the encoded sample rate, the frame count must match
     * the formula, and the mean |amplitude| must equal the oracle's

@@ -535,6 +535,47 @@ object Pipeline {
       |  CAST(MAX(w) AS BIGINT) AS target_w
       |FROM k GROUP BY lang, tier ORDER BY lang, tier""".stripMargin
 
+  private val DomainQuota = 30
+
+  /** Per-domain quota capping — the anti-over-representation pass every
+    * web-corpus recipe runs (C4/RefinedWeb-style: no single host may
+    * contribute more than K documents). Selection inside a domain is by
+    * multiplicative hash order, NOT doc_id order (which would bias toward
+    * old crawls) and NOT rand() (irreproducible); the per-domain
+    * ROW_NUMBER is the same WindowGroupLimit shape as every top-k —
+    * rank-filter pushes below the window at scale, and the shuffle key is
+    * the domain, with the hot-domain skew bounded by the quota itself.
+    * Output is the per-source admission census plus the kept set's char
+    * mass. */
+  def domainQuota(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(pmod(col("doc_id") * lit(2654435761L) + lit(97L), lit(1000000007L)),
+        col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("rk") <= DomainQuota, 1)).as("n_kept"),
+        sum(when(col("rk") <= DomainQuota, col("n_chars"))).as("kept_chars"),
+        min(when(col("rk") <= DomainQuota, col("doc_id"))).as("min_kept_doc"))
+      .orderBy(col("source"))
+  }
+
+  val domainQuotaSql: String =
+    s"""WITH r AS (
+      |  SELECT source, doc_id, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY ((doc_id*2654435761+97) % 1000000007 + 1000000007)
+      |                  % 1000000007, doc_id) AS rk
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(CASE WHEN rk <= $DomainQuota THEN 1 END) AS n_kept,
+      |  CAST(SUM(CASE WHEN rk <= $DomainQuota THEN n_chars END) AS BIGINT)
+      |    AS kept_chars,
+      |  MIN(CASE WHEN rk <= $DomainQuota THEN doc_id END) AS min_kept_doc
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   private val ChunkTokens = 64
   private val ChunkOverlap = 16
   private val ChunkStride = ChunkTokens - ChunkOverlap

@@ -309,4 +309,48 @@ object Windows {
       |  FROM runs)
       |SELECT user_id, run_len AS longest_streak, run_start AS streak_start_day
       |FROM ranked WHERE rk = 1 ORDER BY user_id""".stripMargin
+
+  /** Running-distinct milestones: for every user, the event at which they
+    * touched their k-th DISTINCT event type ("time to k-th behavior" —
+    * the activation-curve metric). A cumulative COUNT(DISTINCT) window is
+    * not partial-aggregable (neither engine supports it over a running
+    * frame); the standard reformulation is two stacked windows: flag
+    * first occurrences with a per-(user, type) ROW_NUMBER, then rank the
+    * flagged rows per user — output is ≤ |event types| rows per user, and
+    * both windows hash-shuffle on user_id ONCE (the second sort reuses
+    * the first's partitioning; same subset-key posture as the triangle
+    * pipeline). */
+  def timeToKthType(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      // hash on user_id — a SUBSET of the first window's partition key —
+      // satisfies both windows' clustering, so the pair runs on ONE
+      // exchange (two sorts, no re-shuffle between them)
+      .repartition(col("user_id"))
+    val firstSeen = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val perUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    e.withColumn("occ", row_number().over(firstSeen))
+      .filter(col("occ") === 1)
+      .withColumn("k", row_number().over(perUser))
+      .select(col("user_id"), col("k"), col("event_type"),
+        col("event_id").as("first_event_id"), col("ts").as("first_ts"))
+      .orderBy(col("user_id"), col("k"))
+  }
+
+  val timeToKthTypeSql: String =
+    """WITH f AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY ts, event_id) AS occ
+      |  FROM events),
+      |k AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |                       ORDER BY ts, event_id) AS k
+      |  FROM f WHERE occ = 1)
+      |SELECT user_id, CAST(k AS INTEGER) AS k, event_type,
+      |  event_id AS first_event_id, ts AS first_ts
+      |FROM k ORDER BY user_id, k""".stripMargin
 }

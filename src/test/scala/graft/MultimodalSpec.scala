@@ -27,6 +27,33 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("audio framing: per-frame energies re-derive from the formula; totals agree with decode") {
+    import spark.implicits._
+    val framed = Multimodal.audioAssets(spark, dir)
+      .mapPartitions(Multimodal.decodeAudioFrames)
+      .filter(_.asset_id < 20).collect().sortBy(_.asset_id)
+    assert(framed.length === 20)
+    framed.foreach { f =>
+      val n = (64 + (f.asset_id % 256)).toInt
+      def amp(i: Int) = math.abs(((f.asset_id * 31 + 7L * i) % 65536) - 32768)
+      val frames = (0 until n).grouped(80).map(_.map(amp).sum).toVector
+      assert(f.n_samples === n.toLong)
+      assert(f.n_frames === frames.length)
+      assert(f.total_abs === frames.sum)
+      val best = frames.zipWithIndex.maxBy { case (s, i) => (s, -i) }
+      assert(f.loudest_frame === best._2, s"asset ${f.asset_id}")
+      assert(f.loudest_abs === best._1)
+    }
+    // cross-check against the per-asset decode tier: framewise sums must
+    // add up to the whole-asset sum
+    val whole = Multimodal.audioAssets(spark, dir)
+      .mapPartitions(Multimodal.decodeAudio)
+      .filter(_.asset_id < 20).collect().sortBy(_.asset_id)
+    framed.zip(whole).foreach { case (f, w) =>
+      assert(f.total_abs === w.sum_abs, s"asset ${f.asset_id}")
+    }
+  }
+
   test("WAV payload is a parseable RIFF/WAVE container, not raw PCM") {
     val a = Multimodal.audioAssets(spark, dir).filter(_.asset_id == 3L)
       .collect().head

@@ -207,4 +207,59 @@ class PlanSpec extends AnyFunSuite {
       s"triangle joins must stay equi-joins:\n$plan")
     org.apache.spark.sql.SparkSession.active.sharedState.cacheManager.clearCache()
   }
+
+  test("BM25: term filter reaches the exploded scan side; df and stats broadcast") {
+    val df = TextAnalysis.bm25TopK(spark, dir)
+    val p = planString(df)
+    // top-20 must come from TakeOrderedAndProject (no global sort) and
+    // both the vocabulary-sized df table and the 1-row stats table must
+    // ride broadcasts — the corpus shuffles only for the tf aggregate
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"))
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(shuffles.size <= 3,
+      s"bm25 should shuffle for tf/df aggregation only, got ${shuffles.size}:\n$p")
+  }
+
+  test("pattern match: ONE exchange carries the per-user sequence build") {
+    val df = Sequence.patternMatch(spark, dir)
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    // collect_list agg + final orderBy = 1 hash + 1 range exchange
+    assert(shuffles.size <= 2,
+      s"pattern match must shuffle once on user_id (plus output sort), got ${shuffles.size}")
+  }
+
+  test("time-to-kth-type: both stacked windows share ONE hash exchange") {
+    // repartition(user_id) satisfies both the (user,type) and (user)
+    // window clustering — a second hash exchange means the subset-key
+    // reuse broke
+    val p = planString(Windows.timeToKthType(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"expected one hash exchange for both windows:\n$p")
+  }
+
+  test("BFS rounds: distance table broadcasts every round (no edge shuffle)") {
+    val df = ops.Graph.bfsDistances(spark, dir)
+    val p = planString(df)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"BFS expansion joins must broadcast the node-sized frontier:\n$p")
+    org.apache.spark.sql.SparkSession.active.sharedState.cacheManager.clearCache()
+  }
+
+  test("weighted sample and domain quota aggregate map-side (no pre-shuffle explode)") {
+    val pw = planString(Pipeline.weightedSample(spark, dir))
+    assert(pw.contains("partial_count"), "weighted sample must partial-aggregate")
+    val pq = planString(Pipeline.domainQuota(spark, dir))
+    // quota ranking is a per-domain window; the census then groups on the
+    // SAME key, so the aggregate must not re-shuffle after the window
+    val quotaShuffles = Pipeline.domainQuota(spark, dir)
+      .queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+    assert(quotaShuffles.size <= 2,
+      s"domain quota: window + output sort only, got ${quotaShuffles.size}:\n$pq")
+  }
 }
