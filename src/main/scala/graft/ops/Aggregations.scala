@@ -357,4 +357,49 @@ object Aggregations {
       |  1.0 - CAST(sum_sq AS DOUBLE) / CAST(n_events * n_events AS DOUBLE)
       |    AS gini
       |FROM g ORDER BY cohort""".stripMargin
+
+  /** WEIGHTED percentiles (p50/p90 of document length under the mixture
+    * weights of [[Pipeline.weightedSample]]'s tiers) — when rows carry
+    * sampling weights, the unweighted median answers the wrong question;
+    * the weighted one is what the resampled corpus actually looks like.
+    * percentile_cont has no weighted form in either engine, so this is
+    * the textbook formulation: order by value, running weight sum, first
+    * row whose cumulative weight reaches p·W — ALL INTEGER comparisons
+    * (cumw·100 ≥ W·p avoids fractional thresholds), so both engines pick
+    * the identical row. One window per lang + one aggregate, on one
+    * exchange (subset-key: hash(lang) serves the window and the final
+    * group). */
+  def weightedPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        when(col("n_chars") >= 450, lit(7L))
+          .when(col("n_chars") >= 250, lit(4L)).otherwise(lit(1L)).as("wt"))
+      .withColumn("cumw", sum(col("wt")).over(w))
+      .withColumn("totw", sum(col("wt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))))
+      .groupBy(col("lang"))
+      .agg(max(col("totw")).as("total_weight"),
+        min(when(col("cumw") * 2 >= col("totw"), col("n_chars"))).as("wp50_chars"),
+        min(when(col("cumw") * 10 >= col("totw") * 9, col("n_chars"))).as("wp90_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val weightedPercentilesSql: String =
+    """WITH t AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    CASE WHEN n_chars >= 450 THEN 7
+      |         WHEN n_chars >= 250 THEN 4 ELSE 1 END AS wt
+      |  FROM documents),
+      |c AS (
+      |  SELECT lang, n_chars,
+      |    SUM(wt) OVER (PARTITION BY lang
+      |                  ORDER BY n_chars, doc_id) AS cumw,
+      |    SUM(wt) OVER (PARTITION BY lang) AS totw
+      |  FROM t)
+      |SELECT lang, CAST(MAX(totw) AS BIGINT) AS total_weight,
+      |  MIN(CASE WHEN cumw * 2 >= totw THEN n_chars END) AS wp50_chars,
+      |  MIN(CASE WHEN cumw * 10 >= totw * 9 THEN n_chars END) AS wp90_chars
+      |FROM c GROUP BY lang ORDER BY lang""".stripMargin
 }

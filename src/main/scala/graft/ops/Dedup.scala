@@ -304,6 +304,59 @@ object Dedup {
       |JOIN counts c2 ON c2.doc_id = d2
       |ORDER BY jaccard DESC, d1, d2 LIMIT 100""".stripMargin
 
+  /** Overlap-coefficient (containment) near-dup: |A∩B| / min(|A|,|B|) over
+    * the same df-capped shingle sets as [[ngramJaccard]]. Jaccard misses
+    * SUBSET duplication — a document wholly quoted inside a much larger
+    * one scores low symmetric similarity but overlap ≈ 1 (Broder 1997
+    * distinguishes resemblance from containment for exactly this case) —
+    * and subset-dup (boilerplate wrapping, quote inflation) is the common
+    * web-corpus contamination jaccard-tier dedup leaves behind. Same
+    * bounded pair-join plan as the jaccard tier (df cap bounds fan-out;
+    * the LSH tiers remain the linear-scale path); only the normalization
+    * and ranking differ. */
+  def overlapContainment(spark: SparkSession, dir: String): DataFrame = {
+    val sh = hashedShingles(Tables.documents(spark, dir), MaxShingleDf)
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(counts.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), "d1")
+      .join(counts.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), "d2")
+      .select(col("d1"), col("d2"), col("n1"), col("n2"), col("common"),
+        (col("common").cast(DoubleType) /
+          least(col("n1"), col("n2")).cast(DoubleType)).as("overlap"))
+      .orderBy(col("overlap").desc, col("d1"), col("d2"))
+      .limit(100)
+  }
+
+  val overlapContainmentSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |         generate_subscripts(string_split(text,' '),1) AS pos
+      |  FROM documents),
+      |sh0 AS (
+      |  SELECT DISTINCT doc_id,
+      |    tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS shingle
+      |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
+      |sh AS (
+      |  SELECT doc_id, shingle FROM sh0
+      |  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= $MaxShingleDf),
+      |counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT d1, d2, c1.n AS n1, c2.n AS n2, common,
+      |  CAST(common AS DOUBLE) / CAST(least(c1.n, c2.n) AS DOUBLE) AS overlap
+      |FROM pairs
+      |JOIN counts c1 ON c1.doc_id = d1
+      |JOIN counts c2 ON c2.doc_id = d2
+      |ORDER BY overlap DESC, d1, d2 LIMIT 100""".stripMargin
+
   private[ops] val NumHashes = 64
   private[ops] val RowsPerBand = 4
   private[ops] val Bands = NumHashes / RowsPerBand // 16 bands of 4

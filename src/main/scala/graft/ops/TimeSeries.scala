@@ -222,4 +222,50 @@ object TimeSeries {
       |SELECT event_type, day, v,
       |  list_reduce(vs, (a, x) -> 0.5 * x + 0.5 * a) AS ewma
       |FROM fr ORDER BY event_type, day""".stripMargin
+
+  /** Volume-anomaly detection: days whose event count sits more than 2σ
+    * from that type's mean daily volume — the monitoring query every
+    * ingestion pipeline runs against its own throughput. Counts are
+    * integers, so the per-type moments (Σn, Σn²) are EXACT longs and the
+    * closed-form mean/σ/z evaluate on identical operands in both engines
+    * (same posture as [[graft.ops.Statistics]]; a running stddev over
+    * doubles would drift in the last ulp). Two map-side-combined
+    * aggregates + a broadcast join of the 5-row stats table back onto the
+    * daily series — at 100 TB the daily table is days × types, already
+    * tiny relative to raw events. */
+  def anomalyZscore(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("days"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("ss"))
+      .select(col("event_type"), col("days"),
+        (col("s").cast("double") / col("days")).as("mean"),
+        sqrt((col("ss") - col("s") * col("s") / col("days").cast("double")) /
+          (col("days") - 1)).as("sd"))
+    daily.join(broadcast(stats), "event_type")
+      .filter((col("n") - col("mean")) * (col("n") - col("mean")) >
+        lit(4.0) * col("sd") * col("sd"))
+      .select(col("event_type"), col("day"), col("n"),
+        round((col("n") - col("mean")) / col("sd"), 6).as("z"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val anomalyZscoreSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, COUNT(*) AS days,
+      |    CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean,
+      |    sqrt((CAST(SUM(n*n) AS DOUBLE)
+      |          - CAST(SUM(n) AS DOUBLE) * SUM(n) / COUNT(*))
+      |         / (COUNT(*) - 1)) AS sd
+      |  FROM daily GROUP BY event_type)
+      |SELECT event_type, day, CAST(n AS BIGINT) AS n,
+      |  round((n - mean) / sd, 6) AS z
+      |FROM daily JOIN st USING (event_type)
+      |WHERE (n - mean) * (n - mean) > 4.0 * sd * sd
+      |ORDER BY event_type, day""".stripMargin
 }
