@@ -104,6 +104,37 @@ object Graph {
   private val MaxBucketUsers = 40
   private val MinCooccur = 4
 
+  /** The co-occurrence edge pipeline shared by [[triangleCount]] and
+    * [[linkPrediction]] — ONE exchange (on the bucket key) carries the
+    * whole pre-edge pipeline: hash-partitioning on (event_type, hb) — a
+    * SUBSET of the distinct key — already clusters the full
+    * (bucket, user) key, so the dedup aggregate, the bucket-size window
+    * (replacing a separate census aggregate + join round-trip), and BOTH
+    * sides of the pairing self-join (co-partitioned; the exchange is
+    * reused) all ride it without re-shuffling. Measured 2.2 → 1.3 s at
+    * sf0.1 — the win is stage waves, not bytes, and it compounds at
+    * scale (3 fewer corpus-sized exchanges). Persisted node-pair-sized
+    * (near-dup-bounded, like every pair graph here). */
+  private def cooccurrenceEdges(spark: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.events(spark, dir)
+      .select(col("event_type"), date_trunc("HOUR", col("ts")).as("hb"),
+        col("user_id"))
+      .repartition(col("event_type"), col("hb"))
+      .distinct()
+    val bucketW = Window.partitionBy(col("event_type"), col("hb"))
+    val occOk = occ
+      .withColumn("bsz", count(lit(1)).over(bucketW))
+      .filter(col("bsz") <= MaxBucketUsers)
+      .drop("bsz")
+    occOk.as("x").join(occOk.as("y"), Seq("event_type", "hb"))
+      .filter(col("x.user_id") < col("y.user_id"))
+      .groupBy(col("x.user_id").as("a"), col("y.user_id").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= MinCooccur)
+      .select(col("a"), col("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
   /** Triangle counting (Schank/Wagner 2005 compact-forward shape) over the
     * user co-occurrence graph: top-20 users by triangle participation.
     *
@@ -118,32 +149,7 @@ object Graph {
     * id-orientation already meets the inventory's scale bar on capped
     * buckets. The DuckDB twin runs the identical relational program. */
   def triangleCount(spark: SparkSession, dir: String): DataFrame = {
-    // ONE exchange (on the bucket key) carries the whole pre-edge
-    // pipeline: hash-partitioning on (event_type, hb) — a SUBSET of the
-    // distinct key — already clusters the full (bucket, user) key, so the
-    // dedup aggregate, the bucket-size window (replacing a separate
-    // census aggregate + join round-trip), and BOTH sides of the pairing
-    // self-join (co-partitioned; the exchange is reused) all ride it
-    // without re-shuffling. Measured 2.2 → 1.3 s at sf0.1 — the win is
-    // stage waves, not bytes, and it compounds at scale (3 fewer
-    // corpus-sized exchanges).
-    val occ = Tables.events(spark, dir)
-      .select(col("event_type"), date_trunc("HOUR", col("ts")).as("hb"),
-        col("user_id"))
-      .repartition(col("event_type"), col("hb"))
-      .distinct()
-    val bucketW = Window.partitionBy(col("event_type"), col("hb"))
-    val occOk = occ
-      .withColumn("bsz", count(lit(1)).over(bucketW))
-      .filter(col("bsz") <= MaxBucketUsers)
-      .drop("bsz")
-    val edges = occOk.as("x").join(occOk.as("y"), Seq("event_type", "hb"))
-      .filter(col("x.user_id") < col("y.user_id"))
-      .groupBy(col("x.user_id").as("a"), col("y.user_id").as("b"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= MinCooccur)
-      .select(col("a"), col("b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = cooccurrenceEdges(spark, dir)
     val tri = edges.as("e1")
       .join(edges.as("e2"), col("e2.a") === col("e1.b"))
       .join(edges.as("e3"),
@@ -178,6 +184,54 @@ object Graph {
       |FROM (SELECT unnest([a, b, c]) AS user_id FROM tri)
       |GROUP BY user_id
       |ORDER BY n_triangles DESC, user_id LIMIT 20""".stripMargin
+
+  /** Common-neighbors link prediction (Liben-Nowell/Kleinberg 2003, the
+    * baseline every link predictor is measured against): the top-20
+    * NON-adjacent user pairs ranked by shared neighbors in the
+    * co-occurrence graph — "users who should know each other". Reuses
+    * [[cooccurrenceEdges]]; the wedge join (two adjacency hops through
+    * the shared endpoint) is the triangle two-path with the CLOSING edge
+    * anti-joined instead of joined — same equi-join dataflow, same
+    * capped-bucket bound on fan-out, never a cartesian. At 100 TB the
+    * wedge expansion is the degree² term; the cap (and at larger scale,
+    * degree-ordered orientation) bounds it exactly as in
+    * [[triangleCount]]. */
+  def linkPrediction(spark: SparkSession, dir: String): DataFrame = {
+    val edges = cooccurrenceEdges(spark, dir)
+    val adj = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+    val wedges = adj.as("l").join(adj.as("r"), col("l.a") === col("r.a"))
+      .filter(col("l.b") < col("r.b"))
+      .groupBy(col("l.b").as("u"), col("r.b").as("v"))
+      .agg(count(lit(1)).as("common_neighbors"))
+    wedges.join(edges,
+        wedges("u") === edges("a") && wedges("v") === edges("b"), "left_anti")
+      .orderBy(col("common_neighbors").desc, col("u"), col("v"))
+      .limit(20)
+  }
+
+  val linkPredictionSql: String =
+    s"""WITH occ AS (
+      |  SELECT DISTINCT event_type, date_trunc('hour', ts) AS hb, user_id
+      |  FROM events),
+      |ok AS (
+      |  SELECT event_type, hb FROM occ
+      |  GROUP BY event_type, hb HAVING COUNT(*) <= $MaxBucketUsers),
+      |edges AS (
+      |  SELECT x.user_id AS a, y.user_id AS b
+      |  FROM occ x JOIN ok USING (event_type, hb)
+      |  JOIN occ y USING (event_type, hb)
+      |  WHERE x.user_id < y.user_id
+      |  GROUP BY x.user_id, y.user_id HAVING COUNT(*) >= $MinCooccur),
+      |adj AS (
+      |  SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+      |wedges AS (
+      |  SELECT l.b AS u, r.b AS v, COUNT(*) AS common_neighbors
+      |  FROM adj l JOIN adj r ON l.a = r.a
+      |  WHERE l.b < r.b GROUP BY 1, 2)
+      |SELECT u, v, common_neighbors
+      |FROM wedges w
+      |WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.a = w.u AND e.b = w.v)
+      |ORDER BY common_neighbors DESC, u, v LIMIT 20""".stripMargin
 
   private val BfsRounds = 4
 

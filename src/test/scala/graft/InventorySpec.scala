@@ -34,9 +34,10 @@ class InventorySpec extends AnyFunSuite {
       val n = df.count()
       // anti/except legitimately return 0 rows (every customer has orders
       // in some SFs), and the sf0.001 co-occurrence graph is too sparse to
-      // close any triangle (2 edges, 0 triangles — verified vs DuckDB);
-      // everything else must produce data
-      if (!Set("join_anti", "setop_except", "graph_triangle_count").contains(name))
+      // close any triangle or leave any open wedge (2 edges — verified vs
+      // DuckDB); everything else must produce data
+      if (!Set("join_anti", "setop_except", "graph_triangle_count",
+          "graph_link_prediction").contains(name))
         assert(n > 0, s"$name returned no rows")
     }
   }

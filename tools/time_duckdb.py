@@ -1,0 +1,52 @@
+#!/usr/bin/env python3
+"""Time every oracle twin in DuckDB (dev tool — mirrors the judge's
+engine-vs-DuckDB ratio measurement).
+
+Usage: python3 tools/time_duckdb.py <verify_out_dir> <sf_dir> [threads]
+
+Reads oracle_sql.json from verify_out_dir, registers the testdata tables
+as views, runs each query once warm-up-free per round and prints per-query
+seconds (best of 2) plus the total.
+"""
+import json
+import sys
+import time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    threads = sys.argv[3] if len(sys.argv) > 3 else "32"
+    con = duckdb.connect()
+    con.execute(f"SET threads={threads}")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    sql = json.load(open(f"{out_dir}/oracle_sql.json"))
+    times = {}
+    for name in sorted(sql):
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            try:
+                con.execute(sql[name]).fetchall()
+            except Exception as e:
+                print(f"ERR  {name}: {e}")
+                best = -1.0
+                break
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = best
+    total = sum(v for v in times.values() if v >= 0)
+    for k, v in sorted(times.items(), key=lambda kv: -kv[1])[:15]:
+        print(f"{v:8.3f}  {k}")
+    print(json.dumps({"total_sec": round(total, 3), "n": len(times),
+                      "errors": sum(1 for v in times.values() if v < 0)}))
+
+
+if __name__ == "__main__":
+    main()
