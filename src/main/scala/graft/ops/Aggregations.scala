@@ -172,12 +172,24 @@ object Aggregations {
     * exploding distinct-shuffle. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    li.groupBy(col("l_returnflag"))
-      .agg(
-        approx_count_distinct(col("l_orderkey"), 0.01).as("ao"),
-        approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
-        countDistinct(col("l_orderkey")).as("exact_orders"),
+    // The sketches and the exact counts MUST be separate aggregation
+    // passes: mixing approx_count_distinct with countDistinct in one agg
+    // puts the HLL++ buffers inside the multi-distinct EXPAND rewrite,
+    // where the partial aggregate keys on (group, distinct-value, gid) —
+    // every such row then carries its own pair of rsd=0.01 (p=14, ~13 KB)
+    // sketches. Measured at sf0.1: 22 MINUTES and tens of GB of sort
+    // spill in one task, vs ~2 s split. (The bench's .count() prunes the
+    // sketch columns, which is why this only surfaced under Verify's
+    // materializing write.) Split, the sketch pass carries 3 buffers
+    // total and the exact pass carries plain count buffers — both
+    // map-side combined, the true 100 TB shape.
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("ao"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("ap"))
+    exact.join(broadcast(approx), "l_returnflag")
       .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
         (abs(col("ao") - col("exact_orders")).cast(DoubleType) /
           col("exact_orders") <= 0.05).as("orders_ok"),

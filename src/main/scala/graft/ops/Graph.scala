@@ -196,9 +196,21 @@ object Graph {
     * wedge expansion is the degree² term; the cap (and at larger scale,
     * degree-ordered orientation) bounds it exactly as in
     * [[triangleCount]]. */
+  // Per-node neighbor cap for the wedge expansion: without it a hub of
+  // degree d contributes d² wedge rows INTO ONE JOIN PARTITION (the sf0.1
+  // co-occurrence graph has hubs that turn this into a single-task,
+  // hours-long spill — measured, not hypothetical). Capping to the D
+  // lexicographically-smallest neighbors bounds every node's fan-out at
+  // C(D,2) deterministically in both engines — the same hot-key posture
+  // as MaxBucketUsers, applied at the node tier.
+  private val MaxNeighbors = 30
+
   def linkPrediction(spark: SparkSession, dir: String): DataFrame = {
     val edges = cooccurrenceEdges(spark, dir)
-    val adj = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+    val adjAll = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+    val nw = Window.partitionBy(col("a")).orderBy(col("b"))
+    val adj = adjAll.withColumn("nr", row_number().over(nw))
+      .filter(col("nr") <= MaxNeighbors).drop("nr")
     val wedges = adj.as("l").join(adj.as("r"), col("l.a") === col("r.a"))
       .filter(col("l.b") < col("r.b"))
       .groupBy(col("l.b").as("u"), col("r.b").as("v"))
@@ -222,8 +234,11 @@ object Graph {
       |  JOIN occ y USING (event_type, hb)
       |  WHERE x.user_id < y.user_id
       |  GROUP BY x.user_id, y.user_id HAVING COUNT(*) >= $MinCooccur),
-      |adj AS (
+      |adj0 AS (
       |  SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+      |adj AS (
+      |  SELECT a, b FROM adj0
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) <= $MaxNeighbors),
       |wedges AS (
       |  SELECT l.b AS u, r.b AS v, COUNT(*) AS common_neighbors
       |  FROM adj l JOIN adj r ON l.a = r.a
