@@ -24,6 +24,7 @@ object GraftFunctions {
     "graft_vec_dot_fd" -> { args => FloatDoubleDot(args(0), args(1)) },
     "graft_vec_sqnorm" -> { args => FloatVectorSqNorm(args(0)) },
     "graft_simhash64" -> { args => SimHash64(args(0)) },
+    "graft_poly_hash" -> { args => PolyHash64(args(0)) },
     "graft_topk_sketch" -> { args =>
       SpaceSavingTopK(args(0),
         capacity = args(1).eval().asInstanceOf[Number].intValue(),
@@ -114,6 +115,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (args: Seq[Expression]) => SimHash64(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_poly_hash"),
+      new ExpressionInfo(classOf[PolyHash64].getName, "graft_poly_hash"),
+      (args: Seq[Expression]) => PolyHash64(args(0))))
     ext.injectFunction((
       FunctionIdentifier("graft_topk_sketch"),
       new ExpressionInfo(classOf[SpaceSavingTopK].getName, "graft_topk_sketch"),

