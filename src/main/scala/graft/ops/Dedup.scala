@@ -561,6 +561,69 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** INCREMENTAL dedup — the daily-ingest pattern a 100 TB pipeline
+    * actually runs: screen a NEW batch (doc_id ≡ 0 mod 5, standing in for
+    * today's crawl) against the EXISTING corpus without re-pairing the
+    * corpus with itself. Each new doc reports its best existing match
+    * (lowest Hamming, then lowest id) within distance ≤ 3.
+    *
+    * Same Manku block banding as [[simhash]], but the join is
+    * old-blocks ⋈ new-blocks — candidate volume scales with the BATCH,
+    * not the corpus². At scale the old side is a maintained block INDEX:
+    * signatures are computed once when a doc is admitted and stored
+    * bucketed on (blk, bits), so an increment pays signature+blocks for
+    * the new batch plus one bucketed equi-join probe; nothing about the
+    * existing corpus is recomputed. Here both sides derive in-query
+    * (the harness holds no state between runs) — the dataflow from the
+    * block table onward is exactly the indexed path. The lexicographic
+    * struct-min picks the SAME best match in both engines, and the
+    * DuckDB twin re-derives every signature from raw text through the
+    * shared `simhashSigsCte`, cross-checking signatures, banding
+    * completeness, and the argmin in one query. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val sig = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        expr("graft_simhash64(split(text, ' '))").as("simhash"))
+    val blockStructs = (0 until SimHashBlocks).map { b =>
+      struct(lit(b).as("blk"),
+        expr(s"shiftrightunsigned(simhash, ${b * 16}) & 65535").as("bits"))
+    }
+    val blocks = dropHotBuckets(
+      sig.select(col("doc_id"), col("simhash"),
+        explode(array(blockStructs: _*)).as("bb"))
+        .select(col("doc_id"), col("simhash"),
+          col("bb.blk").as("blk"), col("bb.bits").as("bits"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      SimHashBucketCap, col("blk"), col("bits"))
+    val oldB = blocks.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+    val newB = blocks.filter(pmod(col("doc_id"), lit(5L)) === 0)
+    oldB.as("o").join(newB.as("n"), Seq("blk", "bits"))
+      .filter(expr("bit_count(o.simhash ^ n.simhash)") <= SimHashK)
+      .select(col("n.doc_id").as("new_doc"),
+        struct(expr("cast(bit_count(o.simhash ^ n.simhash) as bigint)").as("h"),
+          col("o.doc_id").as("d")).as("cand"))
+      .groupBy(col("new_doc"))
+      .agg(min(col("cand")).as("best"))
+      .select(col("new_doc"), col("best.d").as("dup_of"),
+        col("best.h").as("hamming"))
+      .orderBy(col("new_doc"))
+  }
+
+  val incrementalDedupSql: String =
+    s"""$simhashSigsCte,
+      |cand AS (
+      |  SELECT n.doc_id AS new_doc, o.doc_id AS dup_of,
+      |    CAST(bit_count(xor(n.sig, o.sig)) AS BIGINT) AS hamming,
+      |    ROW_NUMBER() OVER (PARTITION BY n.doc_id
+      |      ORDER BY bit_count(xor(n.sig, o.sig)), o.doc_id) AS rk
+      |  FROM sigs n JOIN sigs o
+      |    ON n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0
+      |   AND bit_count(xor(n.sig, o.sig)) <= $SimHashK)
+      |SELECT new_doc, dup_of, hamming FROM cand WHERE rk = 1
+      |ORDER BY new_doc""".stripMargin
+
   /** Near-dup clusters as connected components over the verified pair
     * graph — the canonical-assignment step a production dedup pipeline
     * runs after pair generation (keep one representative per cluster,
@@ -877,10 +940,14 @@ object Dedup {
   /** Oracle twin: re-derives the FNV-1a simhash with HUGEINT arithmetic
     * (64 vote columns), then brute-forces all pairs — the blocking above
     * must reproduce this exactly (completeness for K = 3). */
-  val simhashSql: String = {
-    // Folds the token's actual UTF-8 BYTES (via hex(encode(...))), exactly
-    // matching the engine's byte fold — ord()-per-character would diverge
-    // on any non-ASCII token.
+  /** The signature-derivation CTE chain (toks → tokh → th → votes →
+    * sigs) shared by the simhash oracle and the incremental-dedup
+    * oracle: re-derives every FNV-1a/simhash signature from scratch in
+    * HUGEINT arithmetic.
+    * Folds the token's actual UTF-8 BYTES (via hex(encode(...))), exactly
+    * matching the engine's byte fold — ord()-per-character would diverge
+    * on any non-ASCII token. */
+  private def simhashSigsCte: String = {
     val fnv =
       """list_reduce(
         |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
@@ -912,11 +979,14 @@ object Dedup {
       |    CAST(CASE WHEN s >= CAST(9223372036854775808 AS HUGEINT)
       |              THEN s - CAST(18446744073709551616 AS HUGEINT) ELSE s END
       |         AS BIGINT) AS sig
-      |  FROM (SELECT doc_id, $sigTerms AS s FROM votes))
+      |  FROM (SELECT doc_id, $sigTerms AS s FROM votes))""".stripMargin
+  }
+
+  val simhashSql: String =
+    s"""$simhashSigsCte
       |SELECT a.doc_id AS d1, b.doc_id AS d2,
       |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.sig, b.sig)) <= ${SimHashK}
       |ORDER BY d1, d2""".stripMargin
-  }
 }
