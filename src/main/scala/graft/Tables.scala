@@ -16,8 +16,24 @@ import org.apache.spark.sql.functions._
   * every operator in `graft.ops` is agnostic to the physical layout.
   */
 object Tables {
+  /** Analyzed-DataFrame memo, keyed by (session, path). The testdata
+    * tables are immutable files, so the resolved relation can be reused
+    * across the suite's 151 queries: `spark.read.parquet` eagerly lists
+    * the path and reads the footer schema on EVERY call — pure per-query
+    * floor when the same nine tables are read hundreds of times. A
+    * DataFrame is an immutable logical plan; sharing one shares no
+    * execution state. Also makes concurrent query submission safe for
+    * [[events]]: the nanosAsLong conf toggle now happens once per path,
+    * not per overlapping reader (see [[withNanosAsLong]]'s caveat). At
+    * 100 TB the same role is played by the catalog's cached table
+    * metadata (HMS/Unity relation cache) — this is that cache, scoped to
+    * path-loaded files. */
+  private val memo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    memo.getOrElseUpdate((spark, s"$sfDir/$name.parquet"),
+      spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -1,8 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 
 /** Rolling polynomial fingerprint (Karp–Rabin 1987 shape) of a string as
   * ONE per-row codegen expression: `acc = (acc·31 + byte) mod 1e9+7`,
@@ -23,8 +23,15 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * properties a fingerprint needs — but an engine deriving per CODEPOINT
   * would differ there; documented rather than hidden behind a slower
   * per-char decode. */
-case class PolyHash64(child: Expression) extends UnaryExpression {
+case class PolyHash64(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
 
+  // Declared so a non-string argument is an ANALYSIS-time error (with an
+  // implicit cast where one exists), not a runtime ClassCastException in
+  // nullSafeEval's UTF8String cast — same declaration pattern as Spark's
+  // own string expressions. Return type left inferred: Spark 4 makes
+  // AbstractDataType private[sql], but Seq[StringType.type] conforms.
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_poly_hash"
 

@@ -327,10 +327,10 @@ object Aggregations {
       |  SELECT o_orderstatus, o_orderpriority, n,
       |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
       |                       ORDER BY n DESC, o_orderpriority) AS rk,
-      |    SUM(n) OVER (PARTITION BY o_orderstatus) AS group_total
+      |    CAST(SUM(n) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS group_total
       |  FROM c)
       |SELECT o_orderstatus, o_orderpriority AS mode_priority, n, group_total,
-      |  (n * 1000000) // group_total AS share_fp
+      |  CAST((n * 1000000) // group_total AS BIGINT) AS share_fp
       |FROM r WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin
 
   /** Gini impurity (1 − Σ pᵢ²) of the event-type mix per user cohort
@@ -346,13 +346,19 @@ object Aggregations {
     val counts = Tables.events(spark, dir)
       .groupBy(pmod(col("user_id"), lit(10L)).as("cohort"), col("event_type"))
       .agg(count(lit(1)).as("n"))
+    // Σn² and n_events² accumulate in DECIMAL(38,0) — exact like DuckDB's
+    // HUGEINT arithmetic in the twin; long·long products would silently
+    // wrap once a cohort reaches ~3e9 events, diverging cross-engine at
+    // the 100 TB posture. Cast to double only at the final division, the
+    // same point the twin casts.
     counts.groupBy(col("cohort"))
       .agg(sum(col("n")).as("n_events"),
         count(lit(1)).as("n_types"),
-        sum(col("n") * col("n")).as("sum_sq"))
+        sum(col("n").cast("decimal(19,0)") * col("n")).as("sum_sq"))
       .select(col("cohort"), col("n_events"), col("n_types"),
         (lit(1.0) - col("sum_sq").cast("double") /
-          (col("n_events") * col("n_events")).cast("double")).as("gini"))
+          (col("n_events").cast("decimal(19,0)") * col("n_events"))
+            .cast("double")).as("gini"))
       .orderBy(col("cohort"))
   }
 

@@ -72,7 +72,8 @@ object Graph {
   val pagerankBipartiteSql: String = {
     def round(prev: String): String =
       s"""SELECT dst AS node,
-         |    (15 * ($Scale // nn)) // 100 + (85 * SUM(r // deg)) // 100 AS r
+         |    CAST((15 * ($Scale // nn)) // 100
+         |         + (85 * SUM(r // deg)) // 100 AS BIGINT) AS r
          |  FROM edges JOIN deg USING (src) JOIN $prev ON $prev.node = edges.src, n
          |  GROUP BY dst, nn""".stripMargin
     s"""WITH e0 AS (

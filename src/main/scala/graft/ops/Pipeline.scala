@@ -548,8 +548,16 @@ object Pipeline {
     * Output is the per-source admission census plus the kept set's char
     * mass. */
   def domainQuota(spark: SparkSession, dir: String): DataFrame = {
+    // doc_id is reduced mod p BEFORE the multiply: (p-1)·2654435761 ≈
+    // 2.7e18 < 2^63, so the product can never wrap int64 in EITHER engine
+    // at any doc_id (unreduced, doc_id ≳ 3.5e9 would silently wrap in
+    // Spark while DuckDB promotes — divergent admission order). p is not a
+    // power of two, so wrap-on-overflow is NOT harmless here the way it is
+    // for weightedSample's mod-8 bucket. Values are unchanged for
+    // doc_id < p (all test SFs).
     val w = Window.partitionBy(col("source"))
-      .orderBy(pmod(col("doc_id") * lit(2654435761L) + lit(97L), lit(1000000007L)),
+      .orderBy(pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L)
+          + lit(97L), lit(1000000007L)),
         col("doc_id"))
     Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"), col("n_chars"))
@@ -566,8 +574,8 @@ object Pipeline {
     s"""WITH r AS (
       |  SELECT source, doc_id, n_chars,
       |    ROW_NUMBER() OVER (PARTITION BY source
-      |      ORDER BY ((doc_id*2654435761+97) % 1000000007 + 1000000007)
-      |                  % 1000000007, doc_id) AS rk
+      |      ORDER BY (((doc_id % 1000000007)*2654435761+97) % 1000000007
+      |                  + 1000000007) % 1000000007, doc_id) AS rk
       |  FROM documents)
       |SELECT source, COUNT(*) AS n_docs,
       |  COUNT(CASE WHEN rk <= $DomainQuota THEN 1 END) AS n_kept,

@@ -466,11 +466,15 @@ object TextAnalysis {
     * map of this ratio, so per-term ranking is unchanged; the additive
     * blend weights rare terms more sharply than log-idf, which for a
     * fixed-query top-k is the same family of ranking. The tf saturation
-    * term tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)) is made rational by
-    * substituting avgdl = total_len/N and multiplying through by
-    * 10·total_len: num = 22·total_len·tf, den = 10·total_len·tf +
-    * 3·total_len + 9·dl·N — exact int64 arithmetic end to end (peak value
-    * ~22·total_len·tf·10³ ≪ 2⁶³ at any SF since tf ≤ dl).
+    * term tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)) is made rational via the
+    * PRE-REDUCED fixed point A = (10·total_len) div N (= 10·avgdl,
+    * floored — one deterministic floor both engines compute identically),
+    * multiplying through by A: num = 22·A·tf·10³, den = 10·A·tf + 3·A +
+    * 90·dl. The overflow bound is now CORPUS-SIZE-INDEPENDENT: peak
+    * ≈ 2.2·10⁴·avgdl·tf requires avgdl·tf < 4×10¹³ — document-scale
+    * quantities (a 10⁵-token average × a 10⁸-occurrence tf still fits
+    * int64), unlike the naive 10·total_len multiplier whose numerator
+    * wraps at total_len ~10¹³ tokens with tf ≥ ~42.
     *
     * Plan: ONE corpus scan emits (doc, dl, query-term hit) with the
     * filter INSIDE the explode lambda — non-query tokens never leave the
@@ -495,9 +499,9 @@ object TextAnalysis {
       .crossJoin(broadcast(stats))
       .withColumn("idf_fp",
         expr("((2 * n_docs - 2 * df + 1) * 1000) div (2 * df + 1)"))
+      .withColumn("a10", expr("(10 * total_len) div n_docs"))
       .withColumn("tf_fp",
-        expr("(22 * total_len * tf * 1000) div " +
-          "(10 * total_len * tf + 3 * total_len + 9 * dl * n_docs)"))
+        expr("(22 * a10 * tf * 1000) div (10 * a10 * tf + 3 * a10 + 90 * dl)"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hit_terms"),
         sum(expr("idf_fp * tf_fp")).as("score_fp"))
@@ -515,12 +519,13 @@ object TextAnalysis {
       |  SELECT doc_id, dl, token, COUNT(*) AS tf FROM hits GROUP BY 1, 2, 3),
       |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
       |stats AS (SELECT COUNT(*) AS n_docs,
-      |  SUM(len(string_split(text,' '))) AS total_len FROM documents),
+      |  CAST((10 * SUM(len(string_split(text,' ')))) // COUNT(*) AS BIGINT)
+      |    AS a10 FROM documents),
       |scored AS (
       |  SELECT doc_id, COUNT(*) AS n_hit_terms,
       |    SUM( (((2 * n_docs - 2 * df + 1) * 1000) // (2 * df + 1))
-      |       * ((22 * total_len * tf * 1000) //
-      |          (10 * total_len * tf + 3 * total_len + 9 * dl * n_docs)) )
+      |       * ((22 * a10 * tf * 1000) //
+      |          (10 * a10 * tf + 3 * a10 + 90 * dl)) )
       |      AS score_fp
       |  FROM tf JOIN df USING (token), stats GROUP BY doc_id)
       |SELECT doc_id, n_hit_terms,

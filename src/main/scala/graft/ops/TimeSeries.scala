@@ -111,8 +111,8 @@ object TimeSeries {
       |  SELECT src, dst, COUNT(*) AS n FROM seq
       |  WHERE dst IS NOT NULL GROUP BY src, dst)
       |SELECT src, dst, n,
-      |  SUM(n) OVER (PARTITION BY src) AS row_total,
-      |  (n * 1000000) // SUM(n) OVER (PARTITION BY src) AS p_fp
+      |  CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT) AS row_total,
+      |  CAST((n * 1000000) // SUM(n) OVER (PARTITION BY src) AS BIGINT) AS p_fp
       |FROM c ORDER BY src, dst""".stripMargin
 
   /** Temporal aggregation lattice: hour → day → month rollups where each
@@ -237,12 +237,19 @@ object TimeSeries {
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type"), col("ts").cast("date").as("day"))
       .agg(count(lit(1)).as("n"))
+    // Moments are overflow-proof, mirroring the twin's arithmetic exactly:
+    // Σn² accumulates in DECIMAL(38,0) (exact, like DuckDB's HUGEINT SUM —
+    // a long n·n product would silently wrap once daily counts reach ~3e9)
+    // and s is cast to double BEFORE squaring (the twin's
+    // CAST(SUM(n) AS DOUBLE) * SUM(n); long·long s·s wraps at the same
+    // threshold). Identical operand order → identical IEEE results.
     val stats = daily.groupBy(col("event_type"))
       .agg(count(lit(1)).as("days"), sum(col("n")).as("s"),
-        sum(col("n") * col("n")).as("ss"))
+        sum(col("n").cast("decimal(19,0)") * col("n")).as("ss"))
       .select(col("event_type"), col("days"),
         (col("s").cast("double") / col("days")).as("mean"),
-        sqrt((col("ss") - col("s") * col("s") / col("days").cast("double")) /
+        sqrt((col("ss").cast("double") -
+            col("s").cast("double") * col("s") / col("days")) /
           (col("days") - 1)).as("sd"))
     daily.join(broadcast(stats), "event_type")
       .filter((col("n") - col("mean")) * (col("n") - col("mean")) >

@@ -24,13 +24,44 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def type_class(t):
+    """Collapse an arrow type to the class the driver's value-hash is
+    sensitive to. Width differences inside a class (int32 vs int64) hash
+    the same python value; cross-class differences (DuckDB HUGEINT/SUM ->
+    decimal128(38,0) vs Spark int64) do NOT — Decimal(5) and 5 repr
+    differently — so they must be flagged even when values are equal."""
+    import pyarrow.types as pt
+    if pt.is_integer(t):
+        return "int"
+    if pt.is_floating(t):
+        return "float"
+    if pt.is_decimal(t):
+        return "decimal"
+    if pt.is_boolean(t):
+        return "bool"
+    if pt.is_string(t) or pt.is_large_string(t):
+        return "string"
+    if pt.is_timestamp(t):
+        return "timestamp"
+    if pt.is_date(t):
+        return "date"
+    if pt.is_binary(t) or pt.is_large_binary(t):
+        return "binary"
+    if pt.is_list(t) or pt.is_large_list(t) or pt.is_fixed_size_list(t):
+        return "list"
+    if pt.is_struct(t):
+        return "struct"
+    if pt.is_map(t):
+        return "map"
+    return str(t)
+
+
 def norm(v):
     if v is None:
         return None
-    # decimals -> float for comparison symmetry
-    import decimal
-    if isinstance(v, decimal.Decimal):
-        return float(v)
+    # NOTE: decimals are NOT coerced to float here — cross-class
+    # (decimal vs int/float) divergence is caught at the schema level
+    # above, and within-class decimal values compare exactly.
     return v
 
 
@@ -75,6 +106,15 @@ def main():
         s_cols, d_cols = sorted(spark_tbl.column_names), sorted(duck_tbl.column_names)
         if s_cols != d_cols:
             problems.append(f"columns differ: spark={s_cols} duck={d_cols}")
+        else:
+            for c in s_cols:
+                st = spark_tbl.schema.field(c).type
+                dt = duck_tbl.schema.field(c).type
+                sc, dc = type_class(st), type_class(dt)
+                if sc != dc:
+                    problems.append(
+                        f"TYPE col {c}: spark {st} ({sc}) vs duck {dt} ({dc})"
+                        " — driver hash will mismatch even if values equal")
         if spark_tbl.num_rows != duck_tbl.num_rows:
             problems.append(
                 f"rowcount differs: spark={spark_tbl.num_rows} duck={duck_tbl.num_rows}")
