@@ -1,0 +1,76 @@
+package graft.features
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-visible flagship parity: the FeaturesGoldenSpec anchors promoted
+  * into an inventory query, so reference parity shows up in the driver's
+  * CORRECTNESS gate, not only in sbt.
+  *
+  * Applies [[Features]] to the reference's own ingest output
+  * (`/root/reference/01.parquet`) and emits a (metric, value) census:
+  * row count, all 24 one-hot hour sums, all 7 one-hot day-of-week sums
+  * (including the reference's S12 bug — dead `dow0`, 8,766 unencoded
+  * Saturday rows), the JFK-box row count (488), the duration anchors
+  * (9 negative durations, min −85,860 s, max 86,367 s, 0 nulls), and —
+  * the strongest check — the two-way `exceptAll` row-level diff against
+  * the reference's committed `02.parquet` (both 0: every one of the
+  * 49,647 × 53 values agrees). The oracle twin is the corresponding
+  * constant table (values independently verified against 02.parquet with
+  * PyArrow — FIXTURES.md §1c), so any drift in the feature semantics
+  * turns the driver's gate red.
+  *
+  * One aggregate pass over 49,647 rows plus one exceptAll shuffle —
+  * trivial at this size; at 100 TB a parity census like this is exactly
+  * the shape of a reconciliation job (full-scan aggregate + anti-diff),
+  * all map-side combined. */
+object GoldenParity {
+  def census(spark: SparkSession, dir: String): DataFrame = {
+    val derived = Features(spark.read.parquet("/root/reference/01.parquet"))
+    val golden = spark.read.parquet("/root/reference/02.parquet")
+    val aggCols =
+      (0 until 24).map(h =>
+        sum(col(s"Pickup_hour_is_$h")).cast("long").as(f"h$h%02d")) ++
+      (0 until 7).map(d =>
+        sum(col(s"Pickup_dow_is_$d")).cast("long").as(s"dow$d")) ++
+      Seq(
+        count(lit(1)).as("n_rows"),
+        sum(col("Pickup_or_dropoff_at_JFK")).cast("long").as("jfk_rows"),
+        sum(when(col("Duration_seconds") < 0, 1).otherwise(0)).cast("long")
+          .as("neg_durations"),
+        min(col("Duration_seconds")).as("min_duration"),
+        max(col("Duration_seconds")).as("max_duration"),
+        sum(when(col("Duration_seconds").isNull, 1).otherwise(0)).cast("long")
+          .as("null_durations"))
+    val wide = derived.agg(aggCols.head, aggCols.tail: _*)
+    val names = wide.columns
+    val census = wide.select(expr(
+      s"stack(${names.length}, ${names.map(n => s"'$n', $n").mkString(", ")})" +
+        " as (metric, value)"))
+    val diffs = derived.exceptAll(golden)
+      .agg(count(lit(1)).as("value"))
+      .select(lit("diff_derived_minus_golden").as("metric"), col("value"))
+      .union(golden.exceptAll(derived)
+        .agg(count(lit(1)).as("value"))
+        .select(lit("diff_golden_minus_derived").as("metric"), col("value")))
+    census.union(diffs).orderBy(col("metric"))
+  }
+
+  /** Constant-table oracle twin: the independently verified anchors. */
+  val censusSql: String = {
+    val hours = Seq(2001, 1596, 1231, 897, 738, 430, 549, 977, 1544, 1771,
+      1898, 1889, 1954, 2049, 2300, 2721, 3027, 3301, 3620, 3704, 3373,
+      3016, 2734, 2327)
+    val dows = Seq(0L, 7858L, 7315L, 5253L, 5944L, 6585L, 7926L)
+    val rows =
+      hours.zipWithIndex.map { case (v, h) => f"('h$h%02d', $v)" } ++
+      dows.zipWithIndex.map { case (v, d) => s"('dow$d', $v)" } ++
+      Seq("('n_rows', 49647)", "('jfk_rows', 488)", "('neg_durations', 9)",
+        "('min_duration', -85860)", "('max_duration', 86367)",
+        "('null_durations', 0)", "('diff_derived_minus_golden', 0)",
+        "('diff_golden_minus_derived', 0)")
+    s"""SELECT metric, CAST(value AS BIGINT) AS value FROM (VALUES
+       |  ${rows.mkString(",\n  ")}
+       |) AS t(metric, value) ORDER BY metric""".stripMargin
+  }
+}

@@ -42,7 +42,9 @@ def main():
             best = dt if best is None else min(best, dt)
         times[name] = best
     total = sum(v for v in times.values() if v >= 0)
-    for k, v in sorted(times.items(), key=lambda kv: -kv[1])[:15]:
+    # Full per-query listing (slowest first) so engine-vs-oracle ratios
+    # are auditable per query without re-instrumenting.
+    for k, v in sorted(times.items(), key=lambda kv: -kv[1]):
         print(f"{v:8.3f}  {k}")
     print(json.dumps({"total_sec": round(total, 3), "n": len(times),
                       "errors": sum(1 for v in times.values() if v < 0)}))
