@@ -77,6 +77,31 @@ object Ingest {
   def ingestUrl(spark: SparkSession, url: String, strict: Boolean = true): DataFrame =
     ingest(spark, fetchToLocal(url), strict)
 
+  /** Scheme-dispatching entry point — the smart-open parity surface
+    * (/root/reference/01.py:168-181 accepts http(s)/s3/gs/file paths
+    * uniformly). Dispatch:
+    *   - `http:`/`https:` — single unsplittable byte stream, so it is
+    *     staged driver-side via [[fetchToLocal]] and read locally;
+    *   - `s3:` — rewritten to Hadoop's `s3a:` (the maintained S3
+    *     connector scheme; smart-open's `s3://bucket/key` and Hadoop's
+    *     `s3a://bucket/key` name the same object), then read as a
+    *     SPLITTABLE distributed source — unlike HTTP, object-store reads
+    *     scale out, which is the 100 TB ingest path;
+    *   - everything else (`gs:`, `abfss:`, `hdfs:`, `file:`, bare paths)
+    *     — handed to the mounted Hadoop FileSystem as-is.
+    * Object-store schemes require their connector jars on the classpath
+    * (hadoop-aws / gcs-connector); without them Hadoop fails fast with
+    * "No FileSystem for scheme" — an environment gap, not a code path
+    * gap, and the error names the missing piece. */
+  def ingestAny(spark: SparkSession, uri: String, strict: Boolean = true): DataFrame = {
+    val scheme = java.net.URI.create(uri).getScheme
+    scheme match {
+      case "http" | "https" => ingestUrl(spark, uri, strict)
+      case "s3" => ingest(spark, "s3a:" + uri.stripPrefix("s3:"), strict)
+      case _ => ingest(spark, uri, strict)
+    }
+  }
+
   /** S2: read just the first line of the file (driver-side, bounded I/O). */
   def readHeaderLine(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)

@@ -989,4 +989,66 @@ object Dedup {
       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.sig, b.sig)) <= ${SimHashK}
       |ORDER BY d1, d2""".stripMargin
+
+  /** Window length (tokens) for exact substring-level dedup. */
+  private val SubstrK = 8
+
+  /** Exact SUBSTRING-level duplication census (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", 2022: exact substring
+    * dedup finds repeated SPANS that whole-document similarity misses —
+    * boilerplate headers, license blocks, quoted passages inside
+    * otherwise-distinct documents). Their suffix-array formulation is
+    * approximated distributively the standard way: every K-token window
+    * of every document (K=8; Lee et al. use 50 on full web text — the
+    * testdata documents are ~80 tokens), a window is "duplicated" when
+    * it occurs in ≥2 DISTINCT documents, and each document reports its
+    * window count, duplicated-window count, and duplicated fraction
+    * (fixed-point ×10⁶). Cross-document spans only — WITHIN-document
+    * repetition is deliberately excluded (that signal is
+    * [[Pipeline.repetitionScore]]'s job).
+    *
+    * Plan: windows are built per-row inside codegen
+    * (`transform(sequence(...))` over the token array — no window
+    * shuffle, same shape as the shingle tiers), then ONE exchange on the
+    * window key serves both the distinct-doc census and the
+    * flag-join back. At 100 TB the window STRING key becomes a 64-bit
+    * `graft_poly_hash` (key-only shuffle, same as the shingle tiers) and
+    * the duplicated-window set — corpus-duplication-sized, not
+    * corpus-sized — broadcast-prunes before the join; the string form
+    * here keeps the oracle twin exactly re-derivable. */
+  def substringWindows(spark: SparkSession, dir: String): DataFrame = {
+    val wins = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= SubstrK)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, n - ${SubstrK - 1}), " +
+          s"i -> array_join(slice(toks, i, $SubstrK), ' '))")).as("win"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = wins.groupBy(col("win"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("win"), lit(1).as("hit"))
+    wins.join(dup, Seq("win"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"), count(col("hit")).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        expr("n_dup_windows * 1000000 div n_windows").as("dup_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val substringWindowsSql: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - ${SubstrK - 2}),
+      |    i -> array_to_string(list_slice(toks, i, i + ${SubstrK - 1}), ' '))) AS win
+      |  FROM t WHERE len(toks) >= $SubstrK),
+      |d AS (
+      |  SELECT win, 1 AS hit FROM w GROUP BY win
+      |  HAVING COUNT(DISTINCT doc_id) >= 2)
+      |SELECT doc_id, COUNT(*) AS n_windows, COUNT(d.hit) AS n_dup_windows,
+      |  CAST(COUNT(d.hit) * 1000000 // COUNT(*) AS BIGINT) AS dup_fp
+      |FROM w LEFT JOIN d USING (win)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

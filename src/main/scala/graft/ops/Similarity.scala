@@ -543,4 +543,118 @@ object Similarity {
       |  FROM scored)
       |SELECT query_id, vec_id, ip, rnk FROM ranked
       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  /** ANN index-quality evaluation: recall@5 vs candidate-set cost of the
+    * sign-bit LSH family, swept across plane counts {4, 6, 8} in ONE
+    * query — the tuning curve every ANN deployment reads before picking
+    * an operating point (recall halves as buckets refine 16→256 over
+    * this corpus while candidate volume drops ~16×; uniform synthetic
+    * vectors are sign-LSH's worst case, and the sweep SHOWS that rather
+    * than asserting it). Ground truth is the exact cosine top-5 of
+    * [[cosineTopK]]'s benchmark queries; the p-plane bucket is the
+    * low-p-bit prefix of the 8-plane signature (bits are disjoint powers
+    * of two, so `sig % 2^p` IS the p-plane signature — one signature
+    * pass serves all three operating points).
+    *
+    * Plan: one 8-broadcast-dot signature pass (the [[annLshBucketed]]
+    * shape), then per-p self-equi-join on the prefix bucket (query side
+    * pre-filtered to the 10 benchmark vectors), LEFT-joined against the
+    * exact top-5 set. Everything downstream of the signature pass is
+    * key-only. At 100 TB: ground truth comes from a labeled eval slice
+    * (exact top-k over a sample), the sweep is the same relational
+    * program, and the recall/cost table is the artifact that picks the
+    * production plane count. All-integer outputs — recall in fixed-point
+    * ×10⁶ — so both engines hash-match exactly. */
+  def annRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val em = Tables.embeddings(spark, dir)
+    val q = em.filter(pmod(col("vec_id"), lit(50L)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = em.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val exactTop = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5).select(col("query_id"), col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val planes = em.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("plane_id"), col("embedding").as("plane"))
+    val sigs = em.crossJoin(broadcast(planes))
+      .select(col("vec_id"),
+        when(dot(col("embedding"), col("plane")) >= 0,
+          expr("shiftleft(1L, cast(plane_id as int))")).otherwise(0L).as("bit"))
+      .groupBy(col("vec_id")).agg(sum(col("bit")).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pcs = spark.range(1).select(
+      explode(array(lit(4), lit(6), lit(8))).as("p"))
+    val sp = sigs.crossJoin(broadcast(pcs))
+      .select(col("p"), col("vec_id"),
+        expr("sig % shiftleft(1L, p)").as("bkt"))
+    val cand = sp.filter(pmod(col("vec_id"), lit(50L)) === 0).as("a")
+      .join(sp.as("b"),
+        col("a.p") === col("b.p") && col("a.bkt") === col("b.bkt") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.p").as("p"), col("a.vec_id").as("query_id"),
+        col("b.vec_id").as("vec_id"), lit(1).as("hit"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cost = cand.groupBy(col("p")).agg(count(lit(1)).as("n_cand_pairs"))
+    val base = exactTop.crossJoin(broadcast(pcs))
+    val rec = base.join(cand, Seq("p", "query_id", "vec_id"), "left_outer")
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hits"))
+      .select(col("p"), col("n_exact"), col("n_hits"),
+        expr("n_hits * 1000000 div n_exact").as("recall_fp"))
+    rec.join(cost, Seq("p"))
+      .select(col("p").as("n_planes"), col("n_exact"), col("n_hits"),
+        col("recall_fp"), col("n_cand_pairs"))
+      .orderBy(col("n_planes"))
+  }
+
+  val annRecallEvalSql: String =
+    """WITH e AS (SELECT vec_id, embedding,
+      |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS sq
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, embedding AS q_emb, sq AS q_sq
+      |  FROM e WHERE vec_id % 50 = 0),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    round(list_sum(list_transform(range(1, len(e.embedding)+1),
+      |      i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+      |      / (sqrt(q.q_sq) * sqrt(e.sq)), 6) AS cos_sim
+      |  FROM e JOIN q ON e.vec_id <> q.query_id),
+      |et AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id,
+      |      ROW_NUMBER() OVER (PARTITION BY query_id
+      |                         ORDER BY cos_sim DESC, vec_id) AS rnk
+      |    FROM scored) WHERE rnk <= 5),
+      |planes AS (SELECT vec_id AS plane_id, embedding AS plane
+      |  FROM embeddings WHERE vec_id < 8),
+      |bits AS (
+      |  SELECT e.vec_id,
+      |    CASE WHEN list_sum(list_transform(range(1, len(e.embedding)+1),
+      |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.plane[i] AS DOUBLE))) >= 0
+      |      THEN (CAST(1 AS BIGINT) << CAST(p.plane_id AS INT))
+      |      ELSE CAST(0 AS BIGINT) END AS bit
+      |  FROM e, planes p),
+      |sigs AS (SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS sig
+      |  FROM bits GROUP BY vec_id),
+      |pc AS (SELECT p FROM (VALUES (4),(6),(8)) AS v(p)),
+      |cand AS (
+      |  SELECT pc.p, sa.vec_id AS query_id, sb.vec_id AS vec_id, 1 AS hit
+      |  FROM pc, sigs sa JOIN sigs sb ON sa.vec_id <> sb.vec_id
+      |    AND (sa.sig % (CAST(1 AS BIGINT) << pc.p))
+      |      = (sb.sig % (CAST(1 AS BIGINT) << pc.p))
+      |  WHERE sa.vec_id % 50 = 0),
+      |cost AS (SELECT p, COUNT(*) AS n_cand_pairs FROM cand GROUP BY p),
+      |base AS (SELECT pc.p, et.query_id, et.vec_id FROM pc, et),
+      |rec AS (
+      |  SELECT base.p, COUNT(*) AS n_exact, COUNT(c.hit) AS n_hits,
+      |    CAST(COUNT(c.hit) * 1000000 // COUNT(*) AS BIGINT) AS recall_fp
+      |  FROM base LEFT JOIN cand c ON c.p = base.p
+      |    AND c.query_id = base.query_id AND c.vec_id = base.vec_id
+      |  GROUP BY base.p)
+      |SELECT p AS n_planes, n_exact, n_hits, recall_fp, n_cand_pairs
+      |FROM rec JOIN cost USING (p) ORDER BY n_planes""".stripMargin
 }

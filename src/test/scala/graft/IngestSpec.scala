@@ -127,4 +127,19 @@ class IngestSpec extends AnyFunSuite {
       }
     } finally server.stop(0)
   }
+
+  test("ingestAny dispatches by scheme like smart-open") {
+    // bare local path and file: URI both route to the Hadoop-FS reader
+    val p = writeCsv(Seq(header, rowA))
+    assert(Ingest.ingestAny(spark, p).count() === 1)
+    assert(Ingest.ingestAny(spark, "file:" + p).count() === 1)
+    // s3:// is rewritten to the s3a connector scheme; in this sandbox the
+    // connector jars are absent, so Hadoop must fail fast naming the
+    // scheme (environment gap, not a silent wrong-path read)
+    val e = intercept[Exception] {
+      Ingest.ingestAny(spark, "s3://bucket/key.csv").count()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("s3a"),
+      s"expected an s3a-naming failure, got: ${e.getMessage}")
+  }
 }

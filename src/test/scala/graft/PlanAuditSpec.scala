@@ -29,13 +29,14 @@ class PlanAuditSpec extends AnyFunSuite {
     *  - literal constant tables: range_band (5 bucket rows), lsh
     *    (hyperplane matrix)
     *  - bounded broadcast panels: cosine/mips top-k (query panel, ~2% of
-    *    corpus, the documented exact tier) and PQ ADC (k^M = 4096 code
-    *    tuples — SURVEY §9's bounded-domain cross join) */
+    *    corpus, the documented exact tier), PQ ADC (k^M = 4096 code
+    *    tuples — SURVEY §9's bounded-domain cross join), and the recall
+    *    sweep (3-row plane-count table + the cosine query panel) */
   private val constantSideJoins = Set(
     "text_bm25_topk", "text_tfidf_topk", "graph_pagerank_bipartite",
     "pipe_pack_sequences", "text_bigram_lm_score", "skyline_pareto",
     "join_range_band", "sim_ann_lsh_bucketed", "sim_ann_pq_adc",
-    "sim_cosine_topk", "sim_mips_topk")
+    "sim_cosine_topk", "sim_mips_topk", "sim_ann_recall_eval")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plans no unintended cartesian or nested-loop join") {
