@@ -337,4 +337,105 @@ object Graph {
       |${round("d3", "d4")}
       |SELECT node, dist FROM d4 ORDER BY dist, node""".stripMargin
   }
+
+  private val KCoreRounds = 4
+
+  /** k-core peeling census (Seidman 1983 "Network structure and minimum
+    * degree"; the degeneracy-ordering primitive behind community/spam
+    * filtering in web-graph curation — Batagelj/Zaveršnik's peel, run
+    * distributively): iteratively delete nodes of degree < k from the
+    * co-occurrence graph and report the TRAJECTORY — (round, nodes,
+    * edges, min remaining degree) for rounds 0..4 — rather than only the
+    * fixed point. k is DATA-ADAPTIVE: the median initial degree (exact
+    * rank-(⌈n/2⌉) element under (degree, node) order), so the query
+    * exercises real peeling dynamics at every SF where a fixed absolute
+    * k would be degenerate (sf0.1's minimum degree is 10, sf0.01's
+    * median is 5). The census stays 5 rows at any scale; the trajectory
+    * IS the result (a fixed peel-round budget, like the BFS/PageRank
+    * unrolls — determinism over convergence; at the median-k operating
+    * point sf0.1 collapses to an empty core by round 3, sf0.01 cascades
+    * 145→20 nodes, both oracle-reproduced).
+    *
+    * Plan: each round = one degree aggregate (map-side combined) + two
+    * node-sized broadcast semi-joins back onto the edge table — the edge
+    * table never re-shuffles; each round is persisted so the five census
+    * aggregates read materialized rounds instead of recomputing the
+    * ladder (the DuckDB twin mirrors this with MATERIALIZED CTEs). The
+    * median-k window runs unpartitioned over the NODE-DEGREE table
+    * (node-sized, same posture as Skyline's distinct-group window; at
+    * 100 TB it becomes the two-pass range-partitioned rank). */
+  def kcorePeel(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = cooccurrenceEdges(spark, dir)
+    val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val d0 = und.groupBy(col("a")).agg(count(lit(1)).as("d"))
+    val w = Window.orderBy(col("d"), col("a"))
+    val kDf = d0.withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(d0.agg(
+        expr("(count(1) + 1) div 2").as("half"))))
+      .filter(col("rn") === col("half"))
+      .select(col("d").as("k"))
+    val rounds = (1 to KCoreRounds).scanLeft(und) { (e, _) =>
+      val keep = e.groupBy(col("a")).agg(count(lit(1)).as("dg"))
+        .crossJoin(broadcast(kDf))
+        .filter(col("dg") >= col("k")).select(col("a"))
+      e.join(broadcast(keep), Seq("a"), "left_semi")
+        .join(broadcast(keep.select(col("a").as("b"))), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    rounds.zipWithIndex.map { case (e, i) =>
+      e.groupBy(col("a")).agg(count(lit(1)).as("d"))
+        .agg(count(lit(1)).as("n_nodes"),
+          expr("coalesce(sum(d), 0) div 2").as("n_edges"),
+          expr("coalesce(min(d), 0)").as("min_degree"))
+        .select(lit(i).as("round"), col("n_nodes"), col("n_edges"),
+          col("min_degree"))
+    }.reduce(_.union(_)).orderBy(col("round"))
+  }
+
+  val kcorePeelSql: String = {
+    def peel(prev: String, nxt: String): String =
+      s"""$nxt AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM $prev e
+         |  JOIN (SELECT a FROM $prev, kk GROUP BY a, k
+         |        HAVING COUNT(*) >= MAX(k)) ka ON e.a = ka.a
+         |  JOIN (SELECT a AS b FROM $prev, kk GROUP BY a, k
+         |        HAVING COUNT(*) >= MAX(k)) kb ON e.b = kb.b)""".stripMargin
+    def census(r: String, i: Int): String =
+      s"""SELECT $i AS round,
+         |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |  CAST(COALESCE(SUM(d), 0) // 2 AS BIGINT) AS n_edges,
+         |  CAST(COALESCE(MIN(d), 0) AS BIGINT) AS min_degree
+         |FROM (SELECT a, COUNT(*) AS d FROM $r GROUP BY a)""".stripMargin
+    s"""WITH occ AS (
+      |  SELECT DISTINCT event_type, date_trunc('hour', ts) AS hb, user_id
+      |  FROM events),
+      |ok AS (
+      |  SELECT event_type, hb FROM occ
+      |  GROUP BY event_type, hb HAVING COUNT(*) <= $MaxBucketUsers),
+      |e0 AS (
+      |  SELECT x.user_id AS a, y.user_id AS b
+      |  FROM occ x JOIN ok USING (event_type, hb)
+      |  JOIN occ y USING (event_type, hb)
+      |  WHERE x.user_id < y.user_id
+      |  GROUP BY x.user_id, y.user_id HAVING COUNT(*) >= $MinCooccur),
+      |und AS MATERIALIZED (
+      |  SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+      |dd0 AS (SELECT a, COUNT(*) AS d FROM und GROUP BY a),
+      |kk AS MATERIALIZED (
+      |  SELECT d AS k FROM (
+      |    SELECT d, ROW_NUMBER() OVER (ORDER BY d, a) AS rn FROM dd0)
+      |  WHERE rn = (SELECT (COUNT(*) + 1) // 2 FROM dd0)),
+      |${peel("und", "r1")},
+      |${peel("r1", "r2")},
+      |${peel("r2", "r3")},
+      |${peel("r3", "r4")}
+      |SELECT * FROM (${census("und", 0)})
+      |UNION ALL SELECT * FROM (${census("r1", 1)})
+      |UNION ALL SELECT * FROM (${census("r2", 2)})
+      |UNION ALL SELECT * FROM (${census("r3", 3)})
+      |UNION ALL SELECT * FROM (${census("r4", 4)})
+      |ORDER BY round""".stripMargin
+  }
 }
