@@ -186,7 +186,11 @@ object Bench {
     val results: Map[String, Double] =
       (if (suspects.nonEmpty && suspects.size <= 15) {
         val reruns = suspects.map { case (name, t) =>
-          name -> math.min(t, timeOne(name, SparkEntry.queries(name)))
+          // A FAILED re-run must not overwrite a valid first-pass time
+          // with -1 (a transient error would then masquerade as a query
+          // error); keep the slower-but-real measurement instead.
+          val r = timeOne(name, SparkEntry.queries(name))
+          name -> (if (r < 0) t else math.min(t, r))
         }.toMap
         firstPass.map { case (name, t) => name -> reruns.getOrElse(name, t) }
       } else firstPass).toMap

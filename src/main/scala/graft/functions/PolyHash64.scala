@@ -26,11 +26,14 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType}
 case class PolyHash64(child: Expression) extends UnaryExpression
     with ExpectsInputTypes {
 
-  // Declared so a non-string argument is an ANALYSIS-time error (with an
-  // implicit cast where one exists), not a runtime ClassCastException in
-  // nullSafeEval's UTF8String cast — same declaration pattern as Spark's
-  // own string expressions. Return type left inferred: Spark 4 makes
-  // AbstractDataType private[sql], but Seq[StringType.type] conforms.
+  // Declared so a non-string argument is an ANALYSIS-time error, not a
+  // runtime ClassCastException in nullSafeEval's UTF8String cast — same
+  // declaration pattern as Spark's own string expressions. (Plain
+  // ExpectsInputTypes validates strictly; coercion would additionally
+  // need ImplicitCastInputTypes, deliberately not mixed in — a silent
+  // int→string cast would change the hash domain.) Return type left
+  // inferred: Spark 4 makes AbstractDataType private[sql], but
+  // Seq[StringType.type] conforms.
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_poly_hash"

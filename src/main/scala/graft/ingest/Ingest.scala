@@ -94,10 +94,16 @@ object Ingest {
     * "No FileSystem for scheme" — an environment gap, not a code path
     * gap, and the error names the missing piece. */
   def ingestAny(spark: SparkSession, uri: String, strict: Boolean = true): DataFrame = {
-    val scheme = java.net.URI.create(uri).getScheme
+    // Schemes are case-insensitive (RFC 3986) and a bare local path may
+    // be URI-illegal (spaces) while still being a valid filesystem path —
+    // an unparsable "URI" therefore dispatches as a plain path.
+    val scheme =
+      try Option(java.net.URI.create(uri).getScheme).map(_.toLowerCase)
+      catch { case _: IllegalArgumentException => None }
     scheme match {
-      case "http" | "https" => ingestUrl(spark, uri, strict)
-      case "s3" => ingest(spark, "s3a:" + uri.stripPrefix("s3:"), strict)
+      case Some("http") | Some("https") => ingestUrl(spark, uri, strict)
+      case Some("s3") =>
+        ingest(spark, "s3a:" + uri.substring(uri.indexOf(':') + 1), strict)
       case _ => ingest(spark, uri, strict)
     }
   }

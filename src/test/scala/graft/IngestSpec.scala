@@ -133,13 +133,19 @@ class IngestSpec extends AnyFunSuite {
     val p = writeCsv(Seq(header, rowA))
     assert(Ingest.ingestAny(spark, p).count() === 1)
     assert(Ingest.ingestAny(spark, "file:" + p).count() === 1)
-    // s3:// is rewritten to the s3a connector scheme; in this sandbox the
-    // connector jars are absent, so Hadoop must fail fast naming the
-    // scheme (environment gap, not a silent wrong-path read)
-    val e = intercept[Exception] {
-      Ingest.ingestAny(spark, "s3://bucket/key.csv").count()
+    // URI-illegal local paths (spaces) must still dispatch as plain paths
+    val dirWithSpace = Files.createTempDirectory("graft spaced")
+    val spaced = dirWithSpace.resolve("in put.csv")
+    Files.copy(java.nio.file.Paths.get(p), spaced)
+    assert(Ingest.ingestAny(spark, spaced.toString).count() === 1)
+    // s3:// is rewritten to the s3a connector scheme (case-insensitively,
+    // per RFC 3986); in this sandbox the connector jars are absent, so
+    // Hadoop must fail fast naming the scheme (environment gap, not a
+    // silent wrong-path read)
+    for (u <- Seq("s3://bucket/key.csv", "S3://bucket/key.csv")) {
+      val e = intercept[Exception] { Ingest.ingestAny(spark, u).count() }
+      assert(e.getMessage != null && e.getMessage.contains("s3a"),
+        s"expected an s3a-naming failure for $u, got: ${e.getMessage}")
     }
-    assert(e.getMessage != null && e.getMessage.contains("s3a"),
-      s"expected an s3a-naming failure, got: ${e.getMessage}")
   }
 }

@@ -36,7 +36,10 @@ def type_class(t):
     if pt.is_floating(t):
         return "float"
     if pt.is_decimal(t):
-        return "decimal"
+        # scale is part of the class: repr(Decimal('5.00')) differs from
+        # repr(Decimal('5.000')), so equal-valued decimals of different
+        # scale still diverge under a repr-sensitive hash
+        return f"decimal(*,{t.scale})"
     if pt.is_boolean(t):
         return "bool"
     if pt.is_string(t) or pt.is_large_string(t):
