@@ -356,12 +356,18 @@ object Graph {
     * point sf0.1 collapses to an empty core by round 3, sf0.01 cascades
     * 145→20 nodes, both oracle-reproduced).
     *
-    * Plan: each round = one degree aggregate (map-side combined) + two
-    * node-sized broadcast semi-joins back onto the edge table — the edge
-    * table never re-shuffles; each round is persisted so the five census
-    * aggregates read materialized rounds instead of recomputing the
-    * ladder (the DuckDB twin mirrors this with MATERIALIZED CTEs). The
-    * median-k window runs unpartitioned over the NODE-DEGREE table
+    * Plan: each round = two edge-table window counts (one exchange on
+    * each endpoint key) + a per-row filter against the broadcast median-k
+    * scalar — degrees for BOTH endpoints are computed on the ROUND-START
+    * edge set before any deletion, which is exactly the simultaneous
+    * peel. This beats the aggregate+broadcast-semi-join formulation
+    * locally (no per-round broadcast-exchange builds; measured 7.6 →
+    * ~4 s at sf0.1) and carries the same scale posture: per round the
+    * edge table shuffles once per endpoint key, with no node-table
+    * broadcast assumption at all. Each round is persisted so the five
+    * census aggregates read materialized rounds instead of recomputing
+    * the ladder (the DuckDB twin mirrors this with MATERIALIZED CTEs).
+    * The median-k window runs unpartitioned over the NODE-DEGREE table
     * (node-sized, same posture as Skyline's distinct-group window; at
     * 100 TB it becomes the two-pass range-partitioned rank). */
   def kcorePeel(spark: SparkSession, dir: String): DataFrame = {
@@ -375,12 +381,14 @@ object Graph {
         expr("(count(1) + 1) div 2").as("half"))))
       .filter(col("rn") === col("half"))
       .select(col("d").as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bySrc = Window.partitionBy(col("a"))
+    val byDst = Window.partitionBy(col("b"))
     val rounds = (1 to KCoreRounds).scanLeft(und) { (e, _) =>
-      val keep = e.groupBy(col("a")).agg(count(lit(1)).as("dg"))
+      e.withColumn("da", count(lit(1)).over(bySrc))
+        .withColumn("db", count(lit(1)).over(byDst))
         .crossJoin(broadcast(kDf))
-        .filter(col("dg") >= col("k")).select(col("a"))
-      e.join(broadcast(keep), Seq("a"), "left_semi")
-        .join(broadcast(keep.select(col("a").as("b"))), Seq("b"), "left_semi")
+        .filter(col("da") >= col("k") && col("db") >= col("k"))
         .select(col("a"), col("b"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
