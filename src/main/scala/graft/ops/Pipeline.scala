@@ -637,4 +637,51 @@ object Pipeline {
       |  toks[chunk_idx * $ChunkStride
       |    + least($ChunkTokens, n - chunk_idx * $ChunkStride)] AS last_token
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Temperature-damped mixture weights per (source, lang) domain — the
+    * sampling-weight computation behind every multilingual/multi-source
+    * corpus recipe (Conneau & Lample 2019's α-scaled multinomial;
+    * Pile/ROOTS-style domain mixing): raw count shares over-sample huge
+    * domains, so each domain's weight is count^α renormalized. α = 1/2
+    * DELIBERATELY: sqrt is an IEEE-754 correctly-rounded required op
+    * (bit-identical in both engines), while a general count^0.7 routes
+    * through exp/ln and can never cross-engine hash-match. The damped
+    * score is immediately FLOORED into integer fixed-point
+    * (⌊√n·10⁴⌋ — both engines evaluate the same double multiply and
+    * floor), so renormalization is exact integer arithmetic: w_fp =
+    * s_i·10⁶ div Σs_i. Output also carries the raw-share fixed-point so
+    * the census SHOWS the damping (hugest domain's weight share < raw
+    * share, smallest's >).
+    *
+    * Plan: one map-side-combined (source, lang) aggregate (domain-sized
+    * output), then a broadcast 1-row total joined back — two stages at
+    * any corpus size; the domain table is the small side by
+    * construction. */
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val dom = Tables.documents(spark, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .withColumn("s", floor(sqrt(col("n_docs")) * 10000).cast("long"))
+    val tot = dom.agg(sum(col("s")).as("s_tot"),
+      sum(col("n_docs")).as("n_tot"))
+    dom.crossJoin(broadcast(tot))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_chars"),
+        expr("n_docs * 1000000 div n_tot").as("raw_share_fp"),
+        expr("s * 1000000 div s_tot").as("weight_fp"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  val mixtureWeightsSql: String =
+    """WITH dom AS (
+      |  SELECT source, lang, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |    CAST(FLOOR(sqrt(COUNT(*)) * 10000) AS BIGINT) AS s
+      |  FROM documents GROUP BY source, lang),
+      |tot AS (
+      |  SELECT CAST(SUM(s) AS BIGINT) AS s_tot,
+      |    CAST(SUM(n_docs) AS BIGINT) AS n_tot FROM dom)
+      |SELECT source, lang, n_docs, n_chars,
+      |  CAST(n_docs * 1000000 // n_tot AS BIGINT) AS raw_share_fp,
+      |  CAST(s * 1000000 // s_tot AS BIGINT) AS weight_fp
+      |FROM dom, tot ORDER BY source, lang""".stripMargin
 }

@@ -37,7 +37,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "pipe_pack_sequences", "text_bigram_lm_score", "skyline_pareto",
     "join_range_band", "sim_ann_lsh_bucketed", "sim_ann_pq_adc",
     "sim_cosine_topk", "sim_mips_topk", "sim_ann_recall_eval",
-    "graph_kcore_peel") // 1-row median-k scalar riding crossJoins
+    "graph_kcore_peel",  // 1-row median-k scalar riding crossJoins
+    "pipe_mixture_weights") // 1-row domain-total scalar riding a crossJoin
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plans no unintended cartesian or nested-loop join") {
