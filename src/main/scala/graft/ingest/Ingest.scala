@@ -94,12 +94,13 @@ object Ingest {
     * "No FileSystem for scheme" — an environment gap, not a code path
     * gap, and the error names the missing piece. */
   def ingestAny(spark: SparkSession, uri: String, strict: Boolean = true): DataFrame = {
-    // Schemes are case-insensitive (RFC 3986) and a bare local path may
-    // be URI-illegal (spaces) while still being a valid filesystem path —
-    // an unparsable "URI" therefore dispatches as a plain path.
-    val scheme =
-      try Option(java.net.URI.create(uri).getScheme).map(_.toLowerCase)
-      catch { case _: IllegalArgumentException => None }
+    // The scheme is detected by RFC 3986 shape (case-insensitively), NOT
+    // by java.net.URI parsing: an s3 key or URL path may contain
+    // URI-illegal characters (spaces are legal in S3 object keys) and
+    // must still dispatch by its scheme, while a bare local path — no
+    // scheme-like prefix at all — dispatches as a plain path.
+    val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*):".r.unanchored
+    val scheme = SchemeRe.findPrefixMatchOf(uri).map(_.group(1).toLowerCase)
     scheme match {
       case Some("http") | Some("https") => ingestUrl(spark, uri, strict)
       case Some("s3") =>

@@ -539,16 +539,26 @@ object Dedup {
     * signature table — shared by the text simhash tier and the multimodal
     * perceptual-hash tier (same 64-bit-signature problem, same complete
     * blocking for K ≤ 3). */
-  private[graft] def hammingPairs(sig: DataFrame, bucketCap: Int): DataFrame = {
+  /** The Manku block expansion itself — ONE definition of the banding
+    * (block count, stride, mask) shared by the simhash tier, the
+    * incremental tier, and the streaming agreement spec, so the engine
+    * and its tests can never drift onto different bandings. Input must
+    * carry (doc_id, `simCol`); output adds (blk, bits) one row per
+    * block. */
+  private[graft] def simhashBlockRows(sig: DataFrame, simCol: String): DataFrame = {
     val blockStructs = (0 until SimHashBlocks).map { b =>
       struct(lit(b).as("blk"),
-        expr(s"shiftrightunsigned(simhash, ${b * 16}) & 65535").as("bits"))
+        expr(s"shiftrightunsigned($simCol, ${b * 16}) & 65535").as("bits"))
     }
-    val blocks = dropHotBuckets(
-      sig.select(col("doc_id"), col("simhash"),
+    sig.select(col("doc_id"), col(simCol),
         explode(array(blockStructs: _*)).as("bb"))
-        .select(col("doc_id"), col("simhash"),
-          col("bb.blk").as("blk"), col("bb.bits").as("bits"))
+      .select(col("doc_id"), col(simCol),
+        col("bb.blk").as("blk"), col("bb.bits").as("bits"))
+  }
+
+  private[graft] def hammingPairs(sig: DataFrame, bucketCap: Int): DataFrame = {
+    val blocks = dropHotBuckets(
+      simhashBlockRows(sig, "simhash")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       bucketCap, col("blk"), col("bits"))
     blocks.as("x")
@@ -586,15 +596,8 @@ object Dedup {
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         expr("graft_simhash64(split(text, ' '))").as("simhash"))
-    val blockStructs = (0 until SimHashBlocks).map { b =>
-      struct(lit(b).as("blk"),
-        expr(s"shiftrightunsigned(simhash, ${b * 16}) & 65535").as("bits"))
-    }
     val blocks = dropHotBuckets(
-      sig.select(col("doc_id"), col("simhash"),
-        explode(array(blockStructs: _*)).as("bb"))
-        .select(col("doc_id"), col("simhash"),
-          col("bb.blk").as("blk"), col("bb.bits").as("bits"))
+      simhashBlockRows(sig, "simhash")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
       SimHashBucketCap, col("blk"), col("bits"))
     val oldB = blocks.filter(pmod(col("doc_id"), lit(5L)) =!= 0)

@@ -362,7 +362,8 @@ object Graph {
     * edge set before any deletion, which is exactly the simultaneous
     * peel. This beats the aggregate+broadcast-semi-join formulation
     * locally (no per-round broadcast-exchange builds; measured 7.6 →
-    * ~4 s at sf0.1) and carries the same scale posture: per round the
+    * 2.7 s in the steady-state bench at sf0.1) and carries the same
+    * scale posture: per round the
     * edge table shuffles once per endpoint key, with no node-table
     * broadcast assumption at all. Each round is persisted so the five
     * census aggregates read materialized rounds instead of recomputing

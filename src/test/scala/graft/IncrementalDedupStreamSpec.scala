@@ -21,7 +21,6 @@ import org.scalatest.funsuite.AnyFunSuite
 class IncrementalDedupStreamSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
-  private val Blocks = 4
   private val MaxHamming = 3
 
   test("foreachBatch block-index maintenance equals the prefix-ordered batch screen") {
@@ -43,16 +42,11 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
         Thread.sleep(1100)
       }
 
-      def blocksOf(df: DataFrame): DataFrame = {
-        val bs = (0 until Blocks).map { b =>
-          struct(lit(b).as("blk"),
-            expr(s"shiftrightunsigned(sim, ${b * 16}) & 65535").as("bits"))
-        }
-        df.select(col("doc_id"), col("sim"),
-            explode(array(bs: _*)).as("bb"))
-          .select(col("doc_id"), col("sim"),
-            col("bb.blk").as("blk"), col("bb.bits").as("bits"))
-      }
+      // the ENGINE's own block expansion (one shared definition of the
+      // banding) — the spec must screen with exactly the banding the
+      // engine runs, or it tests a different algorithm
+      def blocksOf(df: DataFrame): DataFrame =
+        graft.ops.Dedup.simhashBlockRows(df, "sim")
 
       val indexRef = new java.util.concurrent.atomic.AtomicReference[String](null)
       val pairsRef = new java.util.concurrent.atomic.AtomicReference[String](null)

@@ -33,12 +33,11 @@ class MixtureWeightsSpec extends AnyFunSuite {
         s"smallest domain ${smallest._1}/${smallest._2} was not damped up")
     }
     // the damped score re-derives from n_docs alone
-    rows.foreach { case (s, l, n, _, _) =>
-      val sd = math.floor(math.sqrt(n.toDouble) * 10000).toLong
-      val sTot = rows.map(r =>
-        math.floor(math.sqrt(r._3.toDouble) * 10000).toLong).sum
-      val expected = sd * 1000000L / sTot
-      val actual = rows.find(r => r._1 == s && r._2 == l).get._5
+    val sTot = rows.map(r =>
+      math.floor(math.sqrt(r._3.toDouble) * 10000).toLong).sum
+    rows.foreach { case (s, l, n, _, actual) =>
+      val expected = math.floor(math.sqrt(n.toDouble) * 10000).toLong *
+        1000000L / sTot
       assert(actual === expected, s"domain $s/$l weight mismatch")
     }
   }
