@@ -365,9 +365,14 @@ object Graph {
     * 2.7 s in the steady-state bench at sf0.1) and carries the same
     * scale posture: per round the
     * edge table shuffles once per endpoint key, with no node-table
-    * broadcast assumption at all. Each round is persisted so the five
-    * census aggregates read materialized rounds instead of recomputing
-    * the ladder (the DuckDB twin mirrors this with MATERIALIZED CTEs).
+    * broadcast assumption at all. Each round is localCheckpoint'ed
+    * (eager) — the same lineage-cut the star-contraction rounds use:
+    * persist alone keeps the full upstream tree in every downstream
+    * plan, so the five census aggregates would each re-plan the whole
+    * unrolled ladder (~100 scan nodes by round 4); checkpointing makes
+    * each census plan one scan of the materialized round (the DuckDB
+    * twin mirrors this with MATERIALIZED CTEs). At cluster scale the
+    * executor-loss-safe variant is reliable checkpoint() — same shape.
     * The median-k window runs unpartitioned over the NODE-DEGREE table
     * (node-sized, same posture as Skyline's distinct-group window; at
     * 100 TB it becomes the two-pass range-partitioned rank). */
@@ -391,7 +396,7 @@ object Graph {
         .crossJoin(broadcast(kDf))
         .filter(col("da") >= col("k") && col("db") >= col("k"))
         .select(col("a"), col("b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
     }
     rounds.zipWithIndex.map { case (e, i) =>
       e.groupBy(col("a")).agg(count(lit(1)).as("d"))
