@@ -1054,4 +1054,73 @@ object Dedup {
       |  CAST(COUNT(d.hit) * 1000000 // COUNT(*) AS BIGINT) AS dup_fp
       |FROM w LEFT JOIN d USING (win)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private val SemClusters = 8    // k-means cells (shared Lloyd trainer)
+  private val SemRounds = 2      // fixed Lloyd rounds — determinism over convergence
+  private val SemTau = 0.3       // cosine threshold on the 6-decimal rounded value
+  private val SemClusterCap = 1000 // hot-cluster guard, mirrored in the oracle
+
+  /** Semantic (embedding-cluster) dedup — SemDeDup (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication",
+    * arXiv 2023): cluster the embedding space with k-means, then pair ONLY
+    * within a cluster and drop every vector that has a more-canonical
+    * (lower-id) neighbor above a cosine threshold. Bridges the ANN tier and
+    * the dedup tier: the clustering is the exact deterministic fixed-round
+    * Lloyd trainer the IVF index uses ([[Similarity.lloydCentroids]]), so
+    * the whole decision — centroids, assignments, per-pair cosines, keep
+    * flags — is re-derived arithmetically by the DuckDB twin.
+    *
+    * Scale shape: cell assignment is a narrow per-row projection (argmin
+    * over k broadcast centroids — no shuffle); pairing is a self
+    * EQUI-join keyed on cid, so the corpus shuffles once on cluster id and
+    * never meets itself outside a cluster. Per-cluster work is O(s²) in
+    * cluster size s — bounded in expectation by scaling k with the corpus
+    * (SemDeDup runs k ≈ √N so E[s] ≈ √N), and guarded here like the ANN
+    * tier's hot-bucket cap: clusters above `SemClusterCap` members are
+    * excluded from pairing (all kept) rather than allowed to go quadratic.
+    * The synthetic corpus has no true near-dups (max pairwise cosine
+    * ≈ 0.51), so the threshold is a semantic-similarity τ = 0.3 rather
+    * than SemDeDup's 0.9+; the mechanism is identical and the comparison
+    * happens on the 6-decimal-rounded cosine both engines compute
+    * bit-identically. */
+  def semantic(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val em = Tables.embeddings(spark, dir)
+    val cents = Similarity.lloydCentroids(em, SemClusters, SemRounds)
+    val cells = em.select(col("vec_id"),
+      Similarity.nearestCid(cents)(col("embedding")).as("cid"),
+      col("embedding"),
+      Similarity.sqNorm(col("embedding")).as("sq"))
+    // hot-cluster guard: the size census is k rows — broadcast it
+    val okCells = cells.groupBy(col("cid")).count()
+      .filter(col("count") <= SemClusterCap).select(col("cid"))
+    val paired = cells.join(broadcast(okCells), "cid")
+    val dups = paired.as("a")
+      .join(paired.as("b"),
+        col("a.cid") === col("b.cid") && col("b.vec_id") < col("a.vec_id"))
+      .filter(round(Similarity.dot(col("a.embedding"), col("b.embedding")) /
+        (sqrt(col("a.sq")) * sqrt(col("b.sq"))), 6) >= SemTau)
+      .groupBy(col("a.vec_id")).agg(min(col("b.vec_id")).as("dup_of"))
+    cells.join(dups, Seq("vec_id"), "left")
+      .select(col("cid"), col("vec_id"), col("dup_of"),
+        col("dup_of").isNull.as("kept"))
+      .orderBy(col("cid"), col("vec_id"))
+  }
+
+  /** Oracle twin: same unrolled Lloyd CTEs as `sim_ann_ivf`, then the
+    * within-cluster pairing and min-id survivor rule in plain SQL. */
+  val semanticSql: String =
+    s"""WITH ${Similarity.lloydCtesSql(SemClusters, SemRounds)},
+      |${Similarity.lloydCellsSql(SemRounds)},
+      |ok AS (SELECT cid FROM cells GROUP BY cid HAVING COUNT(*) <= $SemClusterCap),
+      |p AS (SELECT c.* FROM cells c JOIN ok USING (cid)),
+      |dups AS (
+      |  SELECT a.vec_id, MIN(b.vec_id) AS dup_of
+      |  FROM p a JOIN p b ON a.cid = b.cid AND b.vec_id < a.vec_id
+      |  WHERE round(${Similarity.sqlDot("a.embedding", "b.embedding")}
+      |          / (sqrt(a.sq) * sqrt(b.sq)), 6) >= $SemTau
+      |  GROUP BY a.vec_id)
+      |SELECT c.cid, c.vec_id, d.dup_of, d.dup_of IS NULL AS kept
+      |FROM cells c LEFT JOIN dups d USING (vec_id)
+      |ORDER BY cid, vec_id""".stripMargin
 }

@@ -187,6 +187,125 @@ object Similarity {
   private val IvfRounds = 2 // FIXED Lloyd rounds — determinism over convergence
   private val IvfProbe = 2  // cells probed per query
 
+  // ---- shared deterministic Lloyd trainer (IVF ANN tier + SemDeDup tier) ----
+
+  /** Assignment score ‖c‖² − 2·v·c ranks cells identically to the true
+    * squared distance (‖v‖² is constant per vector). ‖c‖² is folded
+    * left-to-right on the driver — the identical IEEE operation sequence
+    * as the in-plan fold it replaces, so results stay bit-equal to the
+    * DuckDB twin. The dot itself is the codegen'd FloatDoubleDot
+    * expression (same element order and widening as the declarative
+    * aggregate(zip_with(...)) — which, being a higher-order function,
+    * ran INTERPRETED in this per-row × per-cell hot loop). */
+  private[ops] def cellScore(emb: Column, c: (Int, Seq[Double])): Column = {
+    val csq = c._2.foldLeft(0.0)((acc, x) => acc + x * x)
+    lit(csq) - lit(2.0) * call_function("graft_vec_dot_fd", emb, typedLit(c._2))
+  }
+
+  private[ops] def scoreStructs(cents: Seq[(Int, Seq[Double])])(emb: Column): Seq[Column] =
+    cents.map(c => struct(cellScore(emb, c).as("s"), lit(c._1).as("c")))
+
+  /** array_min over (score, cid) structs == ORDER BY score, cid LIMIT 1:
+    * struct ordering is lexicographic, so the cid tiebreak is preserved. */
+  private[ops] def nearestCid(cents: Seq[(Int, Seq[Double])])(emb: Column): Column =
+    array_min(array(scoreStructs(cents)(emb): _*)).getField("c")
+
+  /** Deterministic fixed-round Lloyd: cells seeded from the first k corpus
+    * vectors, `rounds` refinement passes, element-wise DECIMAL(28,8)-exact
+    * centroid means. The quantizer state (k × dim doubles, constant-sized
+    * by construction) lives on the DRIVER between rounds — the same shape
+    * as MLlib's KMeans, which collects centers every Lloyd round. That
+    * makes cell assignment a NARROW projection: per row, an `array_min`
+    * over k inline (score, cid) structs. Per round the only shuffle is the
+    * centroid-mean aggregation, which map-side-combines to k × dim
+    * partials. No RNG anywhere: same corpus ⇒ same centroids. */
+  private[ops] def lloydCentroids(em: DataFrame, k: Int, rounds: Int): Seq[(Int, Seq[Double])] = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType => DD}
+    var cents: Seq[(Int, Seq[Double])] =
+      em.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int").as("cid"),
+          expr("transform(embedding, x -> cast(x as double))").as("centroid"))
+        .collect().toSeq
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
+    for (_ <- 0 until rounds) {
+      // nearestCid must live in its own projection: a select that also
+      // carries a generator goes through the Generate rewrite, which
+      // drops nested struct-field aliases (FIELD_NOT_FOUND on `c`).
+      // The k×dim per-dimension means come back as ROWS and assemble into
+      // centroid arrays ON THE DRIVER (k·dim values, constant-sized) —
+      // the previous in-plan collect_list/sort_array assembly cost a
+      // second full shuffle per Lloyd round just to build 8 arrays.
+      cents =
+        em.select(nearestCid(cents)(col("embedding")).as("cid"), col("embedding"))
+          .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("cid"), col("pos"))
+          .agg((sum(col("x").cast(DecimalType(28, 8))).cast(DD) /
+            count(lit(1))).as("m"))
+          .collect().toSeq
+          .groupBy(_.getInt(0))
+          .map { case (cid, rows) =>
+            cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          }
+          .toSeq.sortBy(_._1)
+    }
+    cents
+  }
+
+  /** Left-fold double dot in DuckDB SQL — the oracle-side twin of
+    * graft_vec_dot_fd (identical element order and widening). */
+  private[ops] def sqlDot(e: String, c: String): String =
+    s"list_sum(list_transform(range(1, len($e)+1), i -> CAST($e[i] AS DOUBLE) * $c[i]))"
+
+  /** Oracle-side twin of [[lloydCentroids]]: the `cents0 … cents<rounds>`
+    * CTE chain (unrolled fixed-round Lloyd with identical arithmetic).
+    * Callers append their own CTEs referencing `cents<rounds>`. */
+  private[ops] def lloydCtesSql(k: Int, rounds: Int): String = {
+    def centsCte(n: Int, prev: String): String =
+      s"""assign$n AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        c.csq - 2 * ${sqlDot("e.embedding", "c.centroid")}, c.cid) AS rnk
+         |    FROM embeddings e, $prev c) t WHERE rnk = 1),
+         |dims$n AS (
+         |  SELECT cid, unnest(embedding) AS x,
+         |         generate_subscripts(embedding, 1) AS pos
+         |  FROM assign$n),
+         |means$n AS (
+         |  SELECT cid, pos,
+         |    CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS m
+         |  FROM dims$n GROUP BY cid, pos),
+         |cents$n AS (
+         |  SELECT cid, centroid,
+         |    list_sum(list_transform(centroid, x -> x * x)) AS csq
+         |  FROM (SELECT cid, list(m ORDER BY pos) AS centroid
+         |        FROM means$n GROUP BY cid) t)""".stripMargin
+    val roundCtes = (1 to rounds)
+      .map(r => centsCte(r, if (r == 1) "cents0" else s"cents${r - 1}"))
+      .mkString(",\n")
+    s"""cents0 AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cid,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid,
+       |    list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS csq
+       |  FROM embeddings WHERE vec_id < $k),
+       |$roundCtes""".stripMargin
+  }
+
+  /** Oracle-side final cell assignment against `cents<rounds>` — the twin
+    * of `nearestCid(cents)` applied to the whole corpus, carrying the
+    * squared norm for downstream cosine math. */
+  private[ops] def lloydCellsSql(rounds: Int): String =
+    s"""cells AS (
+       |  SELECT vec_id, embedding, cid,
+       |    list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq
+       |  FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        c.csq - 2 * ${sqlDot("e.embedding", "c.centroid")}, c.cid) AS rnk
+       |    FROM embeddings e, cents$rounds c) t WHERE rnk = 1)""".stripMargin
+
   /** IVF (inverted-file) ANN — the cell-probing scale path next to the
     * sign-bit LSH tier: a deterministic k-means coarse quantizer (cells
     * seeded from the first k corpus vectors, FIXED Lloyd rounds,
@@ -210,66 +329,19 @@ object Similarity {
     * k × dim partials. */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    import org.apache.spark.sql.types.{DecimalType, DoubleType => DD}
     val em = Tables.embeddings(spark, dir)
 
-    var cents: Seq[(Int, Seq[Double])] =
-      em.filter(col("vec_id") < IvfCells)
-        .select(col("vec_id").cast("int").as("cid"),
-          expr("transform(embedding, x -> cast(x as double))").as("centroid"))
-        .collect().toSeq
-        .map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
-
-    // Assignment score ‖c‖² − 2·v·c ranks cells identically to the true
-    // squared distance (‖v‖² is constant per vector). ‖c‖² is folded
-    // left-to-right on the driver — the identical IEEE operation sequence
-    // as the in-plan fold it replaces, so results stay bit-equal to the
-    // DuckDB twin. The dot itself is the codegen'd FloatDoubleDot
-    // expression (same element order and widening as the declarative
-    // aggregate(zip_with(...)) — which, being a higher-order function,
-    // ran INTERPRETED in this per-row × per-cell hot loop).
-    def cellScore(emb: Column, c: (Int, Seq[Double])): Column = {
-      val csq = c._2.foldLeft(0.0)((acc, x) => acc + x * x)
-      lit(csq) - lit(2.0) * call_function("graft_vec_dot_fd", emb, typedLit(c._2))
-    }
-    def scoreStructs(emb: Column): Seq[Column] = cents.map(c =>
-      struct(cellScore(emb, c).as("s"), lit(c._1).as("c")))
-    // array_min over (score, cid) structs == ORDER BY score, cid LIMIT 1:
-    // struct ordering is lexicographic, so the cid tiebreak is preserved.
-    def nearestCid(emb: Column): Column =
-      array_min(array(scoreStructs(emb): _*)).getField("c")
-
-    for (_ <- 0 until IvfRounds) {
-      // nearestCid must live in its own projection: a select that also
-      // carries a generator goes through the Generate rewrite, which
-      // drops nested struct-field aliases (FIELD_NOT_FOUND on `c`).
-      // The k×dim per-dimension means come back as ROWS and assemble into
-      // centroid arrays ON THE DRIVER (k·dim values, constant-sized) —
-      // the previous in-plan collect_list/sort_array assembly cost a
-      // second full shuffle per Lloyd round just to build 8 arrays.
-      cents =
-        em.select(nearestCid(col("embedding")).as("cid"), col("embedding"))
-          .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
-          .groupBy(col("cid"), col("pos"))
-          .agg((sum(col("x").cast(DecimalType(28, 8))).cast(DD) /
-            count(lit(1))).as("m"))
-          .collect().toSeq
-          .groupBy(_.getInt(0))
-          .map { case (cid, rows) =>
-            cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-          }
-          .toSeq.sortBy(_._1)
-    }
+    val cents = lloydCentroids(em, IvfCells, IvfRounds)
 
     // Final assignment — narrow, re-derived per consumer from the scan
     // (cheaper than a persist barrier: one projection over the corpus).
     val cells = em.select(col("vec_id"), col("embedding"),
-      nearestCid(col("embedding")).as("cid"))
+      nearestCid(cents)(col("embedding")).as("cid"))
     // Each query probes its IvfProbe nearest cells: sorted struct array,
     // sliced — same (score, cid) order as the oracle's windowed rank.
     val probes = em.filter(pmod(col("vec_id"), lit(50L)) === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        explode(slice(array_sort(array(scoreStructs(col("embedding")): _*)),
+        explode(slice(array_sort(array(scoreStructs(cents)(col("embedding")): _*)),
           1, IvfProbe).getField("c")).as("cid"))
     // exact cosine rerank within probed cells; probe side is tiny
     // (queries × IvfProbe) — broadcast it so the corpus never shuffles
@@ -286,48 +358,10 @@ object Similarity {
 
   /** Oracle twin: unrolled fixed-round Lloyd with identical arithmetic. */
   val annIvfSql: String = {
-    val dot = (e: String, c: String) =>
-      s"list_sum(list_transform(range(1, len($e)+1), i -> CAST($e[i] AS DOUBLE) * $c[i]))"
-    def centsCte(n: Int, prev: String): String =
-      s"""assign$n AS (
-         |  SELECT vec_id, embedding, cid FROM (
-         |    SELECT e.vec_id, e.embedding, c.cid,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-         |        c.csq - 2 * ${dot("e.embedding", "c.centroid")}, c.cid) AS rnk
-         |    FROM embeddings e, $prev c) t WHERE rnk = 1),
-         |dims$n AS (
-         |  SELECT cid, unnest(embedding) AS x,
-         |         generate_subscripts(embedding, 1) AS pos
-         |  FROM assign$n),
-         |means$n AS (
-         |  SELECT cid, pos,
-         |    CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS m
-         |  FROM dims$n GROUP BY cid, pos),
-         |cents$n AS (
-         |  SELECT cid, centroid,
-         |    list_sum(list_transform(centroid, x -> x * x)) AS csq
-         |  FROM (SELECT cid, list(m ORDER BY pos) AS centroid
-         |        FROM means$n GROUP BY cid) t)""".stripMargin
-    val rounds = (1 to IvfRounds)
-      .map(r => centsCte(r, if (r == 1) "cents0" else s"cents${r - 1}"))
-      .mkString(",\n")
+    val dot = sqlDot _
     val fin = s"cents$IvfRounds"
-    s"""WITH cents0 AS (
-      |  SELECT CAST(vec_id AS INTEGER) AS cid,
-      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid,
-      |    list_sum(list_transform(embedding,
-      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS csq
-      |  FROM embeddings WHERE vec_id < $IvfCells),
-      |$rounds,
-      |cells AS (
-      |  SELECT vec_id, embedding, cid,
-      |    list_sum(list_transform(embedding,
-      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq
-      |  FROM (
-      |    SELECT e.vec_id, e.embedding, c.cid,
-      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-      |        c.csq - 2 * ${dot("e.embedding", "c.centroid")}, c.cid) AS rnk
-      |    FROM embeddings e, $fin c) t WHERE rnk = 1),
+    s"""WITH ${lloydCtesSql(IvfCells, IvfRounds)},
+      |${lloydCellsSql(IvfRounds)},
       |queries AS (
       |  SELECT vec_id AS query_id, embedding AS q_emb, sq AS q_sq
       |  FROM cells WHERE vec_id % 50 = 0),

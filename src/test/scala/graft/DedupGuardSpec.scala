@@ -29,6 +29,27 @@ class DedupGuardSpec extends AnyFunSuite {
     noCartesian(Dedup.minhashLsh(spark, dir), "minhashLsh")
   }
 
+  test("semantic dedup pairing has no cartesian/nested-loop join") {
+    noCartesian(Dedup.semantic(spark, dir), "semantic")
+  }
+
+  test("semantic dedup keep rule: dup_of is an earlier same-cluster member") {
+    val rows = Dedup.semantic(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val kept = rows.count(_.getBoolean(3))
+    assert(kept > 0 && kept < rows.length,
+      s"expected a non-vacuous split, got $kept/${rows.length} kept")
+    val cidOf = rows.map(r => r.getLong(1) -> r.getInt(0)).toMap
+    rows.foreach { r =>
+      if (r.getBoolean(3)) assert(r.isNullAt(2), s"kept row carries dup_of: $r")
+      else {
+        val v = r.getLong(1); val d = r.getLong(2)
+        assert(d < v, s"dup_of must be a lower id: $r")
+        assert(cidOf(d) === cidOf(v), s"dup_of must share the cluster: $r")
+      }
+    }
+  }
+
   test("connected components on an empty pair table returns empty, not NPE (all paths)") {
     import spark.implicits._
     // Zero near-dup pairs (sum over empty → NULL) must converge to an
