@@ -531,4 +531,110 @@ object TextAnalysis {
       |SELECT doc_id, n_hit_terms,
       |  CAST(score_fp AS BIGINT) AS score_fp
       |FROM scored ORDER BY score_fp DESC, doc_id LIMIT 20""".stripMargin
+
+  private val BpeRounds = 3 // unrolled merge rounds (round 1 = Sennrich init)
+  private val BpeTopK = 10  // pairs emitted per round
+
+  /** BPE merge-round census (Sennrich/Haddow/Birch, "Neural machine
+    * translation of rare words with subword units", ACL 2016): the
+    * tokenizer-induction step of a real LLM data pipeline. Each round
+    * counts adjacent-symbol pairs over the corpus, emits the top-K, and
+    * merges the single most frequent pair (count desc, then
+    * lexicographically smallest) into one symbol before the next round —
+    * three rounds unrolled, so the output shows the merge dynamics (the
+    * winning pair disappears from the next round's census).
+    *
+    * Scale shape — the standard word-frequency compression: the corpus is
+    * scanned ONCE for the word census; everything after runs on the
+    * VOCAB-sized (word, freq) table, with pair counts weighted by word
+    * frequency — at 100 TB the vocab is millions of rows while the corpus
+    * is trillions of tokens, so the per-round work is negligible and
+    * map-side-combines on the pair key. Per-round state is ONE broadcast
+    * row (the winning pair), applied as a narrow per-row string rewrite.
+    *
+    * Symbol sequences are SOH/STX-delimited symbols (chr 1 / chr 2)
+    * joined by spaces, so the merge is a plain `replace` of
+    * "⟨x⟩ ⟨y⟩" with "⟨xy⟩" — both engines scan left-to-right over
+    * non-overlapping occurrences, which is exactly BPE's greedy in-word
+    * merge order, and the markers make a cross-symbol-boundary false
+    * match impossible. All counts are integers; no rounding anywhere. */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val vocab = d.select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    var seq = vocab.select(
+      expr("array_join(transform(sequence(1, length(w)), " +
+        "i -> concat(chr(1), substring(w, i, 1), chr(2))), ' ')").as("seq"),
+      col("freq"))
+    val stripL = expr("replace(replace(l, chr(1), ''), chr(2), '')")
+    val stripR = expr("replace(replace(r, chr(1), ''), chr(2), '')")
+    val outs = (1 to BpeRounds).map { r =>
+      // pairs is vocab-sized; localCheckpoint cuts the crossJoin-per-round
+      // lineage growth (house pattern for unrolled iteration) and lets the
+      // top-1 subplan and the census output share one materialization.
+      val pairs = seq
+        .select(col("freq"), split(col("seq"), " ").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms)-1), " +
+            "i -> named_struct('l', element_at(syms, i), 'r', element_at(syms, i+1)))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("pair_count"))
+        .localCheckpoint()
+      val out = pairs
+        .orderBy(col("pair_count").desc, stripL, stripR).limit(BpeTopK)
+        .select(lit(r).as("merge_round"), stripL.as("left_sym"),
+          stripR.as("right_sym"), col("pair_count"))
+      if (r < BpeRounds) {
+        val top1 = pairs.orderBy(col("pair_count").desc, stripL, stripR).limit(1)
+          .select(concat(col("l"), lit(" "), col("r")).as("search"),
+            concat(lit("\u0001"), stripL, stripR, lit("\u0002")).as("repl"))
+        seq = seq.crossJoin(broadcast(top1))
+          .select(expr("replace(seq, search, repl)").as("seq"), col("freq"))
+      }
+      out
+    }
+    outs.reduce(_ union _)
+      .orderBy(col("merge_round"), col("pair_count").desc,
+        col("left_sym"), col("right_sym"))
+  }
+
+  /** Oracle twin: identical unrolled rounds; SUM over BIGINT is cast back
+    * from DuckDB's HUGEINT, and the merge is the same marked replace. */
+  val bpePairsSql: String = {
+    def strip(c: String) = s"replace(replace($c, chr(1), ''), chr(2), '')"
+    def pairsCte(n: Int): String =
+      s"""p$n AS (
+         |  SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS pair_count FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+         |      i -> {'l': syms[i], 'r': syms[i+1]})) AS p
+         |    FROM (SELECT string_split(seq, ' ') AS syms, freq FROM seq${n - 1}) t
+         |    WHERE len(syms) >= 2) u
+         |  GROUP BY p.l, p.r)""".stripMargin
+    def mergeCte(n: Int): String =
+      s"""top$n AS (
+         |  SELECT l, r, chr(1) || ${strip("l || r")} || chr(2) AS merged
+         |  FROM p$n ORDER BY pair_count DESC, ${strip("l")}, ${strip("r")} LIMIT 1),
+         |seq$n AS (
+         |  SELECT replace(seq, t.l || ' ' || t.r, t.merged) AS seq, freq
+         |  FROM seq${n - 1}, top$n t)""".stripMargin
+    def outSel(n: Int): String =
+      s"""(SELECT $n AS merge_round, ${strip("l")} AS left_sym,
+         |  ${strip("r")} AS right_sym, pair_count
+         | FROM p$n ORDER BY pair_count DESC, left_sym, right_sym LIMIT $BpeTopK)""".stripMargin
+    val ctes = (1 to BpeRounds).map { n =>
+      if (n < BpeRounds) pairsCte(n) + ",\n" + mergeCte(n) else pairsCte(n)
+    }.mkString(",\n")
+    s"""WITH words AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |vocab AS (SELECT w, COUNT(*) AS freq FROM words WHERE w <> '' GROUP BY w),
+      |seq0 AS (
+      |  SELECT array_to_string(list_transform(range(1, length(w)+1),
+      |    i -> chr(1) || w[i] || chr(2)), ' ') AS seq, freq
+      |  FROM vocab),
+      |$ctes
+      |${(1 to BpeRounds).map(outSel).mkString("\nUNION ALL\n")}
+      |ORDER BY merge_round, pair_count DESC, left_sym, right_sym""".stripMargin
+  }
 }

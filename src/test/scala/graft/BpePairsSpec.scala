@@ -1,0 +1,32 @@
+package graft.ops
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE merge-round dynamics: each round's winning pair must disappear
+  * from the next round's census (it was merged into one symbol). */
+class BpePairsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("winning pair is merged out and its fusion appears next round") {
+    val rows = TextAnalysis.bpePairs(spark, dir).collect()
+    assert(rows.length === 30, "3 rounds x top-10")
+    val byRound = rows.groupBy(_.getInt(0))
+    assert(byRound.keySet === Set(1, 2, 3))
+    // winner of round r = max count, tie-broken lexicographically —
+    // rows arrive ordered (merge_round, pair_count desc, l, r)
+    for (r <- 1 to 2) {
+      val winner = byRound(r).head
+      val (wl, wr) = (winner.getString(1), winner.getString(2))
+      val next = byRound(r + 1).map(x => (x.getString(1), x.getString(2)))
+      assert(!next.contains((wl, wr)),
+        s"round-${r + 1} census still contains round-$r winner ($wl,$wr)")
+    }
+    // counts are monotonically non-increasing within a round's top-10
+    byRound.values.foreach { rs =>
+      val cs = rs.map(_.getLong(3)).toSeq
+      assert(cs === cs.sorted.reverse)
+    }
+  }
+}
