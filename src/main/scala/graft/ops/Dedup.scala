@@ -1055,6 +1055,58 @@ object Dedup {
       |FROM w LEFT JOIN d USING (win)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Driver-visible batch twin of the streaming incremental-dedup loop
+    * (`IncrementalDedupStreamSpec`): the corpus arrives in three chunks
+    * (chunk = doc_id mod 3, the spec's arrival order), each chunk is
+    * screened against the block index accumulated from all EARLIER chunks
+    * — strict arrival-prefix semantics, exactly what the foreachBatch
+    * stream maintains — and every screened doc reports its best earlier
+    * match (min Hamming, then min doc_id). The engine runs the real
+    * indexed path: Manku 4×16 block banding under the hot-bucket cap,
+    * candidates verified at Hamming ≤ 3. The oracle twin screens with NO
+    * banding (plain prefix all-pairs at the cutoff) — by pigeonhole a
+    * pair within Hamming ≤ 3 must share a block, so driver-level exact
+    * agreement re-proves the block screen lossless, now visible in
+    * CORRECTNESS rather than only in sbt. The chunking-invariance of the
+    * real readStream/foreachBatch lifecycle over these same chunks is
+    * what the spec pins. */
+  def streamIncremental(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val sig = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        expr("graft_simhash64(split(text, ' '))").as("simhash"))
+    val blocks = dropHotBuckets(
+      simhashBlockRows(sig, "simhash")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      SimHashBucketCap, col("blk"), col("bits"))
+    blocks.as("o").join(blocks.as("n"), Seq("blk", "bits"))
+      .filter(pmod(col("o.doc_id"), lit(3L)) < pmod(col("n.doc_id"), lit(3L)) &&
+        expr("bit_count(o.simhash ^ n.simhash)") <= SimHashK)
+      .select(col("n.doc_id").as("new_doc"),
+        struct(expr("cast(bit_count(o.simhash ^ n.simhash) as bigint)").as("h"),
+          col("o.doc_id").as("d")).as("cand"))
+      .groupBy(col("new_doc"))
+      .agg(min(col("cand")).as("best"))
+      .select(col("new_doc"), pmod(col("new_doc"), lit(3L)).as("new_chunk"),
+        col("best.d").as("dup_of"), col("best.h").as("hamming"))
+      .orderBy(col("new_doc"))
+  }
+
+  val streamIncrementalSql: String =
+    s"""$simhashSigsCte,
+      |cand AS (
+      |  SELECT n.doc_id AS new_doc, n.doc_id % 3 AS new_chunk,
+      |    o.doc_id AS dup_of,
+      |    CAST(bit_count(xor(n.sig, o.sig)) AS BIGINT) AS hamming,
+      |    ROW_NUMBER() OVER (PARTITION BY n.doc_id
+      |      ORDER BY bit_count(xor(n.sig, o.sig)), o.doc_id) AS rk
+      |  FROM sigs n JOIN sigs o
+      |    ON o.doc_id % 3 < n.doc_id % 3
+      |   AND bit_count(xor(n.sig, o.sig)) <= $SimHashK)
+      |SELECT new_doc, new_chunk, dup_of, hamming FROM cand WHERE rk = 1
+      |ORDER BY new_doc""".stripMargin
+
   private val SemClusters = 8    // k-means cells (shared Lloyd trainer)
   private val SemRounds = 2      // fixed Lloyd rounds — determinism over convergence
   private val SemTau = 0.3       // cosine threshold on the 6-decimal rounded value

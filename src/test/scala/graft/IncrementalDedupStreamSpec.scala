@@ -34,12 +34,22 @@ class IncrementalDedupStreamSpec extends AnyFunSuite {
       val streamDir = java.nio.file.Files.createTempDirectory("dedup_stream_src")
       val ckpt = java.nio.file.Files.createTempDirectory("dedup_stream_ckpt")
       val stateRoot = java.nio.file.Files.createTempDirectory("dedup_stream_state")
-      // three arrival chunks, one file each, written with distinct mtimes
-      // so the file source triggers them in arrival order
+      // three arrival chunks, one file each; mtimes are STAMPED strictly
+      // increasing (not slept for) so the file source's timestamp order
+      // equals arrival order even on coarse-mtime filesystems or under
+      // clock skew — freshly written files carry a real (large) mtime,
+      // already-stamped ones carry a tiny one, which is how new files are
+      // told apart below
+      val stampBase = 1000000L
       (0L to 2L).foreach { c =>
         docs.filter(col("chunk") === c).select(col("doc_id"), col("sim"))
           .coalesce(1).write.mode("append").parquet(streamDir.toString)
-        Thread.sleep(1100)
+        val t = java.nio.file.attribute.FileTime.fromMillis(stampBase * (c + 1))
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(streamDir).iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("part-"))
+          .filter(p => java.nio.file.Files.getLastModifiedTime(p).toMillis > stampBase * 4)
+          .foreach(p => java.nio.file.Files.setLastModifiedTime(p, t))
       }
 
       // the ENGINE's own block expansion (one shared definition of the
