@@ -414,37 +414,49 @@ object Similarity {
     * combining naturally with the IVF cell layout (IVF-PQ). Every dot is
     * the same left-fold as the other tiers, so both engines agree
     * bit-for-bit. */
-  def annPqAdc(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
-    val em = Tables.embeddings(spark, dir)
-    // Codebooks: first-k seed subvectors, collected once — CONSTANT size
-    // (k × dim doubles) whatever the corpus, same fenced pattern as the
-    // IVF centroid state.
-    val seeds: Seq[Seq[Double]] = em.filter(col("vec_id") < PqK)
+  /** Codebook seeds: first-k corpus vectors, collected once — CONSTANT
+    * size (k × dim doubles) whatever the corpus, same fenced pattern as
+    * the IVF centroid state. Shared by the PQ query and the recall-eval
+    * sweep (which takes a k-prefix per operating point). */
+  private def pqSeeds(em: DataFrame, k: Int): Seq[Seq[Double]] =
+    em.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("c"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
       .collect().toSeq.sortBy(_.getInt(0)).map(_.getSeq[Double](1).toSeq)
-    val cb: Seq[Seq[Seq[Double]]] =
-      (0 until PqM).map(m => seeds.map(_.slice(m * PqSub, (m + 1) * PqSub)))
 
-    def subVec(emb: Column, m: Int): Column = slice(emb, m * PqSub + 1, PqSub)
-    // per-subspace encode: argmin over ‖c‖² − 2·x·c with cid tiebreak
-    // (lexicographic struct min — same contract as the IVF assignment)
-    def code(emb: Column, m: Int): Column = {
-      val structs = (0 until PqK).map { c =>
-        val cent = cb(m)(c)
-        val csq = cent.foldLeft(0.0)((a, x) => a + x * x)
-        struct(
-          (lit(csq) - lit(2.0) *
-            call_function("graft_vec_dot_fd", subVec(emb, m), typedLit(cent))).as("s"),
-          lit(c).as("c"))
-      }
-      array_min(array(structs: _*)).getField("c")
+  private def pqCodebook(seeds: Seq[Seq[Double]], k: Int): Seq[Seq[Seq[Double]]] =
+    (0 until PqM).map(m => seeds.take(k).map(_.slice(m * PqSub, (m + 1) * PqSub)))
+
+  private def pqSubVec(emb: Column, m: Int): Column =
+    slice(emb, m * PqSub + 1, PqSub)
+
+  /** Per-subspace encode: argmin over ‖c‖² − 2·x·c with cid tiebreak
+    * (lexicographic struct min — same contract as the IVF assignment). */
+  private def pqCode(cb: Seq[Seq[Seq[Double]]], k: Int)(emb: Column, m: Int): Column = {
+    val structs = (0 until k).map { c =>
+      val cent = cb(m)(c)
+      val csq = cent.foldLeft(0.0)((a, x) => a + x * x)
+      struct(
+        (lit(csq) - lit(2.0) *
+          call_function("graft_vec_dot_fd", pqSubVec(emb, m), typedLit(cent))).as("s"),
+        lit(c).as("c"))
     }
+    array_min(array(structs: _*)).getField("c")
+  }
+
+  /** ADC reconstruction-dot term for subspace m against codebook cb. */
+  private def pqAdcTerm(cb: Seq[Seq[Seq[Double]]], m: Int): Column =
+    call_function("graft_vec_dot_fd", pqSubVec(col("q_emb"), m),
+      element_at(typedLit(cb(m)), col(s"code$m") + 1))
+
+  def annPqAdc(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val em = Tables.embeddings(spark, dir)
+    val cb = pqCodebook(pqSeeds(em, PqK), PqK)
 
     val codeCols = (0 until PqM).map(m => s"code$m")
     val codes = em.select(
-      col("vec_id") +: (0 until PqM).map(m => code(col("embedding"), m).as(s"code$m")): _*)
+      col("vec_id") +: (0 until PqM).map(m => pqCode(cb, PqK)(col("embedding"), m).as(s"code$m")): _*)
     val queries = em.filter(pmod(col("vec_id"), lit(PqQueryMod)) === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     // Score table = queries × the ENTIRE code space (k^M = 4096 tuples,
@@ -461,9 +473,7 @@ object Similarity {
       }: _*)
     // ADC: reconstruction dot = Σ_m q_m · cb[m][code_m] — a FIXED 4-term
     // add chain (not an aggregate), so the summation order is pinned
-    def dm(m: Int): Column =
-      call_function("graft_vec_dot_fd", subVec(col("q_emb"), m),
-        element_at(typedLit(cb(m)), col(s"code$m") + 1))
+    def dm(m: Int): Column = pqAdcTerm(cb, m)
     val scores = broadcast(queries).crossJoin(allCodes)
       .withColumn("approx_dot", round(dm(0) + dm(1) + dm(2) + dm(3), 6))
       .select((col("query_id") +: col("approx_dot") +: codeCols.map(col)): _*)
@@ -599,6 +609,25 @@ object Similarity {
     * program, and the recall/cost table is the artifact that picks the
     * production plane count. All-integer outputs — recall in fixed-point
     * ×10⁶ — so both engines hash-match exactly. */
+  private val IvfEvalProbes = Seq(1, 2, 4) // probed cells per operating point
+  private val PqEvalKs = Seq(4, 8, 16)     // codes per subspace per operating point
+
+  /** The full ANN operating-point artifact: recall@5 vs candidate/scoring
+    * cost for ALL THREE approximate tiers, each swept across its tuning
+    * knob — sign-bit LSH by plane count (4/6/8), IVF by probed cells
+    * (1/2/4), PQ by codebook width (4/8/16 codes per subspace). One row
+    * per (method, param); recall is measured against the shared exact
+    * cosine top-5, and `cost` is the method's own work measure (LSH:
+    * same-bucket candidate pairs; IVF: probed-cell rerank pairs; PQ:
+    * queries × distinct observed code tuples = the ADC scoring volume).
+    *
+    * Each family sweeps from ONE shared pass: the LSH signature is built
+    * once at 8 planes and the p-plane bucket is its low-bit prefix; the
+    * IVF cell ranking is computed once to the max probe depth and each
+    * operating point takes a rank prefix; the PQ seed matrix is collected
+    * once at the max k and each codebook is a row prefix. So the sweep
+    * costs one signature pass + one cell ranking + three bounded encode
+    * projections — not nine independent index builds. */
   def annRecallEval(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val em = Tables.embeddings(spark, dir)
@@ -612,6 +641,8 @@ object Similarity {
     val exactTop = scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5).select(col("query_id"), col("vec_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // ---- LSH family: one 8-plane signature pass; p-plane bucket = low-bit prefix
     val planes = em.filter(col("vec_id") < 8)
       .select(col("vec_id").as("plane_id"), col("embedding").as("plane"))
     val sigs = em.crossJoin(broadcast(planes))
@@ -621,32 +652,149 @@ object Similarity {
       .groupBy(col("vec_id")).agg(sum(col("bit")).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pcs = spark.range(1).select(
-      explode(array(lit(4), lit(6), lit(8))).as("p"))
+      explode(array(lit(4), lit(6), lit(8))).as("param"))
     val sp = sigs.crossJoin(broadcast(pcs))
-      .select(col("p"), col("vec_id"),
-        expr("sig % shiftleft(1L, p)").as("bkt"))
-    val cand = sp.filter(pmod(col("vec_id"), lit(50L)) === 0).as("a")
+      .select(col("param"), col("vec_id"),
+        expr("sig % shiftleft(1L, param)").as("bkt"))
+    val lshCand = sp.filter(pmod(col("vec_id"), lit(50L)) === 0).as("a")
       .join(sp.as("b"),
-        col("a.p") === col("b.p") && col("a.bkt") === col("b.bkt") &&
+        col("a.param") === col("b.param") && col("a.bkt") === col("b.bkt") &&
           col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.p").as("p"), col("a.vec_id").as("query_id"),
+      .select(col("a.param").as("param"), col("a.vec_id").as("query_id"),
         col("b.vec_id").as("vec_id"), lit(1).as("hit"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cost = cand.groupBy(col("p")).agg(count(lit(1)).as("n_cand_pairs"))
-    val base = exactTop.crossJoin(broadcast(pcs))
-    val rec = base.join(cand, Seq("p", "query_id", "vec_id"), "left_outer")
-      .groupBy(col("p"))
+    val lshCost = lshCand.groupBy(col("param")).agg(count(lit(1)).as("cost"))
+    val lsh = exactTop.crossJoin(broadcast(pcs))
+      .join(lshCand, Seq("param", "query_id", "vec_id"), "left_outer")
+      .groupBy(col("param"))
       .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hits"))
-      .select(col("p"), col("n_exact"), col("n_hits"),
-        expr("n_hits * 1000000 div n_exact").as("recall_fp"))
-    rec.join(cost, Seq("p"))
-      .select(col("p").as("n_planes"), col("n_exact"), col("n_hits"),
-        col("recall_fp"), col("n_cand_pairs"))
-      .orderBy(col("n_planes"))
+      .join(lshCost, Seq("param"))
+      .select(lit("lsh").as("method"), col("param"), col("n_exact"),
+        col("n_hits"), expr("n_hits * 1000000 div n_exact").as("recall_fp"),
+        col("cost"))
+
+    // ---- IVF family: one cell ranking to max probe depth; probe = rank prefix
+    val cents = lloydCentroids(em, IvfCells, IvfRounds)
+    val cells = em.select(col("vec_id"),
+      nearestCid(cents)(col("embedding")).as("cid"))
+    val maxProbe = IvfEvalProbes.max
+    val qProbes = q.select(col("query_id"),
+      posexplode(slice(array_sort(array(scoreStructs(cents)(col("q_emb")): _*)),
+        1, maxProbe).getField("c")).as(Seq("pos", "cid")))
+    val ivfCand = qProbes.join(cells, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ivfP = spark.range(1).select(
+      explode(array(IvfEvalProbes.map(lit(_)): _*)).as("param"))
+    val ivfCost = ivfCand.crossJoin(broadcast(ivfP))
+      .filter(col("pos") < col("param"))
+      .groupBy(col("param")).agg(count(lit(1)).as("cost"))
+    val ivf = exactTop.crossJoin(broadcast(ivfP))
+      .join(ivfCand, Seq("query_id", "vec_id"), "left_outer")
+      .groupBy(col("param"))
+      .agg(count(lit(1)).as("n_exact"),
+        count(when(col("pos") < col("param"), 1)).as("n_hits"))
+      .join(ivfCost, Seq("param"))
+      .select(lit("ivf").as("method"), col("param"), col("n_exact"),
+        col("n_hits"), expr("n_hits * 1000000 div n_exact").as("recall_fp"),
+        col("cost"))
+
+    // ---- PQ family: one seed collect at max k; codebook k = row prefix
+    val seeds = pqSeeds(em, PqEvalKs.max)
+    val codeCols = (0 until PqM).map(m => s"code$m")
+    val pqParts = PqEvalKs.map { k =>
+      val cb = pqCodebook(seeds, k)
+      val codes = em.select(col("vec_id") +:
+        (0 until PqM).map(m => pqCode(cb, k)(col("embedding"), m).as(s"code$m")): _*)
+      val dcodes = codes.select(codeCols.map(col): _*).distinct()
+      val scores = broadcast(q).crossJoin(dcodes)
+        .withColumn("approx_dot",
+          round(pqAdcTerm(cb, 0) + pqAdcTerm(cb, 1) +
+            pqAdcTerm(cb, 2) + pqAdcTerm(cb, 3), 6))
+        .select(col("query_id") +: col("approx_dot") +: codeCols.map(col): _*)
+      val wr = Window.partitionBy(col("query_id"))
+        .orderBy(col("approx_dot").desc, col("vec_id"))
+      val top5 = codes.join(broadcast(scores), codeCols)
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("rnk", row_number().over(wr)).filter(col("rnk") <= 5)
+        .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+      val rec = exactTop.join(top5, Seq("query_id", "vec_id"), "left_outer")
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hits"))
+      val cost = q.agg(count(lit(1)).as("nq"))
+        .crossJoin(dcodes.agg(count(lit(1)).as("nd")))
+        .select((col("nq") * col("nd")).as("cost"))
+      rec.crossJoin(cost)
+        .select(lit("pq").as("method"), lit(k).as("param"), col("n_exact"),
+          col("n_hits"), expr("n_hits * 1000000 div n_exact").as("recall_fp"),
+          col("cost"))
+    }
+
+    (Seq(lsh, ivf) ++ pqParts).reduce(_ union _)
+      .orderBy(col("method"), col("param"))
   }
 
-  val annRecallEvalSql: String =
-    """WITH e AS (SELECT vec_id, embedding,
+  /** Oracle twin of the three-family sweep: shared exact top-5, LSH
+    * prefix buckets, the shared Lloyd CTEs + ranked probe prefixes, and
+    * three unrolled PQ codebook widths. */
+  val annRecallEvalSql: String = {
+    val dotSub = (m: String, e: String, c: String) =>
+      s"""list_sum(list_transform(range(1, $PqSub + 1),
+         |      i -> CAST($e[$m * $PqSub + i] AS DOUBLE) * $c[i]))""".stripMargin
+    def pqCtes(k: Int): String =
+      s"""cb$k AS (
+         |  SELECT cbm.m, e.vec_id AS c,
+         |    list_transform(list_slice(e.embedding, cbm.m * $PqSub + 1,
+         |      (cbm.m + 1) * $PqSub), x -> CAST(x AS DOUBLE)) AS cent
+         |  FROM embeddings e, cbm WHERE e.vec_id < $k),
+         |cbq$k AS (
+         |  SELECT m, c, cent,
+         |    list_sum(list_transform(cent, x -> x * x)) AS csq FROM cb$k),
+         |enc$k AS (
+         |  SELECT vec_id, m, c AS code FROM (
+         |    SELECT e.vec_id, q.m, q.c,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, q.m ORDER BY
+         |        q.csq - 2 * ${dotSub("q.m", "e.embedding", "q.cent")}, q.c) AS rnk
+         |    FROM embeddings e, cbq$k q) t WHERE rnk = 1),
+         |codes$k AS (
+         |  SELECT vec_id,
+         |    MAX(CASE WHEN m = 0 THEN code END) AS code0,
+         |    MAX(CASE WHEN m = 1 THEN code END) AS code1,
+         |    MAX(CASE WHEN m = 2 THEN code END) AS code2,
+         |    MAX(CASE WHEN m = 3 THEN code END) AS code3
+         |  FROM enc$k GROUP BY vec_id),
+         |dcodes$k AS (SELECT DISTINCT code0, code1, code2, code3 FROM codes$k),
+         |scores$k AS (
+         |  SELECT q.query_id, d.code0, d.code1, d.code2, d.code3,
+         |    round(${dotSub("0", "q.q_emb", "c0.cent")}
+         |        + ${dotSub("1", "q.q_emb", "c1.cent")}
+         |        + ${dotSub("2", "q.q_emb", "c2.cent")}
+         |        + ${dotSub("3", "q.q_emb", "c3.cent")}, 6) AS approx_dot
+         |  FROM q, dcodes$k d
+         |  JOIN cb$k c0 ON c0.m = 0 AND c0.c = d.code0
+         |  JOIN cb$k c1 ON c1.m = 1 AND c1.c = d.code1
+         |  JOIN cb$k c2 ON c2.m = 2 AND c2.c = d.code2
+         |  JOIN cb$k c3 ON c3.m = 3 AND c3.c = d.code3),
+         |top$k AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT s.query_id, k.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY s.query_id
+         |                         ORDER BY s.approx_dot DESC, k.vec_id) AS rnk
+         |    FROM codes$k k
+         |    JOIN scores$k s ON s.code0 = k.code0 AND s.code1 = k.code1
+         |                   AND s.code2 = k.code2 AND s.code3 = k.code3
+         |    WHERE k.vec_id <> s.query_id) t WHERE rnk <= 5),
+         |rec$k AS (
+         |  SELECT COUNT(*) AS n_exact, COUNT(r.vec_id) AS n_hits,
+         |    CAST(COUNT(r.vec_id) * 1000000 // COUNT(*) AS BIGINT) AS recall_fp
+         |  FROM et LEFT JOIN top$k r
+         |    ON r.query_id = et.query_id AND r.vec_id = et.vec_id),
+         |cost$k AS (
+         |  SELECT (SELECT COUNT(*) FROM q) * (SELECT COUNT(*) FROM dcodes$k)
+         |    AS cost)""".stripMargin
+    def pqSel(k: Int): String =
+      s"SELECT 'pq' AS method, $k AS param, n_exact, n_hits, recall_fp, cost FROM rec$k, cost$k"
+    s"""WITH e AS (SELECT vec_id, embedding,
       |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS sq
       |  FROM embeddings),
       |q AS (SELECT vec_id AS query_id, embedding AS q_emb, sq AS q_sq
@@ -681,14 +829,48 @@ object Similarity {
       |    AND (sa.sig % (CAST(1 AS BIGINT) << pc.p))
       |      = (sb.sig % (CAST(1 AS BIGINT) << pc.p))
       |  WHERE sa.vec_id % 50 = 0),
-      |cost AS (SELECT p, COUNT(*) AS n_cand_pairs FROM cand GROUP BY p),
-      |base AS (SELECT pc.p, et.query_id, et.vec_id FROM pc, et),
-      |rec AS (
-      |  SELECT base.p, COUNT(*) AS n_exact, COUNT(c.hit) AS n_hits,
+      |lshcost AS (SELECT p, COUNT(*) AS cost FROM cand GROUP BY p),
+      |lshbase AS (SELECT pc.p, et.query_id, et.vec_id FROM pc, et),
+      |lshrec AS (
+      |  SELECT lshbase.p, COUNT(*) AS n_exact, COUNT(c.hit) AS n_hits,
       |    CAST(COUNT(c.hit) * 1000000 // COUNT(*) AS BIGINT) AS recall_fp
-      |  FROM base LEFT JOIN cand c ON c.p = base.p
-      |    AND c.query_id = base.query_id AND c.vec_id = base.vec_id
-      |  GROUP BY base.p)
-      |SELECT p AS n_planes, n_exact, n_hits, recall_fp, n_cand_pairs
-      |FROM rec JOIN cost USING (p) ORDER BY n_planes""".stripMargin
+      |  FROM lshbase LEFT JOIN cand c ON c.p = lshbase.p
+      |    AND c.query_id = lshbase.query_id AND c.vec_id = lshbase.vec_id
+      |  GROUP BY lshbase.p),
+      |${lloydCtesSql(IvfCells, IvfRounds)},
+      |${lloydCellsSql(IvfRounds)},
+      |qprobe AS (
+      |  SELECT query_id, cid, pos FROM (
+      |    SELECT q.query_id, c.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+      |        c.csq - 2 * ${sqlDot("q.q_emb", "c.centroid")}, c.cid) - 1 AS pos
+      |    FROM q, cents$IvfRounds c) t WHERE pos < ${IvfEvalProbes.max}),
+      |ivfcand AS (
+      |  SELECT p.query_id, m.vec_id, p.pos
+      |  FROM qprobe p JOIN cells m ON m.cid = p.cid
+      |  WHERE m.vec_id <> p.query_id),
+      |ivfp AS (SELECT param FROM (VALUES (1),(2),(4)) AS v(param)),
+      |ivfcost AS (
+      |  SELECT param, COUNT(*) AS cost FROM ivfp, ivfcand
+      |  WHERE pos < param GROUP BY param),
+      |ivfrec AS (
+      |  SELECT b.param, COUNT(*) AS n_exact,
+      |    COUNT(CASE WHEN c.pos < b.param THEN 1 END) AS n_hits,
+      |    CAST(COUNT(CASE WHEN c.pos < b.param THEN 1 END) * 1000000
+      |      // COUNT(*) AS BIGINT) AS recall_fp
+      |  FROM (SELECT ivfp.param, et.query_id, et.vec_id FROM ivfp, et) b
+      |  LEFT JOIN ivfcand c
+      |    ON c.query_id = b.query_id AND c.vec_id = b.vec_id
+      |  GROUP BY b.param),
+      |cbm AS (SELECT unnest(range($PqM)) AS m),
+      |${PqEvalKs.map(pqCtes).mkString(",\n")}
+      |SELECT 'lsh' AS method, p AS param, n_exact, n_hits, recall_fp, cost
+      |  FROM lshrec JOIN lshcost USING (p)
+      |UNION ALL
+      |SELECT 'ivf' AS method, param, n_exact, n_hits, recall_fp, cost
+      |  FROM ivfrec JOIN ivfcost USING (param)
+      |UNION ALL
+      |${PqEvalKs.map(pqSel).mkString("\nUNION ALL\n")}
+      |ORDER BY method, param""".stripMargin
+  }
 }
