@@ -373,19 +373,35 @@ object Graph {
     * each census plan one scan of the materialized round (the DuckDB
     * twin mirrors this with MATERIALIZED CTEs). At cluster scale the
     * executor-loss-safe variant is reliable checkpoint() — same shape.
-    * The median-k window runs unpartitioned over the NODE-DEGREE table
-    * (node-sized, same posture as Skyline's distinct-group window; at
-    * 100 TB it becomes the two-pass range-partitioned rank). */
+    * The median-k rank runs as the two-pass range-partitioned rank over
+    * the node-degree table (per-partition row_number + exclusive
+    * prefix-sum of partition counts via bounded broadcast self-join) —
+    * no single-partition window anywhere in the plan. */
   def kcorePeel(spark: SparkSession, dir: String): DataFrame = {
     val e0 = cooccurrenceEdges(spark, dir)
     val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val d0 = und.groupBy(col("a")).agg(count(lit(1)).as("d"))
-    val w = Window.orderBy(col("d"), col("a"))
-    val kDf = d0.withColumn("rn", row_number().over(w))
+    // median-k via a TWO-PASS range-partitioned rank over the node-degree
+    // table (no single-partition window): rank within each range
+    // partition of the (d, a) total order, then shift by the exclusive
+    // prefix-sum of per-partition counts — a partition-count-sized
+    // summary carried through a bounded broadcast self-join.
+    val dParts = d0
+      .repartitionByRange(spark.sparkContext.defaultParallelism,
+        col("d"), col("a"))
+      .withColumn("pid", spark_partition_id())
+    val cnts = dParts.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+    val base = cnts.as("x")
+      .join(broadcast(cnts.as("y")), col("y.pid") < col("x.pid"), "left")
+      .groupBy(col("x.pid"))
+      .agg(coalesce(sum(col("y.cnt")), lit(0L)).as("base"))
+    val wLocal = Window.partitionBy(col("pid")).orderBy(col("d"), col("a"))
+    val kDf = dParts.withColumn("rn", row_number().over(wLocal))
+      .join(broadcast(base), Seq("pid"))
       .crossJoin(broadcast(d0.agg(
         expr("(count(1) + 1) div 2").as("half"))))
-      .filter(col("rn") === col("half"))
+      .filter(col("base") + col("rn") === col("half"))
       .select(col("d").as("k"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bySrc = Window.partitionBy(col("a"))

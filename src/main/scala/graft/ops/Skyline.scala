@@ -21,11 +21,14 @@ import org.apache.spark.sql.functions._
   * exact duplicate points survive (neither test strict for them), per the
   * standard skyline definition. Both maxima come from the DISTINCT-PRICE
   * group table — aggregated, orders of magnitude smaller than the input —
-  * with a running max over consecutive price groups; the points then
-  * broadcast-join back by price. At 100 TB the unpartitioned running max
-  * over price groups becomes the two-pass range-partitioned prefix-max
-  * (exactly the [[Pipeline.packSequences]] exclusive-prefix-sum shape);
-  * the per-point dataflow is unchanged.
+  * via a TWO-PASS range-partitioned prefix-max: range-partition the
+  * price groups, take the strict prefix-max per partition, then carry
+  * each partition's total max forward through an exclusive prefix over
+  * the PARTITION-COUNT-sized summary (a bounded broadcast self-join —
+  * no single-partition window exists anywhere in the plan); the points
+  * then broadcast-join back by price. Every pass is partition-parallel;
+  * the only global structure is executor-count-sized, which is the shape
+  * that holds at 100 TB.
   *
   * The DuckDB twin runs the NAIVE quadratic NOT EXISTS — an independent
   * formulation, so agreement cross-validates the prefix-max derivation,
@@ -37,10 +40,23 @@ object Skyline {
       .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
     val grp = pts.groupBy(col("p_retailprice"))
       .agg(max(col("p_size")).as("gmax"))
-    val w = Window.orderBy(col("p_retailprice"))
+    // pass 1: per-range-partition strict prefix-max (equal prices land in
+    // one partition, so the strict frame never splits a tie group)
+    val parts = grp
+      .repartitionByRange(spark.sparkContext.defaultParallelism,
+        col("p_retailprice"))
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("pid")).orderBy(col("p_retailprice"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bounds = grp
-      .withColumn("strict_max", max(col("gmax")).over(w))
+    val local = parts.withColumn("local_strict", max(col("gmax")).over(wLocal))
+    // pass 2: exclusive prefix-max of the per-partition totals — a
+    // partition-count-sized table, carried via bounded broadcast self-join
+    val pmax = parts.groupBy(col("pid")).agg(max(col("gmax")).as("pmax"))
+    val carry = pmax.as("x")
+      .join(broadcast(pmax.as("y")), col("y.pid") < col("x.pid"), "left")
+      .groupBy(col("x.pid")).agg(max(col("y.pmax")).as("carry"))
+    val bounds = local.join(broadcast(carry), Seq("pid"))
+      .withColumn("strict_max", greatest(col("local_strict"), col("carry")))
       .withColumn("le_max", greatest(col("gmax"),
         coalesce(col("strict_max"), lit(Int.MinValue))))
     pts.join(broadcast(bounds), Seq("p_retailprice"))
