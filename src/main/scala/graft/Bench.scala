@@ -18,6 +18,10 @@ import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch}
   *      evidenced instead by the loadavg fields (below).
   *   4. THROUGHPUT RUN — every query once more, K concurrent streams
   *      (TPC-DS throughput-test shape), wall-clock → `"tput_wall"`.
+  *      Stall-proofed like the power phase: if loadavg jumps across the
+  *      pass or its wall exceeds 3× the power run's concurrent estimate
+  *      (total/streams), it re-runs ONCE; the better valid wall becomes
+  *      `tput_wall` and the suspect one ships as `tput_wall_stalled`.
   *      This is the floor-amortized basis for engine-vs-oracle ratio:
   *      local[32]'s ~0.35 s/query scheduler floor (≈45 s over 151
   *      queries — stage-wave setup + noop-commit bookkeeping that a
@@ -140,8 +144,13 @@ object Bench {
       spark.range(1000).map(i => (i, i + 1)).groupByKey(_._1 % 10)
         .flatMapGroups((_, it) => it.map(_._2)).count()
       val warmDir = "/root/testdata/sf0.001"
-      if (new java.io.File(warmDir).exists())
+      if (new java.io.File(warmDir).exists()) {
+        // Sequential pre-touch: events()'s first resolution toggles a
+        // session conf; racing that from the warm-up's K streams can
+        // swallow a PARQUET_TYPE_ILLEGAL and leave queries unwarmed.
+        Tables.preTouch(spark, warmDir)
         concurrentPass(spark, warmDir, streams, warm = true)
+      }
     } catch { case _: Throwable => () }
     // A failed query must NOT masquerade as a timing: it is recorded as
     // -1 in the side file, excluded from the total, and surfaced in the
@@ -195,7 +204,31 @@ object Bench {
         firstPass.map { case (name, t) => name -> reruns.getOrElse(name, t) }
       } else firstPass).toMap
     // Throughput pass (see scaladoc): same suite, K streams, wall-clock.
-    val (tputWall, tputErrors) = concurrentPass(spark, sfDir, streams, warm = false)
+    // STALL-PROOFED like the power phase: the r8 artifact shipped a
+    // tput_wall of 99.5 s against a true ~18 s because one ambient host
+    // stall landed inside the single throughput pass. If the pass looks
+    // stalled — loadavg jumped materially across it, or its wall exceeds
+    // 3× the power run's perfectly-parallel estimate (total/streams;
+    // a quiet box measures ~2×) — it is re-run ONCE and the better valid
+    // measurement becomes the headline, with the suspect first pass kept
+    // in the artifact as `tput_wall_stalled` evidence.
+    val loadT0 = loadavg()
+    val (tputWall0, tputErrors0) = concurrentPass(spark, sfDir, streams, warm = false)
+    val loadT1 = loadavg()
+    val concurrentEstimate = {
+      val okSum = firstPass.collect { case (_, t) if t >= 0 => t }.sum
+      okSum / math.max(1, streams)
+    }
+    val tputSuspect = (loadT1 - loadT0) > 4.0 ||
+      (concurrentEstimate > 0 && tputWall0 > 3.0 * concurrentEstimate)
+    val (tputWall, tputErrors, tputStalled) =
+      if (tputSuspect) {
+        val (w2, e2) = concurrentPass(spark, sfDir, streams, warm = false)
+        // never let a re-run with NEW errors replace a clean first pass
+        if (e2 <= tputErrors0 && w2 < tputWall0)
+          (w2, e2, Some(tputWall0))
+        else (tputWall0, tputErrors0, Some(w2))
+      } else (tputWall0, tputErrors0, None)
     val load1 = loadavg()
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
@@ -209,13 +242,20 @@ object Bench {
     try {
       val sidePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json")
       val w = new java.io.PrintWriter(sidePath)
-      try w.println(s"""{"queries":$qs,"sf":"$sfDir","tput_wall":${f"$tputWall%.3f"},"tput_errors":$tputErrors,"streams":$streams,"load0":${f"$load0%.2f"},"load1":${f"$load1%.2f"}}""")
+      val stalledJson =
+        tputStalled.map(s => s""","tput_wall_stalled":${f"$s%.3f"}""").getOrElse("")
+      try w.println(s"""{"queries":$qs,"sf":"$sfDir","tput_wall":${f"$tputWall%.3f"}$stalledJson,"tput_errors":$tputErrors,"streams":$streams,"load0":${f"$load0%.2f"},"load1":${f"$load1%.2f"}}""")
       finally w.close()
     } catch { case _: Throwable => () }
     val base = new java.io.File(sfDir).getName.stripPrefix("sf")
     val sfJson =
       try BigDecimal(base).toString catch { case _: Throwable => "\"" + base + "\"" }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":$sfJson%s,"errors":$errors%d,"tput_wall":$tputWall%.3f,"streams":$streams%d,"load0":$load0%.2f,"load1":$load1%.2f}""")
+    // tput_errors is on the DRIVER-PARSED line, not only the side file: a
+    // query failing under the concurrent pass does less work, so its wall
+    // would silently flatter the headline if the error count were buried.
+    val stalledStdout =
+      tputStalled.map(s => f""","tput_wall_stalled":$s%.3f""").getOrElse("")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":$sfJson%s,"errors":$errors%d,"tput_wall":$tputWall%.3f,"tput_errors":$tputErrors%d$stalledStdout%s,"streams":$streams%d,"load0":$load0%.2f,"load1":$load1%.2f}""")
     spark.stop()
   }
 }

@@ -23,13 +23,34 @@ object Tables {
     * floor when the same nine tables are read hundreds of times. A
     * DataFrame is an immutable logical plan; sharing one shares no
     * execution state. Also makes concurrent query submission safe for
-    * [[events]]: the nanosAsLong conf toggle now happens once per path,
-    * not per overlapping reader (see [[withNanosAsLong]]'s caveat). At
+    * [[events]] AFTER FIRST TOUCH: once a path is memoized the
+    * nanosAsLong conf toggle never re-runs, but the very first concurrent
+    * access can still race the conf's set/restore window — callers that
+    * fan out threads (Bench's warm-up) must [[preTouch]] sequentially
+    * first (see [[withNanosAsLong]]'s caveat). At
     * 100 TB the same role is played by the catalog's cached table
     * metadata (HMS/Unity relation cache) — this is that cache, scoped to
-    * path-loaded files. */
+    * path-loaded files. Entries strongly retain their SparkSession; a
+    * long-lived JVM cycling sessions should call [[clear]] at session
+    * teardown. */
   private val memo =
     new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
+
+  /** Drops all memoized relations (e.g. between SparkSessions in a
+    * long-lived JVM, so stopped sessions and their plans can be GC'd).
+    * The single-session Bench/Verify/test flows never need it. */
+  def clear(): Unit = memo.clear()
+
+  /** Sequentially resolves every table (including [[events]], whose first
+    * resolution toggles a session conf) so later CONCURRENT submissions
+    * hit only the memo. Call before fanning out threads on a fresh
+    * session+dir pair. */
+  def preTouch(s: SparkSession, d: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach(table(s, d, _))
+    events(s, d)
+    ()
+  }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     memo.getOrElseUpdate((spark, s"$sfDir/$name.parquet"),

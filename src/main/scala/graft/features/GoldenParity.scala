@@ -25,9 +25,17 @@ import org.apache.spark.sql.functions._
   * the shape of a reconciliation job (full-scan aggregate + anti-diff),
   * all map-side combined. */
 object GoldenParity {
+  /** Reference checkout root — env-overridable (like SPARK_GRAFT_SF_DIR)
+    * so a host without /root/reference can still run the suite; the
+    * `dir` argument is deliberately unused (this query's input is the
+    * reference's fixed golden pair, so its cost is CONSTANT across SFs —
+    * per-SF bench totals include it as a fixed additive term). */
+  private def refRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_REF_DIR", "/root/reference")
+
   def census(spark: SparkSession, dir: String): DataFrame = {
-    val derived = Features(spark.read.parquet("/root/reference/01.parquet"))
-    val golden = spark.read.parquet("/root/reference/02.parquet")
+    val derived = Features(spark.read.parquet(s"$refRoot/01.parquet"))
+    val golden = spark.read.parquet(s"$refRoot/02.parquet")
     val aggCols =
       (0 until 24).map(h =>
         sum(col(s"Pickup_hour_is_$h")).cast("long").as(f"h$h%02d")) ++
