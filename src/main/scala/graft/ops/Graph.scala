@@ -406,14 +406,38 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bySrc = Window.partitionBy(col("a"))
     val byDst = Window.partitionBy(col("b"))
-    val rounds = (1 to KCoreRounds).scanLeft(und) { (e, _) =>
+    val windowRound: DataFrame => DataFrame = e =>
       e.withColumn("da", count(lit(1)).over(bySrc))
         .withColumn("db", count(lit(1)).over(byDst))
         .crossJoin(broadcast(kDf))
         .filter(col("da") >= col("k") && col("db") >= col("k"))
         .select(col("a"), col("b"))
         .localCheckpoint()
+    // Alternative round body (SPARK_GRAFT_KCORE_STYLE=agg): ONE
+    // map-side-combined degree aggregate (key-only exchange) + the
+    // node-sized survivor set broadcast into two semi-joins — the edge
+    // table itself never shuffles in a round. Fewer/narrower exchanges
+    // on paper, but A/B-measured SLOWER here (r9, sf0.1, interleaved
+    // 6-rep medians: agg 1.36/1.39 s vs window 1.22/1.05 s): at local
+    // scale the two per-round broadcast builds cost more than two sorts
+    // of a ~60k-row edge table — the same conclusion r8 reached from the
+    // other direction (7.6 → 2.7 s moving agg→window). At 100 TB the
+    // trade flips (a full-edge sort-exchange dwarfs a node-sized
+    // broadcast), which is why the shape stays selectable.
+    val aggRound: DataFrame => DataFrame = e => {
+      val surv = e.groupBy(col("a")).agg(count(lit(1)).as("d"))
+        .crossJoin(broadcast(kDf))
+        .filter(col("d") >= col("k")).select(col("a"))
+      e.join(broadcast(surv), Seq("a"), "left_semi")
+        .join(broadcast(surv.select(col("a").as("b"))), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
     }
+    val round =
+      if (sys.env.getOrElse("SPARK_GRAFT_KCORE_STYLE", "window") == "agg")
+        aggRound
+      else windowRound
+    val rounds = (1 to KCoreRounds).scanLeft(und) { (e, _) => round(e) }
     rounds.zipWithIndex.map { case (e, i) =>
       e.groupBy(col("a")).agg(count(lit(1)).as("d"))
         .agg(count(lit(1)).as("n_nodes"),
