@@ -239,12 +239,39 @@ object Bench {
     // (<250 bytes) so the driver's tail capture can always parse it.
     // Path is env-overridable so a run started outside the repo still
     // drops the side file somewhere predictable.
+    // Fold the committed DuckDB twin timings (tools/time_duckdb.py
+    // --json duckdb_times.json, refreshed per round on a quiet box) into
+    // the side file as engine/duckdb/ratio columns, so the plan-audit
+    // shortlist (slowest ratios first) is computable from artifacts
+    // alone. Provenance is the duckdb file's own meta; absent or
+    // unparsable, the side file simply omits the ratio map.
+    val duckTimes: Map[String, Double] =
+      try {
+        val p = sys.env.getOrElse("SPARK_GRAFT_DUCKDB_TIMES", "duckdb_times.json")
+        val txt = scala.io.Source.fromFile(p).mkString
+        val qBlock = txt.split("\"queries\"\\s*:\\s*\\{", 2)(1)
+        "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9.]+)".r
+          .findAllMatchIn(qBlock)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
     try {
       val sidePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json")
       val w = new java.io.PrintWriter(sidePath)
       val stalledJson =
         tputStalled.map(s => s""","tput_wall_stalled":${f"$s%.3f"}""").getOrElse("")
-      try w.println(s"""{"queries":$qs,"sf":"$sfDir","tput_wall":${f"$tputWall%.3f"}$stalledJson,"tput_errors":$tputErrors,"streams":$streams,"load0":${f"$load0%.2f"},"load1":${f"$load1%.2f"}}""")
+      val ratioJson =
+        if (duckTimes.isEmpty) ""
+        else {
+          val pairs = results.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+            duckTimes.get(k).collect { case d if d > 0 && v >= 0 =>
+              s"\"" + k + "\":{\"engine\":" + f"$v%.3f" +
+                ",\"duckdb\":" + f"$d%.4f" +
+                ",\"ratio\":" + f"${v / d}%.2f" + "}"
+            }
+          }
+          s""","ratios":${pairs.mkString("{", ",", "}")}"""
+        }
+      try w.println(s"""{"queries":$qs,"sf":"$sfDir","tput_wall":${f"$tputWall%.3f"}$stalledJson,"tput_errors":$tputErrors,"streams":$streams,"load0":${f"$load0%.2f"},"load1":${f"$load1%.2f"}$ratioJson}""")
       finally w.close()
     } catch { case _: Throwable => () }
     val base = new java.io.File(sfDir).getName.stripPrefix("sf")

@@ -705,8 +705,12 @@ object Similarity {
     val codeCols = (0 until PqM).map(m => s"code$m")
     val pqParts = PqEvalKs.map { k =>
       val cb = pqCodebook(seeds, k)
+      // persisted: the code table feeds BOTH the distinct-code census and
+      // the score equi-join — without it each k pays the argmin encode
+      // projection over the corpus twice
       val codes = em.select(col("vec_id") +:
         (0 until PqM).map(m => pqCode(cb, k)(col("embedding"), m).as(s"code$m")): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dcodes = codes.select(codeCols.map(col): _*).distinct()
       val scores = broadcast(q).crossJoin(dcodes)
         .withColumn("approx_dot",

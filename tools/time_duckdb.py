@@ -2,11 +2,14 @@
 """Time every oracle twin in DuckDB (dev tool — mirrors the judge's
 engine-vs-DuckDB ratio measurement).
 
-Usage: python3 tools/time_duckdb.py <verify_out_dir> <sf_dir> [threads]
+Usage: python3 tools/time_duckdb.py <verify_out_dir> <sf_dir> [threads] [--json PATH]
 
 Reads oracle_sql.json from verify_out_dir, registers the testdata tables
 as views, runs each query once warm-up-free per round and prints per-query
-seconds (best of 2) plus the total.
+seconds (best of 2) plus the total. With --json PATH also writes the
+per-query seconds to PATH (committed as duckdb_times.json so graft.Bench
+can fold engine/duckdb ratio columns into bench_queries.json — the
+plan-audit shortlist becomes computable from artifacts alone).
 """
 import json
 import sys
@@ -19,8 +22,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def main():
-    out_dir, sf_dir = sys.argv[1], sys.argv[2]
-    threads = sys.argv[3] if len(sys.argv) > 3 else "32"
+    args = list(sys.argv[1:])
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        del args[i:i + 2]
+    out_dir, sf_dir = args[0], args[1]
+    threads = args[2] if len(args) > 2 else "32"
     con = duckdb.connect()
     con.execute(f"SET threads={threads}")
     for t in TABLES:
@@ -48,6 +57,16 @@ def main():
         print(f"{v:8.3f}  {k}")
     print(json.dumps({"total_sec": round(total, 3), "n": len(times),
                       "errors": sum(1 for v in times.values() if v < 0)}))
+    if json_path:
+        meta = {"sf_dir": sf_dir, "threads": int(threads),
+                "total_sec": round(total, 3),
+                "generated_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                               time.gmtime())}
+        with open(json_path, "w") as f:
+            json.dump({"meta": meta,
+                       "queries": {k: round(v, 4) for k, v in
+                                   sorted(times.items())}}, f, indent=1)
+        print(f"wrote {json_path}")
 
 
 if __name__ == "__main__":
