@@ -558,41 +558,56 @@ object TextAnalysis {
     * non-overlapping occurrences, which is exactly BPE's greedy in-word
     * merge order, and the markers make a cross-symbol-boundary false
     * match impossible. All counts are integers; no rounding anywhere. */
-  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-    val vocab = d.select(explode(split(col("text"), " ")).as("w"))
+  private val bpeStripL = expr("replace(replace(l, chr(1), ''), chr(2), '')")
+  private val bpeStripR = expr("replace(replace(r, chr(1), ''), chr(2), '')")
+
+  /** Initial symbol table: one row per distinct word -- (w, seq, freq),
+    * seq = space-joined SOH/STX-marked single characters. */
+  private def bpeWordSeqs(d: DataFrame): DataFrame =
+    d.select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-    var seq = vocab.select(
-      expr("array_join(transform(sequence(1, length(w)), " +
-        "i -> concat(chr(1), substring(w, i, 1), chr(2))), ' ')").as("seq"),
-      col("freq"))
-    val stripL = expr("replace(replace(l, chr(1), ''), chr(2), '')")
-    val stripR = expr("replace(replace(r, chr(1), ''), chr(2), '')")
+      .select(col("w"),
+        expr("array_join(transform(sequence(1, length(w)), " +
+          "i -> concat(chr(1), substring(w, i, 1), chr(2))), ' ')").as("seq"),
+        col("freq"))
+
+  /** Frequency-weighted adjacent-pair census of a symbol table.
+    * Vocab-sized; localCheckpoint cuts the crossJoin-per-round lineage
+    * growth (house pattern for unrolled iteration) and lets the top-1
+    * subplan and the census output share one materialization. */
+  private def bpePairsOf(seq: DataFrame): DataFrame =
+    seq.select(col("freq"), split(col("seq"), " ").as("syms"))
+      .filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, size(syms)-1), " +
+          "i -> named_struct('l', element_at(syms, i), 'r', element_at(syms, i+1)))")).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("pair_count"))
+      .localCheckpoint()
+
+  /** Merges the census's winning pair (count desc, lexicographic
+    * tiebreak) into one symbol across the whole table -- ONE broadcast
+    * row applied as a narrow per-row marked-string replace. */
+  private def bpeMerge(seq: DataFrame, pairs: DataFrame): DataFrame = {
+    val top1 = pairs.orderBy(col("pair_count").desc, bpeStripL, bpeStripR)
+      .limit(1)
+      .select(concat(col("l"), lit(" "), col("r")).as("search"),
+        concat(lit("\u0001"), bpeStripL, bpeStripR, lit("\u0002")).as("repl"))
+    seq.crossJoin(broadcast(top1))
+      .select(col("w"), expr("replace(seq, search, repl)").as("seq"),
+        col("freq"))
+  }
+
+  def bpePairs(spark: SparkSession, dir: String): DataFrame = {
+    var seq = bpeWordSeqs(Tables.documents(spark, dir))
     val outs = (1 to BpeRounds).map { r =>
-      // pairs is vocab-sized; localCheckpoint cuts the crossJoin-per-round
-      // lineage growth (house pattern for unrolled iteration) and lets the
-      // top-1 subplan and the census output share one materialization.
-      val pairs = seq
-        .select(col("freq"), split(col("seq"), " ").as("syms"))
-        .filter(size(col("syms")) >= 2)
-        .select(col("freq"), explode(expr(
-          "transform(sequence(1, size(syms)-1), " +
-            "i -> named_struct('l', element_at(syms, i), 'r', element_at(syms, i+1)))")).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("freq")).as("pair_count"))
-        .localCheckpoint()
+      val pairs = bpePairsOf(seq)
       val out = pairs
-        .orderBy(col("pair_count").desc, stripL, stripR).limit(BpeTopK)
-        .select(lit(r).as("merge_round"), stripL.as("left_sym"),
-          stripR.as("right_sym"), col("pair_count"))
-      if (r < BpeRounds) {
-        val top1 = pairs.orderBy(col("pair_count").desc, stripL, stripR).limit(1)
-          .select(concat(col("l"), lit(" "), col("r")).as("search"),
-            concat(lit("\u0001"), stripL, stripR, lit("\u0002")).as("repl"))
-        seq = seq.crossJoin(broadcast(top1))
-          .select(expr("replace(seq, search, repl)").as("seq"), col("freq"))
-      }
+        .orderBy(col("pair_count").desc, bpeStripL, bpeStripR).limit(BpeTopK)
+        .select(lit(r).as("merge_round"), bpeStripL.as("left_sym"),
+          bpeStripR.as("right_sym"), col("pair_count"))
+      if (r < BpeRounds) seq = bpeMerge(seq, pairs)
       out
     }
     outs.reduce(_ union _)
@@ -600,10 +615,50 @@ object TextAnalysis {
         col("left_sym"), col("right_sym"))
   }
 
+  /** Tokenizer APPLY: segment the corpus with the learned merges and
+    * census the result per language -- the fertility / compression check
+    * run after every tokenizer training round. All `BpeRounds` winners
+    * are applied (bpePairs shows the censuses; this query uses the final
+    * vocabulary), then each document's whitespace tokens join their
+    * subword segmentation through the VOCAB-sized (w, n_subwords) table
+    * -- the corpus is scanned once for the (lang, word) census and never
+    * re-tokenized per merge, which is the shape that holds when the
+    * corpus is 100 TB and the vocab is millions of rows. Outputs per
+    * lang: whitespace tokens, subword tokens, characters, fertility
+    * (subwords per word) and mean subword length as integer fixed-point
+    * -- everything exact. */
+  def bpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    var seq = bpeWordSeqs(d)
+    (1 to BpeRounds).foreach { _ => seq = bpeMerge(seq, bpePairsOf(seq)) }
+    val seg = seq.select(col("w"),
+      size(split(col("seq"), " ")).cast("long").as("n_sub"))
+    val lw = d.select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+    lw.join(broadcast(seg), Seq("w"))
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * col("n_sub")).as("n_subwords"),
+        sum(col("c") * length(col("w")).cast("long")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_subwords"), col("n_chars"),
+        expr("n_subwords * 1000000 div n_words").as("fertility_fp"),
+        expr("n_chars * 1000000 div n_subwords").as("sub_len_fp"))
+      .orderBy(col("lang"))
+  }
+
   /** Oracle twin: identical unrolled rounds; SUM over BIGINT is cast back
     * from DuckDB's HUGEINT, and the merge is the same marked replace. */
-  val bpePairsSql: String = {
-    def strip(c: String) = s"replace(replace($c, chr(1), ''), chr(2), '')"
+  private def bpeSqlStrip(c: String) =
+    s"replace(replace($c, chr(1), ''), chr(2), '')"
+
+  /** Shared oracle CTE chain: words/vocab/seq0 plus `rounds` unrolled
+    * pair-census (+merge) rounds. `mergeLast` controls whether the final
+    * round's winner is merged in (the APPLY twin needs seq<rounds>; the
+    * census twin stops at p<rounds>). seqN carries w so the apply twin
+    * can join segmentations back to the corpus. */
+  private def bpeCtesSql(rounds: Int, mergeLast: Boolean): String = {
+    def strip(c: String) = bpeSqlStrip(c)
     def pairsCte(n: Int): String =
       s"""p$n AS (
          |  SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS pair_count FROM (
@@ -617,24 +672,51 @@ object TextAnalysis {
          |  SELECT l, r, chr(1) || ${strip("l || r")} || chr(2) AS merged
          |  FROM p$n ORDER BY pair_count DESC, ${strip("l")}, ${strip("r")} LIMIT 1),
          |seq$n AS (
-         |  SELECT replace(seq, t.l || ' ' || t.r, t.merged) AS seq, freq
+         |  SELECT w, replace(seq, t.l || ' ' || t.r, t.merged) AS seq, freq
          |  FROM seq${n - 1}, top$n t)""".stripMargin
+    val ctes = (1 to rounds).map { n =>
+      if (n < rounds || mergeLast) pairsCte(n) + ",\n" + mergeCte(n)
+      else pairsCte(n)
+    }.mkString(",\n")
+    s"""words AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |vocab AS (SELECT w, COUNT(*) AS freq FROM words WHERE w <> '' GROUP BY w),
+      |seq0 AS (
+      |  SELECT w, array_to_string(list_transform(range(1, length(w)+1),
+      |    i -> chr(1) || w[i] || chr(2)), ' ') AS seq, freq
+      |  FROM vocab),
+      |$ctes""".stripMargin
+  }
+
+  val bpePairsSql: String = {
+    def strip(c: String) = bpeSqlStrip(c)
     def outSel(n: Int): String =
       s"""(SELECT $n AS merge_round, ${strip("l")} AS left_sym,
          |  ${strip("r")} AS right_sym, pair_count
          | FROM p$n ORDER BY pair_count DESC, left_sym, right_sym LIMIT $BpeTopK)""".stripMargin
-    val ctes = (1 to BpeRounds).map { n =>
-      if (n < BpeRounds) pairsCte(n) + ",\n" + mergeCte(n) else pairsCte(n)
-    }.mkString(",\n")
-    s"""WITH words AS (
-      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-      |vocab AS (SELECT w, COUNT(*) AS freq FROM words WHERE w <> '' GROUP BY w),
-      |seq0 AS (
-      |  SELECT array_to_string(list_transform(range(1, length(w)+1),
-      |    i -> chr(1) || w[i] || chr(2)), ' ') AS seq, freq
-      |  FROM vocab),
-      |$ctes
+    s"""WITH ${bpeCtesSql(BpeRounds, mergeLast = false)}
       |${(1 to BpeRounds).map(outSel).mkString("\nUNION ALL\n")}
       |ORDER BY merge_round, pair_count DESC, left_sym, right_sym""".stripMargin
   }
+
+  /** Oracle twin of [[bpeApply]]: same unrolled merges through
+    * seq<rounds>, then the per-language fertility census; every HUGEINT
+    * sum is cast back to BIGINT. */
+  val bpeApplySql: String =
+    s"""WITH ${bpeCtesSql(BpeRounds, mergeLast = true)},
+      |seg AS (
+      |  SELECT w, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_sub
+      |  FROM seq$BpeRounds),
+      |lw AS (
+      |  SELECT lang, w, COUNT(*) AS c FROM (
+      |    SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) t
+      |  WHERE w <> '' GROUP BY lang, w)
+      |SELECT lang,
+      |  CAST(SUM(c) AS BIGINT) AS n_words,
+      |  CAST(SUM(c * n_sub) AS BIGINT) AS n_subwords,
+      |  CAST(SUM(c * length(w)) AS BIGINT) AS n_chars,
+      |  CAST(SUM(c * n_sub) * 1000000 // SUM(c) AS BIGINT) AS fertility_fp,
+      |  CAST(SUM(c * length(w)) * 1000000 // SUM(c * n_sub) AS BIGINT) AS sub_len_fp
+      |FROM lw JOIN seg USING (w)
+      |GROUP BY lang ORDER BY lang""".stripMargin
 }

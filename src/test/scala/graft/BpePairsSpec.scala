@@ -29,4 +29,22 @@ class BpePairsSpec extends AnyFunSuite {
       assert(cs === cs.sorted.reverse)
     }
   }
+
+  test("apply census: merges only ever shorten segmentations, arithmetic consistent") {
+    val rows = TextAnalysis.bpeApply(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (words, subs, chars) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // every word is >= 1 subword; every subword is >= 1 char; three
+      // merges strictly shorten SOME segmentation corpus-wide
+      assert(subs >= words, s"fewer subwords than words: $r")
+      assert(chars >= subs, s"fewer chars than subwords: $r")
+      assert(r.getLong(4) === subs * 1000000L / words, s"fertility_fp: $r")
+      assert(r.getLong(5) === chars * 1000000L / subs, s"sub_len_fp: $r")
+    }
+    val (allSubs, allChars) =
+      (rows.map(_.getLong(2)).sum, rows.map(_.getLong(3)).sum)
+    assert(allSubs < allChars,
+      "three merges should compress at least one frequent word")
+  }
 }
