@@ -215,10 +215,10 @@ object Bench {
     val loadT0 = loadavg()
     val (tputWall0, tputErrors0) = concurrentPass(spark, sfDir, streams, warm = false)
     val loadT1 = loadavg()
-    val concurrentEstimate = {
-      val okSum = firstPass.collect { case (_, t) if t >= 0 => t }.sum
-      okSum / math.max(1, streams)
-    }
+    // estimate from the POST-re-run power times: a stall inside the power
+    // pass must not inflate the throughput-stall threshold
+    val concurrentEstimate =
+      results.values.filter(_ >= 0).sum / math.max(1, streams)
     val tputSuspect = (loadT1 - loadT0) > 4.0 ||
       (concurrentEstimate > 0 && tputWall0 > 3.0 * concurrentEstimate)
     val (tputWall, tputErrors, tputStalled) =

@@ -387,10 +387,15 @@ object Graph {
     // partition of the (d, a) total order, then shift by the exclusive
     // prefix-sum of per-partition counts — a partition-count-sized
     // summary carried through a bounded broadcast self-join.
+    // localCheckpoint (eager): both consumers (per-partition counts and
+    // the per-partition row_number) must see ONE materialized range
+    // partitioning — re-executing the sampled exchange per subtree could
+    // assign pids inconsistently between the rank and its base offset.
     val dParts = d0
       .repartitionByRange(spark.sparkContext.defaultParallelism,
         col("d"), col("a"))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
     val cnts = dParts.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
     val base = cnts.as("x")
       .join(broadcast(cnts.as("y")), col("y.pid") < col("x.pid"), "left")

@@ -42,10 +42,17 @@ object Skyline {
       .agg(max(col("p_size")).as("gmax"))
     // pass 1: per-range-partition strict prefix-max (equal prices land in
     // one partition, so the strict frame never splits a tie group)
+    // localCheckpoint (eager) so BOTH consumers below (the per-partition
+    // window and the per-partition max) read ONE materialized
+    // partitioning: range boundaries come from sampling, and letting two
+    // subtrees re-execute the exchange independently would let them
+    // disagree on pid assignment — the pid join would then mix carries
+    // across inconsistent partitionings.
     val parts = grp
       .repartitionByRange(spark.sparkContext.defaultParallelism,
         col("p_retailprice"))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
     val wLocal = Window.partitionBy(col("pid")).orderBy(col("p_retailprice"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = parts.withColumn("local_strict", max(col("gmax")).over(wLocal))

@@ -38,7 +38,11 @@ class PlanAuditSpec extends AnyFunSuite {
     "join_range_band", "sim_ann_lsh_bucketed", "sim_ann_pq_adc",
     "sim_cosine_topk", "sim_mips_topk", "sim_ann_recall_eval",
     "graph_kcore_peel",  // 1-row median-k scalar riding crossJoins
-    "pipe_mixture_weights") // 1-row domain-total scalar riding a crossJoin
+    "pipe_mixture_weights", // 1-row domain-total scalar riding a crossJoin
+    "text_bpe_apply") // 3 merge rounds, each a 1-row winning-pair broadcast
+    // (bpe_pairs' identical crossJoins never reach its final plan: its
+    // pair censuses are eagerly checkpointed, so the merges execute at
+    // construction time)
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plans no unintended cartesian or nested-loop join") {
