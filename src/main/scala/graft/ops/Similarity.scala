@@ -183,6 +183,117 @@ object Similarity {
       |SELECT query_id, vec_id, cos_sim, rnk FROM ranked
       |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
 
+  private val KnnK = 3 // neighbors per vector in the kNN graph
+
+  /** Mutual-kNN clustering — the GRAPH-based embedding-clustering
+    * pipeline next to [[graft.ops.Dedup.semantic]]'s centroid (k-means)
+    * tier: build the k-nearest-neighbor graph over the WHOLE corpus via
+    * the LSH buckets (every vector is a query of its own bucket), keep
+    * only MUTUAL edges (a ∈ kNN(b) ∧ b ∈ kNN(a) — the standard
+    * noise-robust sparsification), and read off connected components as
+    * clusters. Emitted as the cluster-size histogram.
+    *
+    * Scale shape: the signature pass is one corpus projection; candidate
+    * pairing is the capped bucket equi-join (linear, hot-bucket-guarded);
+    * the kNN cut bounds the graph at k·N edges; the mutual filter is a
+    * key-only self equi-join of that bounded edge list; and components
+    * run over the mutual subset — O(edges) state, diameter-bounded by
+    * the CC dispatcher's three implementations. The DuckDB twin
+    * re-derives buckets, neighbors, mutuality, and components (recursive
+    * CTE) from raw floats. */
+  def knnGraphClusters(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val em = Tables.embeddings(spark, dir)
+    val planes = em.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("plane_id"), col("embedding").as("plane"))
+    val sigs = em.crossJoin(broadcast(planes))
+      .select(col("vec_id"), col("embedding"),
+        when(dot(col("embedding"), col("plane")) >= 0,
+          expr("shiftleft(1L, cast(plane_id as int))")).otherwise(0L).as("bit"))
+      .groupBy(col("vec_id"), col("embedding"))
+      .agg(sum(col("bit")).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = sigs.groupBy(col("bucket")).agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") > AnnBucketCap).select(col("bucket"))
+    val capped = sigs.join(broadcast(hot), Seq("bucket"), "left_anti")
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cos_sim").desc, col("dst"))
+    // persisted: both sides of the mutuality self-join read the kNN cut
+    val knn = pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= KnnK).select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mutual = knn.as("x").join(knn.as("y"),
+        col("x.src") === col("y.dst") && col("x.dst") === col("y.src") &&
+          col("x.src") < col("x.dst"))
+      .select(col("x.src").as("d1"), col("x.dst").as("d2"))
+    Dedup.connectedComponentsFromPairs(mutual)
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("cluster_size"),
+        expr("n_docs div cluster_size").as("n_clusters"), col("n_docs"))
+      .orderBy(col("cluster_size"))
+  }
+
+  /** Oracle twin: buckets, neighbors, mutual edges and components
+    * re-derived in SQL (recursive CTE over the mutual edge list). */
+  val knnGraphClustersSql: String =
+    s"""WITH RECURSIVE e AS (SELECT vec_id, embedding,
+      |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS sq
+      |  FROM embeddings),
+      |planes AS (SELECT vec_id AS plane_id, embedding AS plane
+      |  FROM embeddings WHERE vec_id < 8),
+      |bits AS (
+      |  SELECT e.vec_id,
+      |    CASE WHEN list_sum(list_transform(range(1, len(e.embedding)+1),
+      |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.plane[i] AS DOUBLE))) >= 0
+      |      THEN (CAST(1 AS BIGINT) << CAST(p.plane_id AS INT))
+      |      ELSE CAST(0 AS BIGINT) END AS bit
+      |  FROM e, planes p),
+      |sigs AS (
+      |  SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS bucket FROM bits GROUP BY vec_id
+      |  QUALIFY COUNT(*) OVER (PARTITION BY CAST(SUM(bit) AS BIGINT)) <= $AnnBucketCap),
+      |pairs AS (
+      |  SELECT sa.vec_id AS src, sb.vec_id AS dst,
+      |    round(list_sum(list_transform(range(1, len(ea.embedding)+1),
+      |      i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+      |      / (sqrt(ea.sq) * sqrt(eb.sq)), 6) AS cos_sim
+      |  FROM sigs sa JOIN sigs sb
+      |    ON sa.bucket = sb.bucket AND sa.vec_id <> sb.vec_id
+      |  JOIN e ea ON ea.vec_id = sa.vec_id
+      |  JOIN e eb ON eb.vec_id = sb.vec_id),
+      |knn AS (
+      |  SELECT src, dst FROM (
+      |    SELECT src, dst,
+      |      ROW_NUMBER() OVER (PARTITION BY src
+      |                         ORDER BY cos_sim DESC, dst) AS rnk
+      |    FROM pairs) t WHERE rnk <= $KnnK),
+      |mutual AS (
+      |  SELECT x.src AS d1, x.dst AS d2 FROM knn x
+      |  JOIN knn y ON x.src = y.dst AND x.dst = y.src
+      |  WHERE x.src < x.dst),
+      |edges AS (
+      |  SELECT d1, d2 FROM mutual
+      |  UNION SELECT d2, d1 FROM mutual
+      |  UNION SELECT d1, d1 FROM mutual
+      |  UNION SELECT d2, d2 FROM mutual),
+      |reach(v, r) AS (
+      |  SELECT d1 AS v, d2 AS r FROM edges
+      |  UNION
+      |  SELECT e2.d1 AS v, reach.r
+      |  FROM edges e2 JOIN reach ON reach.v = e2.d2),
+      |comp AS (SELECT v, MIN(r) AS canonical_id FROM reach GROUP BY v),
+      |sized AS (
+      |  SELECT canonical_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+      |SELECT cluster_size,
+      |  CAST(COUNT(*) // cluster_size AS BIGINT) AS n_clusters,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs
+      |FROM comp JOIN sized USING (canonical_id)
+      |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
   private val IvfCells = 8  // coarse-quantizer cells (k)
   private val IvfRounds = 2 // FIXED Lloyd rounds — determinism over convergence
   private val IvfProbe = 2  // cells probed per query

@@ -39,6 +39,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_cosine_topk", "sim_mips_topk", "sim_ann_recall_eval",
     "graph_kcore_peel",  // 1-row median-k scalar riding crossJoins
     "pipe_mixture_weights", // 1-row domain-total scalar riding a crossJoin
+    "sim_knn_graph_clusters", // 8-row hyperplane matrix broadcast (LSH sig pass)
     "text_bpe_apply") // 3 merge rounds, each a 1-row winning-pair broadcast
     // (bpe_pairs' identical crossJoins never reach its final plan: its
     // pair censuses are eagerly checkpointed, so the merges execute at

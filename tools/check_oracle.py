@@ -82,6 +82,8 @@ def values_equal(a, b):
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    if len(sys.argv) > 3:  # optional: pin threads (determinism probes)
+        con.execute(f"SET threads={int(sys.argv[3])}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
