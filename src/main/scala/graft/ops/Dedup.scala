@@ -1107,6 +1107,164 @@ object Dedup {
       |SELECT new_doc, new_chunk, dup_of, hamming FROM cand WHERE rk = 1
       |ORDER BY new_doc""".stripMargin
 
+  private val BandP = 1000000007L // polyhash modulus (shared with graft_poly_hash)
+  private def bandA(i: Int): Long = ((i + 1) * 40503L) % BandP
+  private def bandB(i: Int): Long = ((i + 1) * 69069L) % BandP
+  /** (bands × rowsPerBand) operating points, all slicing ONE 64-slot
+    * signature; 8-row band k = concat of 4-row bands 2k,2k+1, so the
+    * candidate sets are NESTED: cands(8×8) ⊆ cands(16×4) ⊆ cands(32×2). */
+  private val BandSchemes = Seq((8, 8), (16, 4), (32, 2))
+
+  /** Banding tuning-curve artifact for the DEDUP tier — the minhash
+    * sibling of `sim_ann_recall_eval`: recall of the exact-Jaccard ≥ 0.8
+    * ground truth vs candidate volume, swept across three LSH banding
+    * schemes (8×8 strict … 32×2 lenient, the standard S-curve knob) that
+    * all slice the SAME 64-slot signature — one signature pass serves
+    * every operating point, and the aligned slicing makes the sweep
+    * provably monotone (wider bands only lose candidates).
+    *
+    * Unlike the production minhash tier (xxhash64-composed shingle
+    * hashes — JVM-side), this eval's signature family is built to be
+    * ORACLE-PORTABLE: shingle → Karp-Rabin polyhash (the same fold
+    * `graft_poly_hash` runs and `text_fingerprint`'s twin re-derives
+    * per character), then 64 affine transforms (a_i·x+b_i) mod p with
+    * every product bounded under 2^61 — both engines evaluate the
+    * identical integers, so buckets, candidates, recall and cost all
+    * hash-match. Bucket keys are the band's slot TUPLE (an equi-join
+    * key), not a rehash. The truth tier is the df-capped exact-Jaccard
+    * self-join (`dedup_ngram_jaccard`'s semantics). Scale shape: one
+    * shingle exchange feeds truth and signatures; banding explodes to
+    * b·N bounded rows per scheme; pairing is tuple-keyed equi-join under
+    * the hot-bucket cap. */
+  def bandingRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.types.DoubleType
+    val d = Tables.documents(spark, dir)
+    val shRows = d
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(toks)-2), " +
+          "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))).as("shingle"))
+    val sh = dropHotBuckets(shRows, MaxShingleDf, col("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ground truth: exact Jaccard >= 0.8 on the df-capped string shingles
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shn = sh.join(broadcast(counts), "doc_id")
+    val truth = shn.as("a").join(shn.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("common"),
+        max(col("na")).as("n1"), max(col("nb")).as("n2"))
+      .filter(col("common").cast(DoubleType) /
+        (col("n1") + col("n2") - col("common")).cast(DoubleType) >= 0.8)
+      .select(col("d1"), col("d2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE signature pass: 64 affine-min slots over the polyhash shingles
+    val xs = sh.select(col("doc_id"), expr("graft_poly_hash(shingle)").as("ph"))
+    val sigCols = (0 until NumHashes).map(i =>
+      min((lit(bandA(i)) * col("ph") + lit(bandB(i))) % lit(BandP)).as(s"s$i"))
+    val sigs = xs.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val parts = BandSchemes.map { case (b, r) =>
+      val bandStructs = (0 until b).map { k =>
+        struct(lit(k).as("band"),
+          struct((0 until r).map(j => col(s"s${r * k + j}").as(s"x$j")): _*)
+            .as("key"))
+      }
+      val bnd = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.key").as("key"))
+      val capped = dropHotBuckets(bnd, MaxBucketSize, col("band"), col("key"))
+      val cand = capped.as("x").join(capped.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cost = cand.agg(count(lit(1)).as("cand_pairs"))
+      val rec = truth
+        .join(cand.withColumn("hit", lit(1)), Seq("d1", "d2"), "left_outer")
+        .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_recalled"))
+      rec.crossJoin(cost)
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("n_truth"), col("n_recalled"),
+          expr("n_recalled * 1000000 div n_truth").as("recall_fp"),
+          col("cand_pairs"))
+    }
+    parts.reduce(_ union _).orderBy(col("bands"))
+  }
+
+  /** Oracle twin: identical shingles, polyhash fold, affine mins, tuple
+    * buckets, cap, pairing and recall — all in SQL. */
+  val bandingRecallEvalSql: String = {
+    val ph = "list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+      "list_transform(range(1, length(shingle)+1), " +
+      "i -> CAST(ascii(substr(shingle, CAST(i AS INTEGER), 1)) AS BIGINT))), " +
+      s"(acc, c) -> (acc * 31 + c) % $BandP)"
+    val sigCols = (0 until NumHashes).map(i =>
+      s"MIN((${bandA(i)} * ph + ${bandB(i)}) % $BandP) AS s$i").mkString(",\n    ")
+    def schemeCtes(b: Int, r: Int): String = {
+      val slots = (0 until r).map(j => s"x$j")
+      def bandSel(k: Int): String =
+        s"SELECT doc_id, $k AS band, " +
+          (0 until r).map(j => s"s${r * k + j} AS x$j").mkString(", ") +
+          " FROM sigs"
+      val slotList = slots.mkString(", ")
+      val joinCond = slots.map(x => s"a.$x = b.$x").mkString(" AND ")
+      s"""bnd$r AS (
+         |  SELECT doc_id, band, $slotList FROM (
+         |    ${(0 until b).map(bandSel).mkString("\n    UNION ALL\n    ")})
+         |  QUALIFY COUNT(*) OVER (PARTITION BY band, $slotList) <= $MaxBucketSize),
+         |cand$r AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bnd$r a JOIN bnd$r b
+         |    ON a.band = b.band AND $joinCond AND a.doc_id < b.doc_id),
+         |rec$r AS (
+         |  SELECT COUNT(*) AS n_truth, COUNT(c.d1) AS n_recalled
+         |  FROM truth t LEFT JOIN cand$r c ON c.d1 = t.d1 AND c.d2 = t.d2),
+         |cost$r AS (SELECT COUNT(*) AS cand_pairs FROM cand$r)""".stripMargin
+    }
+    def schemeSel(b: Int, r: Int): String =
+      s"SELECT $b AS bands, $r AS rows_per_band, n_truth, n_recalled, " +
+        s"CAST(n_recalled * 1000000 // n_truth AS BIGINT) AS recall_fp, " +
+        s"CAST(cand_pairs AS BIGINT) AS cand_pairs FROM rec$r, cost$r"
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
+      |         generate_subscripts(string_split(text,' '),1) AS pos
+      |  FROM documents),
+      |sh0 AS (
+      |  SELECT DISTINCT doc_id,
+      |    tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS shingle
+      |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
+      |sh AS (
+      |  SELECT doc_id, shingle FROM sh0
+      |  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= $MaxShingleDf),
+      |counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |tp AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |truth AS (
+      |  SELECT d1, d2 FROM tp
+      |  JOIN counts c1 ON c1.doc_id = d1
+      |  JOIN counts c2 ON c2.doc_id = d2
+      |  WHERE CAST(common AS DOUBLE)
+      |      / CAST(c1.n + c2.n - common AS DOUBLE) >= 0.8),
+      |xs AS (SELECT doc_id, $ph AS ph FROM sh),
+      |sigs AS (
+      |  SELECT doc_id,
+      |    $sigCols
+      |  FROM xs GROUP BY doc_id),
+      |${BandSchemes.map { case (b, r) => schemeCtes(b, r) }.mkString(",\n")}
+      |${BandSchemes.map { case (b, r) => schemeSel(b, r) }.mkString("\nUNION ALL\n")}
+      |ORDER BY bands""".stripMargin
+  }
+
   private val SemClusters = 8    // k-means cells (shared Lloyd trainer)
   private val SemRounds = 2      // fixed Lloyd rounds — determinism over convergence
   private val SemTau = 0.3       // cosine threshold on the 6-decimal rounded value

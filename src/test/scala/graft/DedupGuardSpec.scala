@@ -29,6 +29,28 @@ class DedupGuardSpec extends AnyFunSuite {
     noCartesian(Dedup.minhashLsh(spark, dir), "minhashLsh")
   }
 
+  test("banding recall sweep is nested-monotone with constant truth") {
+    import spark.implicits._
+    val rows = Dedup.bandingRecallEval(spark, dir)
+      .select("bands", "rows_per_band", "n_truth", "n_recalled",
+        "recall_fp", "cand_pairs")
+      .as[(Int, Int, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(r => (r._1, r._2)).toSeq === Seq((8, 8), (16, 4), (32, 2)))
+    assert(rows.map(_._3).distinct.length === 1, "truth set must not vary")
+    assert(rows.head._3 > 0, "need a non-empty ground truth")
+    rows.foreach { r =>
+      assert(r._4 <= r._3)
+      assert(r._5 === r._4 * 1000000L / r._3)
+    }
+    // aligned band slices nest: wider bands can only LOSE candidates
+    rows.sliding(2).foreach { case Array(strict, lenient) =>
+      assert(lenient._6 >= strict._6,
+        s"candidates shrank widening ${strict._1}->${lenient._1} bands")
+      assert(lenient._4 >= strict._4,
+        s"recall shrank widening ${strict._1}->${lenient._1} bands")
+    }
+  }
+
   test("semantic dedup pairing has no cartesian/nested-loop join") {
     noCartesian(Dedup.semantic(spark, dir), "semantic")
   }
