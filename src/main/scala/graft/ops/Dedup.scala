@@ -1215,11 +1215,11 @@ object Dedup {
           " FROM sigs"
       val slotList = slots.mkString(", ")
       val joinCond = slots.map(x => s"a.$x = b.$x").mkString(" AND ")
-      s"""bnd$r AS (
+      s"""bnd$r AS MATERIALIZED (
          |  SELECT doc_id, band, $slotList FROM (
          |    ${(0 until b).map(bandSel).mkString("\n    UNION ALL\n    ")})
          |  QUALIFY COUNT(*) OVER (PARTITION BY band, $slotList) <= $MaxBucketSize),
-         |cand$r AS (
+         |cand$r AS MATERIALIZED (
          |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
          |  FROM bnd$r a JOIN bnd$r b
          |    ON a.band = b.band AND $joinCond AND a.doc_id < b.doc_id),
@@ -1241,7 +1241,7 @@ object Dedup {
       |    tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS shingle
       |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
       |  QUALIFY lead(tok,2) OVER w IS NOT NULL),
-      |sh AS (
+      |sh AS MATERIALIZED (
       |  SELECT doc_id, shingle FROM sh0
       |  QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= $MaxShingleDf),
       |counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
@@ -1249,14 +1249,17 @@ object Dedup {
       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2),
-      |truth AS (
+      |truth AS MATERIALIZED (
       |  SELECT d1, d2 FROM tp
       |  JOIN counts c1 ON c1.doc_id = d1
       |  JOIN counts c2 ON c2.doc_id = d2
       |  WHERE CAST(common AS DOUBLE)
       |      / CAST(c1.n + c2.n - common AS DOUBLE) >= 0.8),
-      |xs AS (SELECT doc_id, $ph AS ph FROM sh),
-      |sigs AS (
+      |phs AS (
+      |  SELECT shingle, $ph AS ph
+      |  FROM (SELECT DISTINCT shingle FROM sh) t),
+      |xs AS (SELECT doc_id, ph FROM sh JOIN phs USING (shingle)),
+      |sigs AS MATERIALIZED (
       |  SELECT doc_id,
       |    $sigCols
       |  FROM xs GROUP BY doc_id),
