@@ -223,6 +223,62 @@ object TimeSeries {
       |  list_reduce(vs, (a, x) -> 0.5 * x + 0.5 * a) AS ewma
       |FROM fr ORDER BY event_type, day""".stripMargin
 
+  /** Holt's linear-trend double exponential smoothing (Holt 1957 /
+    * Gardner's ES taxonomy) over each type's daily series — the
+    * trend-aware forecasting tier next to [[ewmaDaily]]'s level-only
+    * smoothing. α = β = ½, so every smoothing step is a HALVING — the one
+    * damping both engines evaluate bit-identically (same trick as the
+    * EWMA and the α=½ mixture weights): the recursion
+    *   l_t = ½·v_t + ½·(l₋₁ + b₋₁);  b_t = ½·(l_t − l₋₁) + ½·b₋₁
+    * runs as ONE sequential left fold per series with a [level, trend]
+    * list accumulator seeded [v₁, 0] — Spark's `aggregate` and DuckDB's
+    * `list_reduce` execute the identical IEEE operation sequence, so the
+    * final state and the h-step linear forecasts l + h·b hash-match
+    * unrounded. One exchange builds the day-ordered series per type;
+    * the fold is per-group in-memory state of exactly two doubles —
+    * at 100 TB the daily table is days × types, already tiny. */
+  def holtTrend(spark: SparkSession, dir: String): DataFrame = {
+    val lvl = "0.5 * x + 0.5 * (a[0] + a[1])"
+    val trd = s"0.5 * (($lvl) - a[0]) + 0.5 * a[1]"
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(dsum(col("value")).as("v"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        expr("transform(sort_array(collect_list(struct(day, v))), s -> s.v)")
+          .as("vs"))
+      .filter(col("n_days") >= 2)
+      .select(col("event_type"), col("n_days"),
+        expr("aggregate(slice(vs, 2, size(vs) - 1), " +
+          "array(vs[0], cast(0.0 as double)), " +
+          s"(a, x) -> array($lvl, $trd))").as("st"))
+      .select(col("event_type"), col("n_days"),
+        expr("st[0]").as("level"), expr("st[1]").as("trend"),
+        expr("st[0] + st[1]").as("forecast_1"),
+        expr("st[0] + 3 * st[1]").as("forecast_3"))
+      .orderBy(col("event_type"))
+  }
+
+  val holtTrendSql: String = {
+    val lvl = "0.5 * x[1] + 0.5 * (a[1] + a[2])"
+    val trd = s"0.5 * (($lvl) - a[1]) + 0.5 * a[2]"
+    s"""WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2),
+      |series AS (
+      |  SELECT event_type, COUNT(*) AS n_days, list(v ORDER BY day) AS vs
+      |  FROM daily GROUP BY event_type HAVING COUNT(*) >= 2),
+      |folded AS (
+      |  SELECT event_type, n_days,
+      |    list_reduce(list_transform(vs, x -> [x, 0.0]),
+      |      (a, x) -> [$lvl, $trd]) AS st
+      |  FROM series)
+      |SELECT event_type, n_days, st[1] AS level, st[2] AS trend,
+      |  st[1] + st[2] AS forecast_1, st[1] + 3 * st[2] AS forecast_3
+      |FROM folded ORDER BY event_type""".stripMargin
+  }
+
   /** Volume-anomaly detection: days whose event count sits more than 2σ
     * from that type's mean daily volume — the monitoring query every
     * ingestion pipeline runs against its own throughput. Counts are
