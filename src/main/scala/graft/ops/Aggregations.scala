@@ -420,4 +420,77 @@ object Aggregations {
       |  MIN(CASE WHEN cumw * 2 >= totw THEN n_chars END) AS wp50_chars,
       |  MIN(CASE WHEN cumw * 10 >= totw * 9 THEN n_chars END) AS wp90_chars
       |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+
+  private val HllPairs = Seq(("click", "purchase"), ("view", "signup"))
+
+  /** Sketch SET ALGEBRA — audience-overlap estimation from mergeable HLL
+    * sketches (the DataSketches path `agg_sketch_reagg` builds on): per
+    * event-type pair, |A∩B| is estimated by inclusion-exclusion over
+    * three sketch estimates (est_A + est_B − est_A∪B, with the union
+    * sketch from the binary `hll_union` — never re-scanning raw data),
+    * the standard overlap estimator for pre-aggregated audiences. The
+    * EXACT inclusion-exclusion runs beside it (exact intersection =
+    * a + b − union over exact distinct counts — an identity, not an
+    * estimate), and the output carries exact values + tolerance booleans
+    * like every sketch query (the oracle pins the exact columns and the
+    * booleans as literals). At 100 TB the point is that the per-type
+    * sketches are BUILT ONCE (k × 13 KB state), and any of the k²
+    * pairwise overlaps is then sketch-only arithmetic — no pairwise
+    * corpus passes. One corpus pass builds sketches; one pass per pair
+    * computes the exact side (test-only cross-check). */
+  def hllIntersection(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val sks = e.groupBy(col("event_type"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    val ests = HllPairs.map { case (ta, tb) =>
+      sks.as("a").filter(col("a.event_type") === ta)
+        .crossJoin(sks.as("b").filter(col("b.event_type") === tb))
+        .select(lit(ta).as("type_a"), lit(tb).as("type_b"),
+          expr("hll_sketch_estimate(a.sk)").as("est_a"),
+          expr("hll_sketch_estimate(b.sk)").as("est_b"),
+          expr("hll_sketch_estimate(hll_union(a.sk, b.sk))").as("est_u"))
+    }.reduce(_ union _)
+    val exacts = HllPairs.map { case (ta, tb) =>
+      e.filter(col("event_type").isin(ta, tb))
+        .agg(
+          countDistinct(when(col("event_type") === ta, col("user_id")))
+            .as("exact_a"),
+          countDistinct(when(col("event_type") === tb, col("user_id")))
+            .as("exact_b"),
+          countDistinct(col("user_id")).as("exact_union"))
+        .select(lit(ta).as("type_a"), lit(tb).as("type_b"),
+          col("exact_a"), col("exact_b"), col("exact_union"),
+          (col("exact_a") + col("exact_b") - col("exact_union"))
+            .as("exact_inter"))
+    }.reduce(_ union _)
+    exacts.join(broadcast(ests), Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"),
+        col("exact_a"), col("exact_b"), col("exact_union"), col("exact_inter"),
+        (abs(col("est_a") - col("exact_a")).cast(DoubleType) /
+          col("exact_a") <= 0.05).as("a_ok"),
+        (abs(col("est_b") - col("exact_b")).cast(DoubleType) /
+          col("exact_b") <= 0.05).as("b_ok"),
+        (abs(col("est_u") - col("exact_union")).cast(DoubleType) /
+          col("exact_union") <= 0.05).as("union_ok"),
+        (abs(col("est_a") + col("est_b") - col("est_u") - col("exact_inter"))
+          .cast(DoubleType) /
+          greatest(col("exact_inter"), lit(1L)) <= 0.15).as("inter_ok"))
+      .orderBy(col("type_a"))
+  }
+
+  val hllIntersectionSql: String = {
+    val pairSel = HllPairs.map { case (ta, tb) =>
+      s"""SELECT '$ta' AS type_a, '$tb' AS type_b,
+         |  COUNT(DISTINCT CASE WHEN event_type = '$ta' THEN user_id END) AS exact_a,
+         |  COUNT(DISTINCT CASE WHEN event_type = '$tb' THEN user_id END) AS exact_b,
+         |  COUNT(DISTINCT user_id) AS exact_union,
+         |  COUNT(DISTINCT CASE WHEN event_type = '$ta' THEN user_id END)
+         |    + COUNT(DISTINCT CASE WHEN event_type = '$tb' THEN user_id END)
+         |    - COUNT(DISTINCT user_id) AS exact_inter,
+         |  TRUE AS a_ok, TRUE AS b_ok, TRUE AS union_ok, TRUE AS inter_ok
+         |FROM events WHERE event_type IN ('$ta', '$tb')""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$pairSel
+      |ORDER BY type_a""".stripMargin
+  }
 }

@@ -41,6 +41,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "pipe_mixture_weights", // 1-row domain-total scalar riding a crossJoin
     "sim_knn_graph_clusters", // 8-row hyperplane matrix broadcast (LSH sig pass)
     "dedup_banding_recall_eval", // 1-row recall x 1-row cost scalar crossJoins
+    "agg_hll_intersection", // 1-row sketch x 1-row sketch per pair
     "text_bpe_apply") // 3 merge rounds, each a 1-row winning-pair broadcast
     // (bpe_pairs' identical crossJoins never reach its final plan: its
     // pair censuses are eagerly checkpointed, so the merges execute at
