@@ -66,18 +66,35 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as
-    * raw long (legacy conf) and rebuild a microsecond TIMESTAMP_NTZ via
-    * integer division — `ts div 1000`, NOT `/` (double division would lose
-    * precision above 2^53 and shift values by up to ~256 ns). Truncation
-    * matches DuckDB's own TIMESTAMP_NS → TIMESTAMP(µs) cast, so oracle
-    * comparisons line up. NTZ (not LTZ) so the values stay naive like
-    * DuckDB's reading of the same file.
+  /** events.parquet's `ts` has shipped in two encodings across testdata
+    * generations, and this loader normalizes both to microsecond
+    * TIMESTAMP_NTZ so every downstream query is encoding-agnostic:
+    *
+    *   - parquet TIMESTAMP(NANOS) (pre-r10 testdata): Spark's vectorized
+    *     reader rejects it ([PARQUET_TYPE_ILLEGAL]), so we read nanos as
+    *     raw long (legacy conf) and rebuild the timestamp via integer
+    *     division — `ts div 1000`, NOT `/` (double division would lose
+    *     precision above 2^53 and shift values by up to ~256 ns).
+    *     Truncation matches DuckDB's own TIMESTAMP_NS → TIMESTAMP(µs)
+    *     cast, so oracle comparisons line up.
+    *   - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) (r10 testdata):
+    *     Spark already reads it as TIMESTAMP_NTZ; pass through.
+    *
+    * The branch is decided by the READ SCHEMA (one footer inspection,
+    * memoized with the relation), not by SF or path convention — the
+    * robust posture for a lakehouse table whose writer fleet migrates
+    * timestamp encodings over time. NTZ (not LTZ) in both branches so
+    * the values stay naive like DuckDB's reading of the same file.
     */
   def events(s: SparkSession, d: String): DataFrame = withNanosAsLong(s) {
-    table(s, d, "events")
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
 
   /** Runs `body` with `spark.sql.legacy.parquet.nanosAsLong=true` and

@@ -497,4 +497,97 @@ object Graph {
       |UNION ALL SELECT * FROM (${census("r4", 4)})
       |ORDER BY round""".stripMargin
   }
+
+  // Synchronous-LPA iteration count. Fixed and unrolled like pagerank:
+  // raw LPA has no convergence guarantee (labels can oscillate on
+  // bipartite-ish structure), so production runs cap rounds anyway; a
+  // fixed cap also keeps the DuckDB twin expressible without recursion.
+  private val LpaRounds = 3
+
+  /** Label-propagation community detection (Raghavan/Albert/Kumara 2007)
+    * over the user co-occurrence graph: every node starts in its own
+    * community (label = own id) and each synchronous round adopts the
+    * label held by the PLURALITY of its neighbors, ties broken toward the
+    * smallest label — fully deterministic, unlike the randomized-order
+    * original (async order and random tie-breaks are the two
+    * nondeterminism sources the paper itself flags; min-label tie-break
+    * is the standard derandomization). Distinct from
+    * [[graft.ops.Dedup]]'s connected components: CC propagates the MIN
+    * label (converges to one label per component); plurality-LPA splits
+    * dense components into internally-connected communities.
+    *
+    * Scale posture: each round is one equi-join of the (2E)-row neighbor
+    * table against the node-sized label table + one count aggregate +
+    * one per-node window rank — all keyed, no cartesian. The neighbor
+    * table is persisted once and its hash partitioning on `nbr` is
+    * reused by every round's join; the label table is node-sized (≪ E,
+    * here user-count) so at cluster scale it broadcasts exactly like
+    * pagerank's rank table. Three static rounds — no lineage growth, no
+    * checkpoint cadence needed (contrast the convergence-driven peel in
+    * [[kcorePeel]]). Output is node → final label plus the community
+    * size census, node-sized. */
+  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val edges = cooccurrenceEdges(spark, dir)
+    val nbrs = edges.select(col("a").as("node"), col("b").as("nbr"))
+      .union(edges.select(col("b").as("node"), col("a").as("nbr")))
+      .repartition(col("nbr"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rankW = Window.partitionBy(col("node"))
+      .orderBy(col("cnt").desc, col("lbl").asc)
+    var labels = nbrs.select(col("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to LpaRounds) {
+      labels = nbrs
+        .join(labels.withColumnRenamed("node", "nbr"), "nbr")
+        .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(rankW))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("lbl"))
+    }
+    val sizeW = Window.partitionBy(col("lbl"))
+    labels
+      .withColumn("community_size", count(lit(1)).over(sizeW))
+      .select(col("node"), col("lbl").as("community"),
+        col("community_size"))
+      .orderBy(col("node"))
+  }
+
+  /** Oracle twin: the shared co-occurrence edge CTEs, then [[LpaRounds]]
+    * unrolled plurality-vote rounds — the same count + window-rank
+    * program in plain SQL. */
+  val labelPropagationSql: String = {
+    def step(prev: String): String =
+      s"""  SELECT node, lbl FROM (
+         |    SELECT n.node, l.lbl,
+         |      ROW_NUMBER() OVER (PARTITION BY n.node
+         |        ORDER BY COUNT(*) DESC, l.lbl ASC) AS rn
+         |    FROM nbrs n JOIN $prev l ON l.node = n.nbr
+         |    GROUP BY n.node, l.lbl)
+         |  WHERE rn = 1""".stripMargin
+    s"""WITH occ AS (
+      |  SELECT DISTINCT event_type, date_trunc('hour', ts) AS hb, user_id
+      |  FROM events),
+      |ok AS (
+      |  SELECT event_type, hb FROM occ
+      |  GROUP BY event_type, hb HAVING COUNT(*) <= $MaxBucketUsers),
+      |edges AS (
+      |  SELECT x.user_id AS a, y.user_id AS b
+      |  FROM occ x JOIN ok USING (event_type, hb)
+      |  JOIN occ y USING (event_type, hb)
+      |  WHERE x.user_id < y.user_id
+      |  GROUP BY x.user_id, y.user_id HAVING COUNT(*) >= $MinCooccur),
+      |nbrs AS MATERIALIZED (
+      |  SELECT a AS node, b AS nbr FROM edges
+      |  UNION ALL SELECT b AS node, a AS nbr FROM edges),
+      |l0 AS (SELECT DISTINCT node, node AS lbl FROM nbrs),
+      |l1 AS (
+      |${step("l0")}),
+      |l2 AS (
+      |${step("l1")}),
+      |l3 AS (
+      |${step("l2")})
+      |SELECT node, lbl AS community,
+      |  CAST(COUNT(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size
+      |FROM l3 ORDER BY node""".stripMargin
+  }
 }
