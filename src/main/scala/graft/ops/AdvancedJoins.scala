@@ -307,4 +307,88 @@ object AdvancedJoins {
       |  COUNT(DISTINCT e.user_id) AS n_users
       |FROM e JOIN fs USING (user_id)
       |GROUP BY 1, 2 ORDER BY cohort_week, week_no""".stripMargin
+
+  // Fuzzy-join edit-distance threshold. k=2 (ed<=1 pairs don't exist in
+  // the bigram domain at any SF; ed<=2 yields ~420). The deletion-key
+  // completeness argument below holds for ANY k; the key count per
+  // string is sum_{i<=k} C(L,i) — for k=2 and L<=24 at most 1+24+276,
+  // and each key is an equi-join key, so raising k trades key volume,
+  // never join shape.
+  private val FuzzyK = 2
+
+  /** Fuzzy string self-join under an edit-distance threshold — the
+    * record-linkage primitive (matching near-identical titles, names,
+    * phrases across a corpus). Domain: the distinct word bigrams of the
+    * document corpus (one explode, shared shape with
+    * [[TextAnalysis.bigramLmScore]]).
+    *
+    * Candidate generation is the DELETION-NEIGHBORHOOD join (the
+    * symmetric-delete / "SymSpell" scheme, a folk refinement of
+    * Mor/Fraenkel 1982's deletion-variant dictionaries): each string
+    * emits every variant obtainable by deleting at most [[FuzzyK]]
+    * characters, candidates are pairs sharing a variant, and an exact
+    * `levenshtein` check verifies. COMPLETE for ed<=k: an optimal
+    * alignment with e<=k edits deletes from s the <=e positions it
+    * substitutes-or-deletes and from t the <=e positions it
+    * substitutes-or-inserts, leaving the SAME string — so some common
+    * variant always exists and the filter can only over-generate (false
+    * candidates die at the verify). No false negatives, no cartesian.
+    *
+    * Scale posture: per-string fan-out is O(L^k) keys built by one
+    * codegen'd nested-transform projection (no UDF); the candidate join
+    * is a plain equi-join on the variant key whose bucket sizes are
+    * bounded by how many corpus strings share a deletion variant —
+    * corpus-driven like every LSH tier here, with the same hot-bucket
+    * cap available if a degenerate key family ever saturates (not needed
+    * at these SFs). Verify cost is |candidate pairs|, each a
+    * constant-time levenshtein on short strings. The quadratic
+    * all-pairs program exists ONLY on the oracle side (916² length-
+    * banded pairs — DuckDB-cheap), exactly like the dedup ground-truth
+    * twins. */
+  def fuzzyEditDistJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bi = Tables.documents(spark, dir)
+      .select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))"))
+        .as("s"))
+      .distinct()
+    // all <=2-deletion variants: the string itself, every 1-deletion,
+    // every unordered 2-deletion (delete j then i, j > i)
+    val keyed = bi.select(col("s"), explode(expr(
+      """concat(
+        |  array(s),
+        |  transform(sequence(0, length(s)-1),
+        |    i -> concat(substring(s, 1, i), substring(s, i+2, length(s)))),
+        |  flatten(transform(sequence(0, length(s)-2),
+        |    i -> transform(sequence(i+1, length(s)-1),
+        |      j -> concat(substring(s, 1, i),
+        |                  substring(s, i+2, j-i-1),
+        |                  substring(s, j+2, length(s)))))))""".stripMargin))
+      .as("k")).distinct()
+    keyed.as("a").join(keyed.as("b"),
+        col("a.k") === col("b.k") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("s1"), col("b.s").as("s2"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("s1"), col("s2")))
+      .filter(col("dist") <= FuzzyK)
+      .orderBy(col("s1"), col("s2"))
+  }
+
+  /** Oracle twin: the exhaustive length-banded quadratic program — an
+    * independent formulation (no deletion keys), so the driver compare
+    * also proves the candidate scheme lossless. */
+  val fuzzyEditDistJoinSql: String =
+    s"""WITH toks AS (
+      |  SELECT string_split(text, ' ') AS t FROM documents),
+      |bi AS (
+      |  SELECT DISTINCT
+      |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS s
+      |  FROM toks WHERE len(t) >= 2)
+      |SELECT a.s AS s1, b.s AS s2,
+      |  CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+      |FROM bi a JOIN bi b
+      |  ON a.s < b.s AND abs(length(a.s) - length(b.s)) <= $FuzzyK
+      |WHERE levenshtein(a.s, b.s) <= $FuzzyK
+      |ORDER BY s1, s2""".stripMargin
 }

@@ -684,4 +684,86 @@ object Pipeline {
       |  CAST(n_docs * 1000000 // n_tot AS BIGINT) AS raw_share_fp,
       |  CAST(s * 1000000 // s_tot AS BIGINT) AS weight_fp
       |FROM dom, tot ORDER BY source, lang""".stripMargin
+
+  /** Data Selection via Importance Resampling (Xie et al. 2023, DSIR) —
+    * score every raw document by how target-like its token distribution
+    * is, the pass that upsamples high-quality-domain-looking text when
+    * composing a pretraining mixture. Target distribution: the `en`
+    * slice of the corpus; raw distribution: the whole corpus.
+    *
+    * Deviation from the paper, for cross-engine exactness: DSIR weights
+    * are Σ count·log(p_target/p_raw); a transcendental log can never
+    * hash-match across engines (see agg_gini_impurity's rationale), so
+    * the per-token contribution here is the LINEARIZED Laplace-smoothed
+    * probability ratio in integer fixed point —
+    * floor(10⁶ · (cnt_t+1)(tot_r+V) / ((cnt_r+1)(tot_t+V))) — monotone
+    * in the same ratio, built from one exactly-rounded double divide.
+    * Per-doc weight = Σ token_count · ratio_fp, exact BIGINT (per-doc
+    * bound: tokens/doc × max ratio_fp ≪ 2⁶³ — a per-ROW quantity, per
+    * the overflow rules in [[graft.ops]]).
+    *
+    * Scale posture: one token explode feeds both the vocab census and
+    * the per-doc counts (persisted, like bigramLmScore's shared
+    * explode); the vocab table is vocab-sized → broadcast to the scoring
+    * join; totals are one constant-size broadcast cross join. No
+    * all-pairs anywhere; the whole program is two map-side-combined
+    * aggregates and one broadcast equi-join. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = toks.groupBy(col("w"))
+      .agg(count(lit(1)).as("cnt_r"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cnt_t"))
+    val tot = vocab.agg(count(lit(1)).as("v_sz"),
+      sum(col("cnt_r")).as("tot_r"), sum(col("cnt_t")).as("tot_t"))
+    // every operand is cast to DOUBLE before any multiply: a bare
+    // `1000000.0` literal is DECIMAL in both engines (divergent decimal
+    // division rules), and a BIGINT·BIGINT denominator would overflow at
+    // corpus scale — all-double keeps each step one identically-rounded
+    // IEEE op in both engines at any magnitude
+    val ratio = vocab.crossJoin(broadcast(tot))
+      .select(col("w"), expr(
+        """cast(floor(1e6 * cast(cnt_t + 1 as double) * cast(tot_r + v_sz as double)
+          |  / (cast(cnt_r + 1 as double) * cast(tot_t + v_sz as double))) as bigint)""".stripMargin)
+        .as("ratio_fp"))
+    toks.groupBy(col("doc_id"), col("lang"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(ratio), "w")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("ratio_fp")).as("weight_fp"))
+      .select(col("doc_id"), col("lang"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("weight_fp").cast("long").as("weight_fp"),
+        expr("weight_fp div n_tokens").cast("long").as("per_token_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle twin: same census → smoothed ratio → scoring join program in
+    * plain SQL; `//` keeps the per-token mean integer-exact. */
+  val dsirWeightsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT w, COUNT(*) AS cnt_r,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t
+      |  FROM toks GROUP BY w),
+      |tot AS (
+      |  SELECT COUNT(*) AS v_sz, CAST(SUM(cnt_r) AS BIGINT) AS tot_r,
+      |    CAST(SUM(cnt_t) AS BIGINT) AS tot_t FROM vocab),
+      |ratio AS (
+      |  SELECT w, CAST(FLOOR(1e6 * CAST(cnt_t + 1 AS DOUBLE) * CAST(tot_r + v_sz AS DOUBLE)
+      |    / (CAST(cnt_r + 1 AS DOUBLE) * CAST(tot_t + v_sz AS DOUBLE))) AS BIGINT) AS ratio_fp
+      |  FROM vocab, tot),
+      |dc AS (
+      |  SELECT doc_id, lang, w, COUNT(*) AS c FROM toks GROUP BY 1, 2, 3)
+      |SELECT dc.doc_id, dc.lang,
+      |  CAST(SUM(dc.c) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(dc.c * r.ratio_fp) AS BIGINT) AS weight_fp,
+      |  CAST(SUM(dc.c * r.ratio_fp) // SUM(dc.c) AS BIGINT) AS per_token_fp
+      |FROM dc JOIN ratio r USING (w)
+      |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
 }

@@ -331,4 +331,71 @@ object TimeSeries {
       |FROM daily JOIN st USING (event_type)
       |WHERE (n - mean) * (n - mean) > 4.0 * sd * sd
       |ORDER BY event_type, day""".stripMargin
+
+  /** Classical additive seasonal decomposition (the moving-average
+    * method, Makridakis/Wheelwright/Hyndman's "classical decomposition";
+    * STL's loess refinement swaps the smoothers, not the dataflow) of
+    * each type's daily value series into trend + weekly seasonal +
+    * remainder:
+    *
+    *   - trend: centered 7-day moving average (partial at the series
+    *     edges — both engines share the ROWS frame, so edge semantics
+    *     agree),
+    *   - seasonal: per day-of-week mean of the detrended series
+    *     (dow = epoch-day mod 7, engine-neutral — Spark and DuckDB
+    *     disagree on `dayofweek` numbering),
+    *   - remainder: what's left.
+    *
+    * Determinism: window + seasonal sums accumulate in DECIMAL (exact,
+    * order-independent); each division is a single IEEE-correctly-rounded
+    * double op; every emitted component is round(x, 6). Scale posture:
+    * one exchange on event_type carries the window pass; the seasonal
+    * table is (types × 7)-sized — broadcast back; nothing touches the
+    * driver. */
+  def stlDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(dsum(col("value")).as("v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val tr = daily
+      .withColumn("trend", round(
+        sum(col("v").cast("decimal(18,6)")).over(w).cast("double") /
+          count(lit(1)).over(w), 6))
+      .withColumn("det", round(col("v") - col("trend"), 6))
+      .withColumn("dow", pmod(datediff(col("day"),
+        to_date(lit("1970-01-01"))), lit(7)))
+    val seasonal = tr.groupBy(col("event_type"), col("dow"))
+      .agg(round(sum(col("det").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)), 6).as("seasonal"))
+    tr.join(broadcast(seasonal), Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("v"), col("trend"),
+        col("seasonal"),
+        round(col("det") - col("seasonal"), 6).as("remainder"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val stlDecomposeSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2),
+      |tr AS (
+      |  SELECT event_type, day, v,
+      |    round(CAST(SUM(CAST(v AS DECIMAL(18,6))) OVER w AS DOUBLE)
+      |          / COUNT(*) OVER w, 6) AS trend,
+      |    date_diff('day', DATE '1970-01-01', day) % 7 AS dow
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |de AS (SELECT *, round(v - trend, 6) AS det FROM tr),
+      |seas AS (
+      |  SELECT event_type, dow,
+      |    round(CAST(SUM(CAST(det AS DECIMAL(18,6))) AS DOUBLE)
+      |          / COUNT(*), 6) AS seasonal
+      |  FROM de GROUP BY 1, 2)
+      |SELECT d.event_type, d.day, d.v, d.trend, s.seasonal,
+      |  round(d.det - s.seasonal, 6) AS remainder
+      |FROM de d JOIN seas s USING (event_type, dow)
+      |ORDER BY d.event_type, d.day""".stripMargin
 }

@@ -16,6 +16,23 @@ import org.apache.spark.sql.functions._
   */
 object StreamingOps {
 
+  /** Schema-aware event-time normalizer for STREAMING reads — the
+    * readStream counterpart of [[graft.Tables.events]]'s dual-encoding
+    * branch (testdata has shipped `ts` as both INT64-nanos and
+    * TIMESTAMP(MICROS)). Watermarks need an instant TIMESTAMP, so both
+    * branches land there: nanos-long → integer `div 1000` rebuild;
+    * NTZ-micros → plain cast (UTC session ⇒ identical wall-clock). The
+    * branch is decided once at plan-build time from the locked source
+    * schema, exactly like the batch loader. */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
   /** Tumbling 1-day event-time window aggregation (batch shape). */
   def tumblingDaily(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -133,10 +150,9 @@ object StreamingOps {
     // Watermarks require TIMESTAMP (instant) event time; with a UTC session
     // the wall-clock matches the NTZ batch twin, and the output window start
     // is cast back to NTZ for comparability.
-    spark.readStream
+    normalizeTs(spark.readStream
       .schema(schema)
-      .parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .parquet(eventsDir))
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
@@ -183,10 +199,9 @@ object StreamingOps {
   def streamingPriorEventsJoin(spark: SparkSession, eventsDir: String): DataFrame =
     Tables.withNanosAsLong(spark) {
     val schema = spark.read.parquet(eventsDir).schema
-    def src() = spark.readStream
+    def src() = normalizeTs(spark.readStream
       .schema(schema)
-      .parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .parquet(eventsDir))
     val errors = src()
       .filter(col("event_type") === "error")
       .select(col("user_id").as("a_user"), col("event_id").as("a_event"),
@@ -215,10 +230,9 @@ object StreamingOps {
   def streamingOhlcBars(spark: SparkSession, eventsDir: String): DataFrame =
     Tables.withNanosAsLong(spark) {
     val schema = spark.read.parquet(eventsDir).schema
-    spark.readStream
+    normalizeTs(spark.readStream
       .schema(schema)
-      .parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .parquet(eventsDir))
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
       .agg(
@@ -240,10 +254,9 @@ object StreamingOps {
   def streamingDedup(spark: SparkSession, eventsDir: String): DataFrame =
     Tables.withNanosAsLong(spark) {
     val schema = spark.read.parquet(eventsDir).schema
-    spark.readStream
+    normalizeTs(spark.readStream
       .schema(schema)
-      .parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .parquet(eventsDir))
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"), col("event_id"),

@@ -179,8 +179,17 @@ class StreamingSpec extends AnyFunSuite {
     val ckpt = java.nio.file.Files.createTempDirectory("events_restart_ckpt")
     try {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$dir/events.parquet") // ts: long nanos
-      val Array(lo, hi) = raw.agg(min(col("ts")), max(col("ts"))).head()
+      // encoding-agnostic event-time split: ts has shipped as both
+      // INT64-nanos (read as long under the conf above) and
+      // TIMESTAMP(MICROS) across testdata generations — reduce either to
+      // a monotone long for the midpoint cut, but WRITE the original
+      // column so the staged arrival files keep the source encoding
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      val tsLong = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => col("ts")
+        case _ => unix_micros(col("ts").cast("timestamp"))
+      }
+      val Array(lo, hi) = raw.agg(min(tsLong), max(tsLong)).head()
         .toSeq.map(_.asInstanceOf[Long]).toArray
       val mid = lo + (hi - lo) / 2
 
@@ -199,14 +208,14 @@ class StreamingSpec extends AnyFunSuite {
         .select(col("day_start"), col("event_type"), col("n_events"))
 
       // arrival batch 1: first half of event time
-      raw.filter(col("ts") <= mid).coalesce(1)
+      raw.filter(tsLong <= mid).coalesce(1)
         .write.mode("append").parquet(streamDir.toString)
       runOnce()
       val afterFirst = sink().count()
       assert(afterFirst > 0, "first run must close at least one window")
 
       // arrival batch 2: the rest; restart from the same checkpoint
-      raw.filter(col("ts") > mid).coalesce(1)
+      raw.filter(tsLong > mid).coalesce(1)
         .write.mode("append").parquet(streamDir.toString)
       runOnce()
       val afterSecond = sink().count()
@@ -253,8 +262,15 @@ class StreamingSpec extends AnyFunSuite {
     val savedNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     try {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = spark.read.parquet(s"$dir/events.parquet") // ts: long nanos
-        .select(col("user_id"), col("ts"))
+      // normalize ts to a LONG up front (nanos pass through; micros via
+      // unix_micros) — this stream is read back with raw.schema by the
+      // test's own readStream, so a long column round-trips cleanly and
+      // the Long.MinValue sentinel below stays type-correct
+      val raw0 = spark.read.parquet(s"$dir/events.parquet")
+      val raw = (raw0.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => raw0
+        case _ => raw0.withColumn("ts", unix_micros(col("ts").cast("timestamp")))
+      }).select(col("user_id"), col("ts"))
       // three arrival chunks, one file each → 3 micro-batches at
       // maxFilesPerTrigger=1
       val Array(lo, hi) = raw.agg(min(col("ts")), max(col("ts"))).head()
