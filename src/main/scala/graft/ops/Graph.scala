@@ -526,7 +526,10 @@ object Graph {
     * checkpoint cadence needed (contrast the convergence-driven peel in
     * [[kcorePeel]]). Output is node → final label plus the community
     * size census, node-sized. */
-  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
+  /** The LPA fixed rounds proper: (node, lbl) after [[LpaRounds]]
+    * synchronous plurality votes. Shared by [[labelPropagation]] (the
+    * census query) and [[modularity]] (which scores the partition). */
+  private def lpaLabels(spark: SparkSession, dir: String): DataFrame = {
     val edges = cooccurrenceEdges(spark, dir)
     val nbrs = edges.select(col("a").as("node"), col("b").as("nbr"))
       .union(edges.select(col("b").as("node"), col("a").as("nbr")))
@@ -544,18 +547,22 @@ object Graph {
         .filter(col("rn") === 1)
         .select(col("node"), col("lbl"))
     }
-    val sizeW = Window.partitionBy(col("lbl"))
     labels
+  }
+
+  def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val sizeW = Window.partitionBy(col("lbl"))
+    lpaLabels(spark, dir)
       .withColumn("community_size", count(lit(1)).over(sizeW))
       .select(col("node"), col("lbl").as("community"),
         col("community_size"))
       .orderBy(col("node"))
   }
 
-  /** Oracle twin: the shared co-occurrence edge CTEs, then [[LpaRounds]]
-    * unrolled plurality-vote rounds — the same count + window-rank
-    * program in plain SQL. */
-  val labelPropagationSql: String = {
+  /** The LPA program as a CTE prefix (shared co-occurrence edges +
+    * [[LpaRounds]] unrolled plurality-vote rounds, final labels in `l3`)
+    * — shared by the labelPropagation and modularity twins. */
+  private val lpaCtesSql: String = {
     def step(prev: String): String =
       s"""  SELECT node, lbl FROM (
          |    SELECT n.node, l.lbl,
@@ -564,13 +571,13 @@ object Graph {
          |    FROM nbrs n JOIN $prev l ON l.node = n.nbr
          |    GROUP BY n.node, l.lbl)
          |  WHERE rn = 1""".stripMargin
-    s"""WITH occ AS (
+    s"""occ AS (
       |  SELECT DISTINCT event_type, date_trunc('hour', ts) AS hb, user_id
       |  FROM events),
       |ok AS (
       |  SELECT event_type, hb FROM occ
       |  GROUP BY event_type, hb HAVING COUNT(*) <= $MaxBucketUsers),
-      |edges AS (
+      |edges AS MATERIALIZED (
       |  SELECT x.user_id AS a, y.user_id AS b
       |  FROM occ x JOIN ok USING (event_type, hb)
       |  JOIN occ y USING (event_type, hb)
@@ -584,10 +591,77 @@ object Graph {
       |${step("l0")}),
       |l2 AS (
       |${step("l1")}),
-      |l3 AS (
-      |${step("l2")})
+      |l3 AS MATERIALIZED (
+      |${step("l2")})""".stripMargin
+  }
+
+  /** Oracle twin: the shared LPA CTE prefix + the size census. */
+  val labelPropagationSql: String =
+    s"""WITH $lpaCtesSql
       |SELECT node, lbl AS community,
       |  CAST(COUNT(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size
       |FROM l3 ORDER BY node""".stripMargin
+
+  /** Newman modularity (Newman/Girvan 2004) of the LPA partition — the
+    * quality score that makes a community detector auditable: per
+    * community c, contribution e_c/m − (d_c/2m)², where e_c =
+    * intra-community edges, d_c = total degree, m = |edges|; Q is the
+    * sum. Emitted per community (size, e_c, d_c, contribution) so the
+    * partition's quality profile — not just the scalar — is the
+    * artifact.
+    *
+    * Determinism: e_c, d_c, m are exact integers; each contribution is
+    * three IEEE-correctly-rounded double ops (two divides, one multiply,
+    * one subtract) in identical operand order in both engines, then
+    * round(·, 9). Scale posture: the label table is node-sized →
+    * broadcast into the two edge-endpoint joins (edges never
+    * re-shuffle); everything else is key-grouped aggregation; m arrives
+    * as a 1-row broadcast cross join, never a driver collect. */
+  def modularity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = cooccurrenceEdges(spark, dir)
+    val labels = lpaLabels(spark, dir)
+    val m = edges.agg(count(lit(1)).as("m"))
+    val deg = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val la = labels.select(col("node").as("a"), col("lbl").as("la"))
+    val lb = labels.select(col("node").as("b"), col("lbl").as("lb"))
+    val intra = edges.join(broadcast(la), "a").join(broadcast(lb), "b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("e_intra"))
+    val degsum = deg.join(broadcast(labels), "node")
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).cast("long").as("deg_sum"))
+    val t = col("deg_sum").cast("double") / (col("m") * lit(2L)).cast("double")
+    degsum.join(intra, Seq("lbl"), "left")
+      .na.fill(0L, Seq("e_intra"))
+      .crossJoin(broadcast(m))
+      .select(col("lbl").as("community"), col("n_nodes"),
+        col("e_intra"), col("deg_sum"),
+        round(col("e_intra").cast("double") / col("m").cast("double") - t * t,
+          9).as("contribution"))
+      .orderBy(col("community"))
   }
+
+  /** Oracle twin: LPA CTEs + the same exact-integer census and
+    * identically-ordered double arithmetic. */
+  val modularitySql: String =
+    s"""WITH $lpaCtesSql,
+      |m AS (SELECT COUNT(*) AS m FROM edges),
+      |deg AS (SELECT node, COUNT(*) AS deg FROM nbrs GROUP BY node),
+      |intra AS (
+      |  SELECT la.lbl, COUNT(*) AS e_intra
+      |  FROM edges e JOIN l3 la ON la.node = e.a JOIN l3 lb ON lb.node = e.b
+      |  WHERE la.lbl = lb.lbl GROUP BY la.lbl),
+      |ds AS (
+      |  SELECT lbl, COUNT(*) AS n_nodes, CAST(SUM(deg) AS BIGINT) AS deg_sum
+      |  FROM l3 JOIN deg USING (node) GROUP BY lbl)
+      |SELECT ds.lbl AS community, ds.n_nodes,
+      |  CAST(COALESCE(i.e_intra, 0) AS BIGINT) AS e_intra, ds.deg_sum,
+      |  round(CAST(COALESCE(i.e_intra, 0) AS DOUBLE) / CAST(m.m AS DOUBLE)
+      |    - (CAST(ds.deg_sum AS DOUBLE) / CAST(2 * m.m AS DOUBLE))
+      |      * (CAST(ds.deg_sum AS DOUBLE) / CAST(2 * m.m AS DOUBLE)), 9)
+      |    AS contribution
+      |FROM ds LEFT JOIN intra i ON i.lbl = ds.lbl, m
+      |ORDER BY community""".stripMargin
 }

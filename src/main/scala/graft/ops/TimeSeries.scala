@@ -398,4 +398,88 @@ object TimeSeries {
       |  round(d.det - s.seasonal, 6) AS remainder
       |FROM de d JOIN seas s USING (event_type, dow)
       |ORDER BY d.event_type, d.day""".stripMargin
+
+  // Lag range for the cross-correlation sweep (0..MaxXcorrLag days).
+  private val MaxXcorrLag = 7
+
+  /** Lagged Pearson cross-correlation between every ordered pair of
+    * event-type daily series (lag 0..[[MaxXcorrLag]] days): r(a,b,L) =
+    * corr(a_t, b_{t−L}) — "does b lead a by L days?" — the lead/lag
+    * screening matrix behind any causal/forecasting hypothesis on event
+    * streams. Ordered pairs include a==b, so the autocorrelation
+    * function comes out of the same pass.
+    *
+    * Determinism: all five moments (Σx, Σy, Σx², Σy², Σxy) accumulate in
+    * exact DECIMAL over the joined overlap window — order-independent —
+    * and the Pearson assembly is IEEE-correctly-rounded double ops in
+    * identical operand order, then round(·, 6); degenerate (constant)
+    * windows emit NULL in both engines. Scale posture: the daily table
+    * is (types × days)-sized — tiny relative to raw events — so the
+    * lag-shifted self-join and the moment aggregate ride one exchange;
+    * the per-pair×lag output is (types² × lags). The raw table is
+    * scanned ONCE for the daily rollup. */
+  def crossCorrelation(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(sum(col("value").cast("decimal(18,4)")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lags = spark.range(0, MaxXcorrLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    val x = daily.select(col("event_type").as("a_type"),
+      col("day"), col("v").as("vx"))
+      .crossJoin(broadcast(lags))
+    val j = x.join(
+      daily.select(col("event_type").as("b_type"),
+        col("day").as("bday"), col("v").as("vy")),
+      date_sub(col("day"), col("lag")) === col("bday"))
+    val mom = j.groupBy(col("a_type"), col("b_type"), col("lag"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("vx")).as("sx"), sum(col("vy")).as("sy"),
+        sum(col("vx") * col("vx")).as("sxx"),
+        sum(col("vy") * col("vy")).as("syy"),
+        sum(col("vx") * col("vy")).as("sxy"))
+    val nD = col("n_days").cast("double")
+    val num = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val dx = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val dy = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    mom.select(col("a_type"), col("b_type"), col("lag"), col("n_days"),
+        when(dx > 0.0 && dy > 0.0, round(num / sqrt(dx * dy), 6))
+          .as("xcorr"))
+      .orderBy(col("a_type"), col("b_type"), col("lag"))
+  }
+
+  /** Oracle twin: same daily rollup, lag-shifted join (DATE − INTEGER),
+    * exact decimal moments, and identically-ordered Pearson assembly. */
+  val crossCorrelationSql: String =
+    s"""WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    SUM(CAST(value AS DECIMAL(18,4))) AS v
+      |  FROM events GROUP BY 1, 2),
+      |lags AS (SELECT CAST(unnest(range(0, ${MaxXcorrLag + 1})) AS INTEGER) AS lag),
+      |j AS (
+      |  SELECT a.event_type AS a_type, b.event_type AS b_type, l.lag,
+      |    a.v AS vx, b.v AS vy
+      |  FROM daily a CROSS JOIN lags l
+      |  JOIN daily b ON b.day = a.day - l.lag),
+      |mom AS (
+      |  SELECT a_type, b_type, lag, COUNT(*) AS n_days,
+      |    SUM(vx) AS sx, SUM(vy) AS sy,
+      |    SUM(vx * vx) AS sxx, SUM(vy * vy) AS syy, SUM(vx * vy) AS sxy
+      |  FROM j GROUP BY 1, 2, 3)
+      |SELECT a_type, b_type, lag, n_days,
+      |  CASE WHEN CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+      |        AND CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+      |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+      |  THEN round((CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |       / sqrt((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |         * (CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE)
+      |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+      |  END AS xcorr
+      |FROM mom ORDER BY a_type, b_type, lag""".stripMargin
 }

@@ -42,10 +42,13 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_knn_graph_clusters", // 8-row hyperplane matrix broadcast (LSH sig pass)
     "dedup_banding_recall_eval", // 1-row recall x 1-row cost scalar crossJoins
     "agg_hll_intersection", // 1-row sketch x 1-row sketch per pair
-    "text_bpe_apply") // 3 merge rounds, each a 1-row winning-pair broadcast
+    "text_bpe_apply", // 3 merge rounds, each a 1-row winning-pair broadcast
     // (bpe_pairs' identical crossJoins never reach its final plan: its
     // pair censuses are eagerly checkpointed, so the merges execute at
     // construction time)
+    "pipe_dsir_weights", // 1-row vocab-total scalar riding a crossJoin
+    "graph_modularity", // 1-row edge-count scalar riding a crossJoin
+    "ts_cross_correlation") // 8-row literal lag table broadcast
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plans no unintended cartesian or nested-loop join") {
