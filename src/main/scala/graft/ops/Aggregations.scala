@@ -493,4 +493,56 @@ object Aggregations {
     s"""$pairSel
       |ORDER BY type_a""".stripMargin
   }
+
+  /** EXACT distributed distinct counting via bitmap aggregation — the
+    * roaring-bitmap/warehouse pattern (bitmap-typed distinct rollups in
+    * Doris/ClickHouse/Kylin): each id sets one bit in a 64-bit word
+    * keyed by `id div 32` (32-bit words inside BIGINT lanes: DuckDB's checked shift rejects 1<<63, and half-full lanes keep the algebra identical), words merge with an idempotent, commutative,
+    * map-side-combinable `bit_or`, and the distinct count is the popcount
+    * sum. Unlike COUNT(DISTINCT) there is NO expand/dedup pass — repeated
+    * ids fold into the same bit on the map side — and unlike HLL the
+    * answer is exact AND re-aggregable (the word table is a reusable
+    * bitmap index: union = bit_or, intersection = bit_and of word
+    * tables). Emitted beside the built-in exact count with a match flag,
+    * so the driver compare proves the bitmap identity, not just shape.
+    *
+    * Scale posture: one exchange on (group, word) whose cardinality is
+    * group × ⌈id-domain/32⌉ — 32× smaller than the distinct pair set,
+    * dense-domain-friendly; for sparse 64-bit id spaces the same
+    * dataflow carries compressed bitmap payloads (roaring) instead of
+    * single words — the aggregation algebra is identical. */
+  def bitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val words = e.select(col("event_type"),
+      expr("user_id div 32").as("w"),
+      expr("shiftleft(cast(1 as bigint), cast(user_id % 32 as int))").as("b"))
+    val bm = words.groupBy(col("event_type"), col("w"))
+      .agg(expr("bit_or(b)").as("bm"))
+    val viaBitmap = bm.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(expr("bit_count(bm)")).cast("long").as("n_distinct"))
+    val exact = e.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    viaBitmap.join(exact, "event_type")
+      .select(col("event_type"), col("n_words"), col("n_distinct"),
+        col("n_exact"), (col("n_distinct") === col("n_exact")).as("exact_match"))
+      .orderBy(col("event_type"))
+  }
+
+  val bitmapDistinctSql: String =
+    """WITH w AS (
+      |  SELECT event_type, user_id // 32 AS w,
+      |    (CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER)) AS b
+      |  FROM events),
+      |bm AS (SELECT event_type, w, bit_or(b) AS bm FROM w GROUP BY 1, 2),
+      |v AS (
+      |  SELECT event_type, COUNT(*) AS n_words,
+      |    CAST(SUM(bit_count(bm)) AS BIGINT) AS n_distinct
+      |  FROM bm GROUP BY 1),
+      |x AS (
+      |  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+      |  FROM events GROUP BY 1)
+      |SELECT v.event_type, v.n_words, v.n_distinct, x.n_exact,
+      |  v.n_distinct = x.n_exact AS exact_match
+      |FROM v JOIN x USING (event_type) ORDER BY event_type""".stripMargin
 }

@@ -482,4 +482,68 @@ object TimeSeries {
       |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
       |  END AS xcorr
       |FROM mom ORDER BY a_type, b_type, lag""".stripMargin
+
+  /** CUSUM changepoint detection (Page 1954; the argmax-|S| split is the
+    * first step of binary segmentation, Scott/Knott 1974) on each type's
+    * daily series: S_t = Σ_{i≤t}(v_i − mean), and the candidate
+    * changepoint is the day maximizing |S_t| — where the running
+    * deviation mass peaks before reverting. Emitted per type with the
+    * peak CUSUM value and the series mean, ties broken to the earliest
+    * day.
+    *
+    * Determinism: deviations are rounded doubles cast to DECIMAL(18,6),
+    * so the running prefix sum is EXACT and order-independent (a double
+    * running sum would be accumulation-order-sensitive inside the
+    * window); the argmax is a deterministic (|S| desc, day asc) rank.
+    * Scale posture: one exchange on event_type carries the running-sum
+    * window AND the rank window (same partition key); the mean is a
+    * per-type aggregate broadcast back — the raw table is scanned once
+    * for the daily rollup. */
+  def changepointCusum(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(sum(col("value").cast("decimal(18,4)")).as("v"))
+    val means = daily.groupBy(col("event_type"))
+      .agg(round(sum(col("v")).cast("double") / count(lit(1)), 6).as("mean"),
+        count(lit(1)).as("n_days"))
+    val runW = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rankW = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("s")).desc, col("day").asc)
+    daily.join(broadcast(means), "event_type")
+      .withColumn("dev",
+        round(col("v").cast("double") - col("mean"), 6).cast("decimal(18,6)"))
+      .withColumn("s", sum(col("dev")).over(runW))
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("cp_day"),
+        col("s").cast("double").as("cusum_peak"), col("mean"), col("n_days"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Oracle twin: same rounded-deviation decimal prefix sum and
+    * deterministic argmax rank in SQL. */
+  val changepointCusumSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    SUM(CAST(value AS DECIMAL(18,4))) AS v
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type,
+      |    round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean,
+      |    COUNT(*) AS n_days
+      |  FROM daily GROUP BY 1),
+      |s AS (
+      |  SELECT d.event_type, d.day, m.mean, m.n_days,
+      |    SUM(CAST(round(CAST(d.v AS DOUBLE) - m.mean, 6) AS DECIMAL(18,6)))
+      |      OVER (PARTITION BY d.event_type ORDER BY d.day
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      |  FROM daily d JOIN m USING (event_type)),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+      |    ORDER BY abs(s) DESC, day ASC) AS rn
+      |  FROM s)
+      |SELECT event_type, day AS cp_day, CAST(s AS DOUBLE) AS cusum_peak,
+      |  mean, CAST(n_days AS BIGINT) AS n_days
+      |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
 }
