@@ -207,4 +207,78 @@ object Lakehouse {
       .withColumn("z", morton2(col("p"), col("s")))
     zed.repartitionByRange(nFiles, col("z")).sortWithinPartitions(col("z"))
   }
+
+  /** CDC log apply (the Debezium/Delta CDF consumption pattern): compact
+    * an insert/update/delete change log to its final snapshot by per-key
+    * LAST-WRITER-WINS — keep each key's highest-version row, drop the
+    * key if that row is a delete — then census the survivors. The log is
+    * built deterministically from orders (every key inserts at v1, every
+    * 3rd key updates at v2 with +10.0 — one exactly-rounded double add —
+    * every 10th key deletes at v3), so both engines derive the identical
+    * log without a CDC source. Emitted as the per-status census of the
+    * applied snapshot plus the op counts processed, so the driver
+    * compare pins both the compaction and the routing.
+    *
+    * Scale posture: the compaction is ONE exchange on the key (window
+    * max-version rank — the same shape a streaming foreachBatch
+    * compactor runs per micro-batch over much smaller deltas); the log
+    * build is three narrow projections unioned, no join. At warehouse
+    * scale this is exactly Delta/Iceberg MERGE-from-CDF: key-partitioned,
+    * no driver state. */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val ins = o.select(col("o_orderkey"), lit(1L).as("version"),
+      lit("I").as("op"), col("o_orderstatus"), col("o_totalprice"))
+    val upd = o.filter(pmod(col("o_orderkey"), lit(3L)) === 0)
+      .select(col("o_orderkey"), lit(2L).as("version"), lit("U").as("op"),
+        col("o_orderstatus"), (col("o_totalprice") + lit(10.0)).as("o_totalprice"))
+    val del = o.filter(pmod(col("o_orderkey"), lit(10L)) === 0)
+      .select(col("o_orderkey"), lit(3L).as("version"), lit("D").as("op"),
+        col("o_orderstatus"), col("o_totalprice"))
+    val log = ins.union(upd).union(del)
+    val w = Window.partitionBy(col("o_orderkey"))
+      .orderBy(col("version").desc)
+    val last = log.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val live = last.filter(col("op") =!= "D")
+    val census = live.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_live"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_updated"))
+    val opCounts = log.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_log_rows"))
+    census.join(opCounts, "o_orderstatus")
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Oracle twin: identical synthetic log (UNION ALL), last-writer-wins
+    * window, delete drop, and census. */
+  val cdcApplySql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      |log AS (
+      |  SELECT o_orderkey, CAST(1 AS BIGINT) AS version, 'I' AS op,
+      |    o_orderstatus, o_totalprice FROM base
+      |  UNION ALL
+      |  SELECT o_orderkey, CAST(2 AS BIGINT), 'U', o_orderstatus,
+      |    o_totalprice + 10.0 FROM base WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, CAST(3 AS BIGINT), 'D', o_orderstatus,
+      |    o_totalprice FROM base WHERE o_orderkey % 10 = 0),
+      |last AS (
+      |  SELECT * FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+      |      ORDER BY version DESC) AS rn
+      |    FROM log) WHERE rn = 1),
+      |census AS (
+      |  SELECT o_orderstatus, COUNT(*) AS n_live,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+      |    CAST(SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
+      |  FROM last WHERE op <> 'D' GROUP BY 1),
+      |oc AS (
+      |  SELECT o_orderstatus, COUNT(*) AS n_log_rows FROM log GROUP BY 1)
+      |SELECT c.o_orderstatus, c.n_live, c.sum_price, c.n_updated, o.n_log_rows
+      |FROM census c JOIN oc o USING (o_orderstatus)
+      |ORDER BY o_orderstatus""".stripMargin
 }
