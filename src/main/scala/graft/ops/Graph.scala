@@ -535,17 +535,23 @@ object Graph {
       .union(edges.select(col("b").as("node"), col("a").as("nbr")))
       .repartition(col("nbr"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rankW = Window.partitionBy(col("node"))
-      .orderBy(col("cnt").desc, col("lbl").asc)
     var labels = nbrs.select(col("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     for (_ <- 1 to LpaRounds) {
+      // plurality vote as a TWO-LEVEL AGGREGATE, not a window rank: the
+      // winner is max(struct(cnt, -lbl)) — highest count, then lowest
+      // label — which the per-node aggregate computes with map-side
+      // partials and NO sort (a row_number window would add a full sort
+      // of the (node, lbl) census every round; same exchanges, one
+      // fewer O(n log n) pass ×3 rounds). The DuckDB twin keeps the
+      // window-rank formulation — an independent derivation of the same
+      // argmax that the driver hash-compare cross-validates.
       labels = nbrs
         .join(labels.withColumnRenamed("node", "nbr"), "nbr")
         .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(rankW))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("lbl"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("w"))
+        .select(col("node"), (-col("w.nl")).as("lbl"))
     }
     labels
   }
