@@ -670,4 +670,75 @@ object Graph {
       |    AS contribution
       |FROM ds LEFT JOIN intra i ON i.lbl = ds.lbl, m
       |ORDER BY community""".stripMargin
+
+  /** Degree assortativity (Newman 2002, "Assortative mixing in
+    * networks"): the Pearson correlation of endpoint degrees over the
+    * symmetrized edge list — positive r means hubs attach to hubs
+    * (social-graph signature), negative means hub-to-leaf
+    * (technological). One scalar, but THE shape diagnostic for every
+    * degree-dependent operator here (the hub caps in linkPrediction and
+    * the degree orientation in triangleCount are exactly bets about this
+    * number's sign).
+    *
+    * Determinism: over the symmetrized list Σx = Σy and Σx² = Σy², so
+    * the whole statistic reduces to three integer moments (Σx, Σx²,
+    * Σxy) accumulated EXACTLY — Σx² in DECIMAL(38,0), the long·long
+    * wrap guard from [[graft.ops]]'s overflow rules — and one
+    * identically-ordered double assembly, round(·, 6). Scale posture:
+    * degree table joined to both edge endpoints (node-sized →
+    * broadcast), one global aggregate; edges scanned once. */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = cooccurrenceEdges(spark, dir)
+    val und = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+    val deg = und.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+    val da = deg.select(col("a"), col("deg").as("dx"))
+    val db = deg.select(col("a").as("b"), col("deg").as("dy"))
+    val mom = und.join(broadcast(da), "a").join(broadcast(db), "b")
+      .agg(count(lit(1)).as("m2"),
+        sum(col("dx").cast("decimal(19,0)")).as("sx"),
+        sum(col("dx").cast("decimal(19,0)") * col("dx")).as("sxx"),
+        sum(col("dx").cast("decimal(19,0)") * col("dy")).as("sxy"))
+    val n = col("m2").cast("double")
+    val num = n * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val den = n * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    mom.select(expr("m2 div 2").cast("long").as("n_edges"),
+      when(den > 0.0, round(num / den, 6)).as("assortativity"))
+  }
+
+  /** Oracle twin: same symmetrized moments (HUGEINT sums cast through
+    * DECIMAL semantics match Spark's decimal accumulators) and assembly. */
+  val assortativitySql: String =
+    s"""WITH occ AS (
+      |  SELECT DISTINCT event_type, date_trunc('hour', ts) AS hb, user_id
+      |  FROM events),
+      |ok AS (
+      |  SELECT event_type, hb FROM occ
+      |  GROUP BY event_type, hb HAVING COUNT(*) <= $MaxBucketUsers),
+      |edges AS (
+      |  SELECT x.user_id AS a, y.user_id AS b
+      |  FROM occ x JOIN ok USING (event_type, hb)
+      |  JOIN occ y USING (event_type, hb)
+      |  WHERE x.user_id < y.user_id
+      |  GROUP BY x.user_id, y.user_id HAVING COUNT(*) >= $MinCooccur),
+      |und AS MATERIALIZED (
+      |  SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+      |deg AS (SELECT a, COUNT(*) AS deg FROM und GROUP BY a),
+      |mom AS (
+      |  SELECT COUNT(*) AS m2,
+      |    SUM(da.deg) AS sx,
+      |    SUM(da.deg * db.deg) AS sxy,
+      |    SUM(da.deg * da.deg) AS sxx
+      |  FROM und u JOIN deg da ON da.a = u.a JOIN deg db ON db.a = u.b)
+      |SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+      |  CASE WHEN CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+      |  THEN round((CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |       / (CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+      |  END AS assortativity
+      |FROM mom""".stripMargin
 }

@@ -766,4 +766,60 @@ object Pipeline {
       |  CAST(SUM(dc.c * r.ratio_fp) // SUM(dc.c) AS BIGINT) AS per_token_fp
       |FROM dc JOIN ratio r USING (w)
       |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
+  /** Span-corruption manifest (T5-style denoising objective, Raffel et
+    * al. 2020 §3.1.4): per document, deterministically select corruption
+    * spans — a span starts at token position p when a (doc_id, p) hash
+    * clears a 1-in-20 gate, and runs 1–3 tokens — and emit the masking
+    * census (span count, masked-token count after overlap union, 10⁶
+    * fixed-point mask ratio). The downstream trainer consumes exactly
+    * such a manifest to build inputs/targets; hashing replaces the
+    * paper's RNG so every engine, run, and layout derives the same
+    * spans (the same derandomization as the sampling tiers).
+    *
+    * Scale posture: pure per-row array arithmetic inside the scan —
+    * sequence/filter/transform/flatten/distinct build the span union
+    * without exploding tokens into rows; no shuffle except the final
+    * ORDER BY. */
+  def spanCorruption(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    d.withColumn("starts", expr(
+        """filter(sequence(0, cast(n_tokens - 1 as int)),
+          |  p -> (doc_id * 37 + p * 101) % 1000003 % 20 = 0)""".stripMargin))
+      .withColumn("masked", expr(
+        """size(array_distinct(flatten(transform(starts,
+          |  p -> sequence(p, cast(least(p + (doc_id + p) % 3,
+          |                             n_tokens - 1) as int))))))""".stripMargin)
+        .cast("long"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        size(col("starts")).cast("long").as("n_spans"),
+        col("masked").as("n_masked"),
+        expr("n_masked * 1000000 div n_tokens").as("mask_ratio_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle twin: the same hash gate and span union with DuckDB list
+    * lambdas (`range` is end-exclusive where Spark's `sequence` is
+    * inclusive — hence the `+ 1`s). */
+  val spanCorruptionSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |    list_filter(range(0, n_tokens),
+      |      p -> (doc_id * 37 + p * 101) % 1000003 % 20 = 0) AS starts
+      |  FROM d)
+      |SELECT doc_id, lang, n_tokens,
+      |  CAST(len(starts) AS BIGINT) AS n_spans,
+      |  CAST(len(list_distinct(flatten(list_transform(starts,
+      |    p -> range(p, least(p + (doc_id + p) % 3, n_tokens - 1) + 1)))))
+      |    AS BIGINT) AS n_masked,
+      |  CAST(CAST(len(list_distinct(flatten(list_transform(starts,
+      |    p -> range(p, least(p + (doc_id + p) % 3, n_tokens - 1) + 1)))))
+      |    AS BIGINT) * 1000000 // n_tokens AS BIGINT) AS mask_ratio_fp
+      |FROM s ORDER BY doc_id""".stripMargin
 }

@@ -546,4 +546,62 @@ object TimeSeries {
       |SELECT event_type, day AS cp_day, CAST(s AS DOUBLE) AS cusum_peak,
       |  mean, CAST(n_days AS BIGINT) AS n_days
       |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
+
+  /** Median-absolute-deviation outlier census (Hampel's robust scale;
+    * the Leys et al. 2013 recommendation over z-scores) per daily
+    * series: med = median(v), MAD = median(|v − med|), outlier ⇔
+    * |v − med| > 3·MAD. The robust sibling of [[anomalyZscore]] — a
+    * single wild day shifts a mean/stddev but not a median/MAD, so this
+    * census stays stable exactly where the z-score one saturates.
+    *
+    * Determinism: both medians are `percentile(·, 0.5)` /
+    * `quantile_cont(·, 0.5)` rounded to 6 (the cross-engine-agreeing
+    * pair the percentile queries already pin); deviations are rounded
+    * before the second median; the 3·MAD compare is one exact multiply
+    * on identical doubles. Scale posture: two grouped percentile passes
+    * + a broadcast join back — the daily table is (types × days)-sized,
+    * raw events scanned once. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(dsum(col("value")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val med = daily.groupBy(col("event_type"))
+      .agg(expr("round(percentile(v, 0.5), 6)").as("med"),
+        count(lit(1)).as("n_days"))
+    val dev = daily.join(broadcast(med), "event_type")
+      .withColumn("dev", round(abs(col("v") - col("med")), 6))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("round(percentile(dev, 0.5), 6)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(first(col("med")).as("median_v"), first(col("mad")).as("mad"),
+        first(col("n_days")).as("n_days"),
+        sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  val madOutliersSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2),
+      |med AS (
+      |  SELECT event_type, round(quantile_cont(v, 0.5), 6) AS med,
+      |    COUNT(*) AS n_days
+      |  FROM daily GROUP BY 1),
+      |dev AS (
+      |  SELECT d.event_type, d.v, m.med, m.n_days,
+      |    round(abs(d.v - m.med), 6) AS dev
+      |  FROM daily d JOIN med m USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, round(quantile_cont(dev, 0.5), 6) AS mad
+      |  FROM dev GROUP BY 1)
+      |SELECT d.event_type, MIN(d.med) AS median_v, MIN(m.mad) AS mad,
+      |  CAST(MIN(d.n_days) AS BIGINT) AS n_days,
+      |  CAST(SUM(CASE WHEN d.dev > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers
+      |FROM dev d JOIN mad m USING (event_type)
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
 }
