@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Complex-event-processing (CEP) shapes: order-sensitive pattern matching
@@ -64,4 +65,42 @@ object Sequence {
       |    AS n_conversions,
       |  regexp_matches(seq, 'e[cvs]*p') AS error_then_purchase
       |FROM s ORDER BY user_id""".stripMargin
+
+  /** Top-k user journey paths (the product-analytics "path analysis"
+    * rollup): the 20 most common consecutive 3-event type sequences
+    * across all users, ties broken by path string. Two lead() windows
+    * on ONE (user_id)-keyed exchange build the sliding triple per event
+    * row — no self-joins, no per-user collect — then a
+    * map-side-combined count aggregate ranks paths. The same dataflow
+    * at any session length: a k-step path is k−1 leads on the same
+    * exchange.
+    *
+    * Scale posture: one exchange on user_id (window), one on the path
+    * key (aggregate, partial-combined), top-k via the final sort-limit
+    * — the canonical journey rollup at warehouse scale. */
+  def topPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
+  val topPathsSql: String =
+    """WITH t AS (
+      |  SELECT event_type,
+      |    lead(event_type, 1) OVER w AS t2,
+      |    lead(event_type, 2) OVER w AS t3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT event_type || '>' || t2 || '>' || t3 AS path, COUNT(*) AS n
+      |FROM t WHERE t3 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
 }

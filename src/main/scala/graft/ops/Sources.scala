@@ -230,4 +230,52 @@ object Sources {
       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM documents WHERE lang IN ('en', 'es')
       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** NESTED parquet round-trip: lineitem folded to one row per order
+    * with a sorted `items: array<struct<…>>` column, written and read
+    * back as nested parquet, then censused ENTIRELY off the nested
+    * read-back (per-row array size + an exact decimal array fold — the
+    * deterministic fold order is the sort_array order both engines never
+    * see, since only its order-independent decimal sum escapes). The
+    * oracle computes the same census from the FLAT table, so the
+    * hash-compare proves the nested write/read lossless. Nested columns
+    * are how real lakehouse schemas ship (orders-with-items,
+    * docs-with-chunks); `NestedSourceSpec` additionally pins that a
+    * subfield projection reaches the scan (ReadSchema prunes to the one
+    * struct field — the nested column-pruning that makes a 100 TB
+    * nested layout queryable at item granularity without reading whole
+    * structs). */
+  def nestedStructRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = tempDir("graft_nested_rt")
+    nestedWrite(spark, dir, out)
+    val back = spark.read.parquet(out)
+    back.select(size(col("items")).as("c"),
+        expr("""aggregate(items, cast(0 as decimal(18,4)),
+          |  (a, x) -> cast(a + cast(x.l_quantity as decimal(18,4)) as decimal(18,4)))""".stripMargin)
+          .as("qty"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("c")).cast("long").as("n_items"),
+        max(col("c")).as("max_items"),
+        sum(col("qty")).cast("double").as("sum_qty"))
+  }
+
+  /** The nested write, shared with `NestedSourceSpec`'s pruning probe. */
+  private[graft] def nestedWrite(
+      spark: SparkSession, dir: String, out: String): Unit =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(struct(col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice")))).as("items"))
+      .write.mode("overwrite").parquet(out)
+
+  /** Oracle twin: the identical census from the FLAT lineitem. */
+  val nestedStructRoundtripSql: String =
+    """WITH g AS (
+      |  SELECT l_orderkey, COUNT(*) AS c,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+      |  FROM lineitem GROUP BY 1)
+      |SELECT COUNT(*) AS n_orders, CAST(SUM(c) AS BIGINT) AS n_items,
+      |  CAST(MAX(c) AS INTEGER) AS max_items,
+      |  CAST(SUM(qty) AS DOUBLE) AS sum_qty
+      |FROM g""".stripMargin
 }
