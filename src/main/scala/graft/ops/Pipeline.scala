@@ -800,6 +800,54 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  // k-anonymity threshold: a quasi-identifier group smaller than this is
+  // a re-identification risk (Sweeney 2002's k).
+  private val KAnon = 5L
+
+  /** k-anonymity risk census (Sweeney 2002) over the release-shaped
+    * quasi-identifiers (lang, source, n_chars÷100 length bucket): group
+    * sizes, the at-risk flag (size < k), and — riding the same
+    * aggregate via window totals — the share of the corpus that would
+    * need suppression or generalization before release. The privacy
+    * audit every dataset release runs after [[graft.ops.TextAnalysis]]'s
+    * PII redaction: scrubbing direct identifiers does not stop a join
+    * attack on quasi-identifiers; this census quantifies that residual
+    * risk.
+    *
+    * Scale posture: one grouped count on the quasi-identifier key
+    * (map-side combined) + one unpartitioned window over the GROUP
+    * table (quasi-identifier-domain-sized, not corpus-sized — the same
+    * bounded-single-partition posture documented at Skyline's frontier
+    * window). */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"),
+        expr("n_chars div 100").as("len_bucket"))
+      .agg(count(lit(1)).as("n"))
+    val all = Window.partitionBy()
+    g.withColumn("at_risk", col("n") < KAnon)
+      .withColumn("risky_total",
+        sum(when(col("n") < KAnon, col("n")).otherwise(0L)).over(all))
+      .withColumn("total", sum(col("n")).over(all))
+      .select(col("lang"), col("source"), col("len_bucket"), col("n"),
+        col("at_risk"),
+        // integer div, not `/`: Column./ is always DOUBLE division
+        expr("risky_total * 1000000 div total").cast("long")
+          .as("risk_share_fp"))
+      .orderBy(col("lang"), col("source"), col("len_bucket"))
+  }
+
+  /** Oracle twin: same census; the corpus-wide shares come from window
+    * totals exactly as in the Spark plan. */
+  val kAnonymitySql: String =
+    s"""WITH g AS (
+      |  SELECT lang, source, n_chars // 100 AS len_bucket, COUNT(*) AS n
+      |  FROM documents GROUP BY 1, 2, 3)
+      |SELECT lang, source, len_bucket, n, n < $KAnon AS at_risk,
+      |  CAST(SUM(CASE WHEN n < $KAnon THEN n ELSE 0 END) OVER () * 1000000
+      |    // SUM(n) OVER () AS BIGINT) AS risk_share_fp
+      |FROM g ORDER BY lang, source, len_bucket""".stripMargin
+
   /** Oracle twin: the same hash gate and span union with DuckDB list
     * lambdas (`range` is end-exclusive where Spark's `sequence` is
     * inclusive — hence the `+ 1`s). */

@@ -719,4 +719,76 @@ object TextAnalysis {
       |  CAST(SUM(c * length(w)) * 1000000 // SUM(c * n_sub) AS BIGINT) AS sub_len_fp
       |FROM lw JOIN seg USING (w)
       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // Collocation min support: a pair must occur this often before its
+  // lift is meaningful (Manning/Schütze's sparse-count caveat).
+  private val MinPairCount = 5
+
+  /** Collocation extraction (Church/Hanks 1990 association-ratio /
+    * pointwise-mutual-information ranking, Manning & Schütze ch. 5): the
+    * top-20 adjacent word pairs whose joint frequency most exceeds
+    * independence. Ranked by the LIFT ratio p(xy)/(p(x)p(y)) in integer
+    * fixed point rather than its log (PMI = log lift; log is
+    * transcendental and can never cross-engine hash-match — the
+    * agg_gini_impurity rationale — and ranking by lift IS ranking by
+    * PMI, monotonically). All-double assembly with every operand cast
+    * before any multiply, floor to 10⁶ fixed point.
+    *
+    * Scale posture: one token explode feeds both the bigram and unigram
+    * censuses (shared-scan pattern of bigramLmScore); unigram counts
+    * join back by vocab-sized broadcast ×2; totals ride one 1-row
+    * broadcast cross join; top-k via final sort-limit. */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val bi = toks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t)-2), i -> struct(t[i] as w1, t[i+1] as w2))"))
+        .as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= MinPairCount)
+    val tot = uni.agg(sum(col("c")).cast("long").as("n_uni"))
+      .crossJoin(bi.agg(sum(col("c_xy")).cast("long").as("n_bi")))
+    bi.join(broadcast(uni.select(col("w").as("w1"), col("c").as("c_x"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c_y"))), "w2")
+      .crossJoin(broadcast(tot))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+        col("c_xy"), col("c_x"), col("c_y"),
+        expr("""cast(floor(1e6 * cast(c_xy as double) * cast(n_uni as double)
+          |  * cast(n_uni as double)
+          |  / (cast(n_bi as double) * cast(c_x as double) * cast(c_y as double)))
+          |  as bigint)""".stripMargin).as("lift_fp"))
+      .orderBy(col("lift_fp").desc, col("bigram"))
+      .limit(20)
+  }
+
+  /** Oracle twin: identical censuses and identically-ordered all-double
+    * lift assembly. */
+  val collocationsSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |uni AS (
+      |  SELECT unnest(t) AS w FROM toks),
+      |uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+      |bi AS (
+      |  SELECT unnest(list_transform(range(1, len(t)),
+      |    i -> {'w1': t[i], 'w2': t[i + 1]}), recursive := true)
+      |  FROM toks WHERE len(t) >= 2),
+      |bc AS (
+      |  SELECT w1, w2, COUNT(*) AS c_xy FROM bi GROUP BY w1, w2
+      |  HAVING COUNT(*) >= $MinPairCount),
+      |tot AS (
+      |  SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uc) AS n_uni,
+      |    (SELECT CAST(SUM(c_xy) AS BIGINT) FROM bc) AS n_bi)
+      |SELECT b.w1 || ' ' || b.w2 AS bigram, b.c_xy, x.c AS c_x, y.c AS c_y,
+      |  CAST(FLOOR(1e6 * CAST(b.c_xy AS DOUBLE) * CAST(t.n_uni AS DOUBLE)
+      |    * CAST(t.n_uni AS DOUBLE)
+      |    / (CAST(t.n_bi AS DOUBLE) * CAST(x.c AS DOUBLE) * CAST(y.c AS DOUBLE)))
+      |    AS BIGINT) AS lift_fp
+      |FROM bc b JOIN uc x ON x.w = b.w1 JOIN uc y ON y.w = b.w2, tot t
+      |ORDER BY lift_fp DESC, bigram LIMIT 20""".stripMargin
 }

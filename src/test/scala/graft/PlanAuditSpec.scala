@@ -48,7 +48,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // construction time)
     "pipe_dsir_weights", // 1-row vocab-total scalar riding a crossJoin
     "graph_modularity", // 1-row edge-count scalar riding a crossJoin
-    "ts_cross_correlation") // 8-row literal lag table broadcast
+    "ts_cross_correlation", // 8-row literal lag table broadcast
+    "text_collocations") // 1-row corpus-totals scalar riding a crossJoin
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name plans no unintended cartesian or nested-loop join") {
