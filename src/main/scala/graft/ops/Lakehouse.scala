@@ -225,7 +225,9 @@ object Lakehouse {
     * build is three narrow projections unioned, no join. At warehouse
     * scale this is exactly Delta/Iceberg MERGE-from-CDF: key-partitioned,
     * no driver state. */
-  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+  /** The deterministic synthetic I/U/D log (shared with
+    * `StreamingSpec`'s foreachBatch CDC-compaction lifecycle). */
+  private[graft] def cdcLog(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
     val ins = o.select(col("o_orderkey"), lit(1L).as("version"),
@@ -236,19 +238,28 @@ object Lakehouse {
     val del = o.filter(pmod(col("o_orderkey"), lit(10L)) === 0)
       .select(col("o_orderkey"), lit(3L).as("version"), lit("D").as("op"),
         col("o_orderstatus"), col("o_totalprice"))
-    val log = ins.union(upd).union(del)
+    ins.union(upd).union(del)
+  }
+
+  /** The applied-snapshot census over a compacted (one-row-per-key,
+    * deletes included) snapshot — shared with the streaming spec so the
+    * batch and foreachBatch compactors are censused identically. */
+  private[graft] def cdcCensus(last: DataFrame): DataFrame =
+    last.filter(col("op") =!= "D")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_live"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_updated"))
+
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val log = cdcLog(spark, dir)
     val w = Window.partitionBy(col("o_orderkey"))
       .orderBy(col("version").desc)
     val last = log.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-    val live = last.filter(col("op") =!= "D")
-    val census = live.groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n_live"),
-        dsum(col("o_totalprice")).as("sum_price"),
-        sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_updated"))
     val opCounts = log.groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_log_rows"))
-    census.join(opCounts, "o_orderstatus")
+    cdcCensus(last).join(opCounts, "o_orderstatus")
       .orderBy(col("o_orderstatus"))
   }
 

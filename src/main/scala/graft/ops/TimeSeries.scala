@@ -604,4 +604,57 @@ object TimeSeries {
       |    AS n_outliers
       |FROM dev d JOIN mad m USING (event_type)
       |GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** Calendar gap-filling with last-observation-carried-forward (LOCF —
+    * the standard irregular→regular series alignment step before any
+    * window/lag model): per type, densify to the FULL [min_day, max_day]
+    * calendar (each type's own span), mark which days are observed, and
+    * carry the last observed value forward across the gaps. Every
+    * emitted value is an exact COPY of an input value (no arithmetic),
+    * so cross-engine agreement is structural.
+    *
+    * Scale posture: the calendar is generated per TYPE from one
+    * min/max aggregate row (sequence + explode — #days rows per type,
+    * never corpus-sized), left-joined to the daily rollup, and the
+    * carry-forward is one last(ignoreNulls) window on the same
+    * event_type exchange the join used. At 100 TB the same plan holds:
+    * calendar size is domain-sized (types × days), not data-sized. */
+  def gapfillLocf(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(dsum(col("value")).as("v"))
+    val calendar = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("event_type"),
+        explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    calendar.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("observed", col("v").isNotNull)
+      .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+      .select(col("event_type"), col("day"), col("observed"), col("v_filled"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Oracle twin: generate_series calendar + the same windowed
+    * carry-forward (DuckDB spells last(x IGNORE NULLS) as
+    * last_value(x IGNORE NULLS)). */
+  val gapfillLocfSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2),
+      |span AS (
+      |  SELECT event_type, MIN(day) AS lo, MAX(day) AS hi
+      |  FROM daily GROUP BY 1),
+      |cal AS (
+      |  SELECT event_type, CAST(unnest(generate_series(lo, hi,
+      |    INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM span)
+      |SELECT c.event_type, c.day, d.v IS NOT NULL AS observed,
+      |  last_value(d.v IGNORE NULLS) OVER (
+      |    PARTITION BY c.event_type ORDER BY c.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+      |FROM cal c LEFT JOIN daily d USING (event_type, day)
+      |ORDER BY c.event_type, c.day""".stripMargin
 }

@@ -353,4 +353,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() === 0L)
     assert(batch.exceptAll(streamed).count() === 0L)
   }
+
+  test("foreachBatch CDC compaction converges to the batch cdc apply census") {
+    // Stream the deterministic I/U/D log in three arrival chunks (one
+    // version per file) through a foreachBatch last-writer-wins
+    // compactor; the final snapshot's census must equal the batch
+    // merge_cdc_apply census. LWW merge is ORDER-INDEPENDENT (max
+    // version wins regardless of arrival order), which is exactly why
+    // it is the production CDC consumption pattern — this test would
+    // pass under any chunk arrival permutation.
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.DataFrame
+    val streamDir = java.nio.file.Files.createTempDirectory("cdc_stream_src")
+    val snapRoot = java.nio.file.Files.createTempDirectory("cdc_stream_snap")
+    val ckpt = java.nio.file.Files.createTempDirectory("cdc_stream_ckpt")
+    val log = graft.ops.Lakehouse.cdcLog(spark, dir)
+    (1L to 3L).foreach { v =>
+      log.filter(col("version") === v).coalesce(1)
+        .write.mode("append").parquet(streamDir.toString)
+    }
+    val current = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    def compact(batch: DataFrame, id: Long): Unit = {
+      val s = batch.sparkSession
+      val prev = Option(current.get()).map(s.read.parquet(_))
+      val merged = prev.map(_.unionByName(batch)).getOrElse(batch)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderkey")).orderBy(col("version").desc)
+      val next = s"$snapRoot/v${nBatches.incrementAndGet()}"
+      merged.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .write.mode("overwrite").parquet(next)
+      current.set(next)
+    }
+    val q = spark.readStream.schema(log.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+      .writeStream
+      .foreachBatch(compact _)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(120000), "cdc stream did not finish")
+    finally q.stop()
+    assert(nBatches.get() === 3, s"expected 3 micro-batches, got ${nBatches.get()}")
+
+    val streamedCensus = graft.ops.Lakehouse
+      .cdcCensus(spark.read.parquet(current.get()))
+    val batchCensus = graft.ops.Lakehouse.cdcApply(spark, dir)
+      .select(col("o_orderstatus"), col("n_live"), col("sum_price"),
+        col("n_updated"))
+    assert(streamedCensus.exceptAll(batchCensus).count() === 0L)
+    assert(batchCensus.exceptAll(streamedCensus).count() === 0L)
+  }
 }
