@@ -116,7 +116,29 @@ object Graph {
     * sf0.1 — the win is stage waves, not bytes, and it compounds at
     * scale (3 fewer corpus-sized exchanges). Persisted node-pair-sized
     * (near-dup-bounded, like every pair graph here). */
+  // One persisted edge pipeline per (session, dir) — the same memo
+  // pattern as graft.Tables. Within a query this makes every reference
+  // THE SAME DataFrame, so e.g. modularity's direct use and its
+  // lpaLabels-internal use share one persist instead of materializing
+  // the pairing twice; across queries it is plan-sharing only (the
+  // bench/verify protocols clear cached DATA between queries — the memo
+  // holds the immutable logical plan, which is always safe to reuse).
+  private val edgeMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
+
   private def cooccurrenceEdges(spark: SparkSession, dir: String): DataFrame = {
+    val df = edgeMemo.getOrElseUpdate((spark, dir),
+      cooccurrenceEdgesBuild(spark, dir))
+    // Verify/Bench clearCache() between queries ALSO drops the persist
+    // marker; re-arm it so every query still caches the pairing for its
+    // own (often multi-use) plan, exactly as the pre-memo per-query
+    // persist did.
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df
+  }
+
+  private def cooccurrenceEdgesBuild(spark: SparkSession, dir: String): DataFrame = {
     val occ = Tables.events(spark, dir)
       .select(col("event_type"), date_trunc("HOUR", col("ts")).as("hb"),
         col("user_id"))
