@@ -988,4 +988,61 @@ object Similarity {
       |${PqEvalKs.map(pqSel).mkString("\nUNION ALL\n")}
       |ORDER BY method, param""".stripMargin
   }
+
+  // Inertia curve depth: rounds 0..3 (round 0 = seed centroids), one
+  // past the production IvfRounds=2 so the curve shows where the
+  // trainer's fixed cutoff sits on the convergence slope.
+  private val InertiaRounds = 3
+
+  /** k-means convergence curve — within-cluster sum of squares
+    * ("inertia", the elbow-method quantity; Lloyd 1962's monotone
+    * objective) of the shared deterministic trainer after 0..3
+    * refinement rounds. The tuning artifact that justifies IvfRounds=2
+    * with data rather than assertion, completing the operating-point
+    * trilogy next to sim_ann_recall_eval and dedup_banding_recall_eval.
+    *
+    * Determinism: per-vector distance² = ‖v‖² + min_c(‖c‖² − 2·v·c) —
+    * the exact score expression every Lloyd assignment here already
+    * uses, one identically-ordered IEEE chain — FLOORED to 10⁴ fixed point
+    * (floor is exact on any double; a 10⁶ grid sat within an ulp of
+    * round-3 centroid arithmetic on one vector per corpus) and summed
+    * as exact BIGINT. Scale posture: per round
+    * one narrow scan of the corpus against k inline centroid literals +
+    * one map-side-combined aggregate; the trainer state stays k×dim on
+    * the driver (the documented constant-size fence, same call path as
+    * the IVF tiers — no new collect sites). */
+  def kmeansInertia(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val em = graft.Tables.embeddings(spark, dir)
+    val parts = (0 to InertiaRounds).map { r =>
+      val cents = lloydCentroids(em, IvfCells, r)
+      em.select(sqNorm(col("embedding")).as("sq"),
+          array_min(array(scoreStructs(cents)(col("embedding")): _*))
+            .getField("s").as("smin"))
+        .select(expr("cast(floor((sq + smin) * 1e4) as bigint)").as("d2"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(col("d2")).cast("long").as("inertia_fp"))
+        .select(lit(r).as("round"), col("n_vectors"), col("inertia_fp"))
+    }
+    parts.reduce(_ union _).orderBy(col("round"))
+  }
+
+  /** Oracle twin: ONE unrolled Lloyd CTE chain to the deepest round,
+    * each curve point scoring the corpus against its `cents<r>`. */
+  val kmeansInertiaSql: String = {
+    def point(r: Int): String =
+      s"""SELECT $r AS round, COUNT(*) AS n_vectors,
+         |  CAST(SUM(d2) AS BIGINT) AS inertia_fp
+         |FROM (
+         |  SELECT e.vec_id,
+         |    CAST(FLOOR((list_sum(list_transform(e.embedding,
+         |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+         |      + MIN(c.csq - 2 * ${sqlDot("e.embedding", "c.centroid")})) * 1e4)
+         |      AS BIGINT) AS d2
+         |  FROM embeddings e, cents$r c
+         |  GROUP BY e.vec_id, e.embedding) t""".stripMargin
+    s"""WITH ${lloydCtesSql(IvfCells, InertiaRounds)}
+      |${(0 to InertiaRounds).map(point).mkString("\nUNION ALL\n")}
+      |ORDER BY round""".stripMargin
+  }
 }
