@@ -352,7 +352,9 @@ object TimeSeries {
     * one exchange on event_type carries the window pass; the seasonal
     * table is (types × 7)-sized — broadcast back; nothing touches the
     * driver. */
-  def stlDecompose(spark: SparkSession, dir: String): DataFrame = {
+  /** The decomposition table shared by [[stlDecompose]] (which emits it)
+    * and [[seasonalityStrength]] (which scores it). */
+  private def stlComponents(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type"), col("ts").cast("date").as("day"))
       .agg(dsum(col("value")).as("v"))
@@ -372,11 +374,16 @@ object TimeSeries {
       .select(col("event_type"), col("day"), col("v"), col("trend"),
         col("seasonal"),
         round(col("det") - col("seasonal"), 6).as("remainder"))
-      .orderBy(col("event_type"), col("day"))
   }
 
-  val stlDecomposeSql: String =
-    """WITH daily AS (
+  def stlDecompose(spark: SparkSession, dir: String): DataFrame =
+    stlComponents(spark, dir)
+      .orderBy(col("event_type"), col("day"))
+
+  /** The decomposition CTE prefix (final table in `comp`) shared by the
+    * stlDecompose and seasonalityStrength twins. */
+  private val stlCtesSql: String =
+    """daily AS (
       |  SELECT event_type, CAST(ts AS DATE) AS day,
       |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
       |  FROM events GROUP BY 1, 2),
@@ -393,11 +400,93 @@ object TimeSeries {
       |  SELECT event_type, dow,
       |    round(CAST(SUM(CAST(det AS DECIMAL(18,6))) AS DOUBLE)
       |          / COUNT(*), 6) AS seasonal
-      |  FROM de GROUP BY 1, 2)
-      |SELECT d.event_type, d.day, d.v, d.trend, s.seasonal,
-      |  round(d.det - s.seasonal, 6) AS remainder
-      |FROM de d JOIN seas s USING (event_type, dow)
-      |ORDER BY d.event_type, d.day""".stripMargin
+      |  FROM de GROUP BY 1, 2),
+      |comp AS (
+      |  SELECT d.event_type, d.day, d.v, d.trend, s.seasonal,
+      |    round(d.det - s.seasonal, 6) AS remainder
+      |  FROM de d JOIN seas s USING (event_type, dow))""".stripMargin
+
+  val stlDecomposeSql: String =
+    s"""WITH $stlCtesSql
+      |SELECT event_type, day, v, trend, seasonal, remainder
+      |FROM comp ORDER BY event_type, day""".stripMargin
+
+  /** Seasonality / trend strength (Hyndman & Athanasopoulos, FPP's
+    * variance-ratio diagnostics; Wang/Smith/Hyndman 2006): per series,
+    * Fs = max(0, 1 − Var(R)/Var(S+R)) and Ft = max(0, 1 − Var(R)/Var(T+R))
+    * — the [0,1] scores that say whether the weekly seasonal and the
+    * trend component of [[stlDecompose]] actually carry signal. The
+    * feature-selection scalar for forecasting pipelines (which series
+    * deserve a seasonal model), computed from the decomposition rather
+    * than asserted.
+    *
+    * Determinism: components are rounded to 6 decimals, so each sum
+    * (S+R, T+R) is an EXACT double and casts losslessly to
+    * DECIMAL(19,6) — 19, not 18: DuckDB does NOT widen decimal
+    * multiplication, and (19,6)² is exactly the 38-digit ceiling; all five moments accumulate exactly; each variance
+    * numerator n·Σx²−(Σx)² (the n² denominators cancel in the ratio)
+    * is one identically-ordered double chain; degenerate (zero-variance)
+    * denominators emit NULL in both engines. */
+  def seasonalityStrength(spark: SparkSession, dir: String): DataFrame = {
+    val c = stlComponents(spark, dir)
+      .select(col("event_type"),
+        col("remainder").cast("decimal(19,6)").as("r"),
+        (col("seasonal") + col("remainder")).cast("decimal(19,6)").as("sr"),
+        (col("trend") + col("remainder")).cast("decimal(19,6)").as("tq"))
+    val m = c.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("r")).as("s_r"), sum(col("r") * col("r")).as("ss_r"),
+      sum(col("sr")).as("s_sr"), sum(col("sr") * col("sr")).as("ss_sr"),
+      sum(col("tq")).as("s_tq"), sum(col("tq") * col("tq")).as("ss_tq"))
+    def vn(s: String, ss: String) =
+      col("n").cast("double") * col(ss).cast("double") -
+        col(s).cast("double") * col(s).cast("double")
+    m.select(col("event_type"), col("n").cast("long").as("n_days"),
+        when(vn("s_sr", "ss_sr") > 0.0,
+          greatest(lit(0.0), round(lit(1.0) -
+            vn("s_r", "ss_r") / vn("s_sr", "ss_sr"), 6)))
+          .as("seasonal_strength"),
+        when(vn("s_tq", "ss_tq") > 0.0,
+          greatest(lit(0.0), round(lit(1.0) -
+            vn("s_r", "ss_r") / vn("s_tq", "ss_tq"), 6)))
+          .as("trend_strength"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Oracle twin: the shared decomposition CTEs + the same exact
+    * moments and identically-ordered variance-ratio assembly. */
+  val seasonalityStrengthSql: String =
+    s"""WITH $stlCtesSql,
+      |c AS (
+      |  SELECT event_type,
+      |    CAST(remainder AS DECIMAL(19,6)) AS r,
+      |    CAST(seasonal + remainder AS DECIMAL(19,6)) AS sr,
+      |    CAST(trend + remainder AS DECIMAL(19,6)) AS tq
+      |  FROM comp),
+      |m AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    SUM(r) AS s_r, SUM(r * r) AS ss_r,
+      |    SUM(sr) AS s_sr, SUM(sr * sr) AS ss_sr,
+      |    SUM(tq) AS s_tq, SUM(tq * tq) AS ss_tq
+      |  FROM c GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+      |  CASE WHEN CAST(n AS DOUBLE) * CAST(ss_sr AS DOUBLE)
+      |           - CAST(s_sr AS DOUBLE) * CAST(s_sr AS DOUBLE) > 0
+      |  THEN greatest(CAST(0 AS DOUBLE), round(1.0 -
+      |    (CAST(n AS DOUBLE) * CAST(ss_r AS DOUBLE)
+      |      - CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(ss_sr AS DOUBLE)
+      |      - CAST(s_sr AS DOUBLE) * CAST(s_sr AS DOUBLE)), 6))
+      |  END AS seasonal_strength,
+      |  CASE WHEN CAST(n AS DOUBLE) * CAST(ss_tq AS DOUBLE)
+      |           - CAST(s_tq AS DOUBLE) * CAST(s_tq AS DOUBLE) > 0
+      |  THEN greatest(CAST(0 AS DOUBLE), round(1.0 -
+      |    (CAST(n AS DOUBLE) * CAST(ss_r AS DOUBLE)
+      |      - CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) * CAST(ss_tq AS DOUBLE)
+      |      - CAST(s_tq AS DOUBLE) * CAST(s_tq AS DOUBLE)), 6))
+      |  END AS trend_strength
+      |FROM m ORDER BY event_type""".stripMargin
 
   // Lag range for the cross-correlation sweep (0..MaxXcorrLag days).
   private val MaxXcorrLag = 7
