@@ -1,0 +1,53 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Single-query A/B timing harness (dev tool, not a driver artifact):
+  * `runMain graft.QBench q1,q2,... [reps]` times each named query
+  * `reps` times under the EXACT Bench power-run regime (same session
+  * confs, noop sink, cache clear between runs) after one untimed
+  * warm-up rep, printing per-rep seconds + min/median. Keeps
+  * per-query optimization work measurable without a 5-minute full
+  * bench cycle. */
+object QBench {
+  def main(args: Array[String]): Unit = {
+    val names = args.headOption.map(_.split(",").toSeq)
+      .getOrElse(Seq("dedup_banding_recall_eval"))
+    val reps = args.lift(1).map(_.toInt).getOrElse(3)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+          math.max(8, cpus.toInt / 4).toString))
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def clear(): Unit =
+      try spark.sharedState.cacheManager.clearCache()
+      catch { case _: Throwable => () }
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      // warm-up (JIT) at the bench's warm SF, then timed reps at sfDir
+      try {
+        fn(spark, "/root/testdata/sf0.001")
+          .write.format("noop").mode("overwrite").save()
+      } catch { case e: Throwable => System.err.println(s"warm $name: $e") }
+      clear()
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        clear()
+        dt
+      }
+      val s = ts.sorted
+      println(f"QBENCH $name%-34s min=${s.head}%.3f med=${s(s.size / 2)}%.3f all=${ts.map(t => f"$t%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

@@ -52,9 +52,14 @@ object Tables {
     ()
   }
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // Self-healing for the long-lived-JVM case [[clear]] covers manually:
+    // entries whose session has been stopped are dropped on lookup, so a
+    // session-cycling host can't accumulate dead plans (+ file indexes).
+    memo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     memo.getOrElseUpdate((spark, s"$sfDir/$name.parquet"),
       spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

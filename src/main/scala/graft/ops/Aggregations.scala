@@ -513,9 +513,15 @@ object Aggregations {
     * single words — the aggregation algebra is identical. */
   def bitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
+    // pmod-derived (word, bit) mapping is TOTAL over the id domain:
+    // a plain `%` on a negative id is negative in Spark (shiftleft then
+    // masks the count — silently sets a wrong bit) and engine-divergent
+    // in DuckDB (truncating `%` vs `<<` semantics). pmod is identical in
+    // both engines, and (id − pmod) is exactly divisible by 32, so the
+    // truncating `div` equals floor-div — no sign assumption anywhere.
     val words = e.select(col("event_type"),
-      expr("user_id div 32").as("w"),
-      expr("shiftleft(cast(1 as bigint), cast(user_id % 32 as int))").as("b"))
+      expr("(user_id - pmod(user_id, 32)) div 32").as("w"),
+      expr("shiftleft(cast(1 as bigint), cast(pmod(user_id, 32) as int))").as("b"))
     val bm = words.groupBy(col("event_type"), col("w"))
       .agg(expr("bit_or(b)").as("bm"))
     val viaBitmap = bm.groupBy(col("event_type"))
@@ -531,8 +537,9 @@ object Aggregations {
 
   val bitmapDistinctSql: String =
     """WITH w AS (
-      |  SELECT event_type, user_id // 32 AS w,
-      |    (CAST(1 AS BIGINT) << CAST(user_id % 32 AS INTEGER)) AS b
+      |  SELECT event_type,
+      |    (user_id - ((user_id % 32 + 32) % 32)) // 32 AS w,
+      |    (CAST(1 AS BIGINT) << CAST((user_id % 32 + 32) % 32 AS INTEGER)) AS b
       |  FROM events),
       |bm AS (SELECT event_type, w, bit_or(b) AS bm FROM w GROUP BY 1, 2),
       |v AS (

@@ -123,10 +123,23 @@ object Graph {
   // the pairing twice; across queries it is plan-sharing only (the
   // bench/verify protocols clear cached DATA between queries — the memo
   // holds the immutable logical plan, which is always safe to reuse).
+  // HAZARDS (mirrors graft.Tables.memo, which documents the same two):
+  // (1) entries for STOPPED sessions would pin DataFrames (and their
+  //     eagerly-built parquet file indexes) for the JVM's lifetime — so
+  //     every lookup first evicts dead-session keys; (2) regenerating
+  //     the files under `dir` WITHIN a live session serves a stale file
+  //     listing (FileNotFound or silently stale edges) — call
+  //     [[clearEdgeMemo]] (alongside Tables.clear()) after any
+  //     in-session testdata re-base.
   private val edgeMemo =
     new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]
 
+  /** Drops all memoized edge pipelines (in-session testdata re-base, or
+    * between SparkSessions in one JVM — e.g. the test suite). */
+  def clearEdgeMemo(): Unit = edgeMemo.clear()
+
   private def cooccurrenceEdges(spark: SparkSession, dir: String): DataFrame = {
+    edgeMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     val df = edgeMemo.getOrElseUpdate((spark, dir),
       cooccurrenceEdgesBuild(spark, dir))
     // Verify/Bench clearCache() between queries ALSO drops the persist

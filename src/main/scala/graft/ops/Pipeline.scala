@@ -815,20 +815,23 @@ object Pipeline {
     * risk.
     *
     * Scale posture: one grouped count on the quasi-identifier key
-    * (map-side combined) + one unpartitioned window over the GROUP
-    * table (quasi-identifier-domain-sized, not corpus-sized — the same
-    * bounded-single-partition posture documented at Skyline's frontier
-    * window). */
+    * (map-side combined); the corpus-wide totals are a 1-ROW AGGREGATE
+    * of the group table broadcast-cross-joined back — NOT an
+    * unpartitioned window: the census is domain-bounded today, but its
+    * cardinality grows with the quasi-identifier domain at 100×, and a
+    * `Window.partitionBy()` funnels it through one task, whereas the
+    * broadcast scalar keeps every stage full-width at any domain size. */
   def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
     val g = Tables.documents(spark, dir)
       .groupBy(col("lang"), col("source"),
         expr("n_chars div 100").as("len_bucket"))
       .agg(count(lit(1)).as("n"))
-    val all = Window.partitionBy()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = g.agg(
+      sum(when(col("n") < KAnon, col("n")).otherwise(0L)).as("risky_total"),
+      sum(col("n")).as("total"))
     g.withColumn("at_risk", col("n") < KAnon)
-      .withColumn("risky_total",
-        sum(when(col("n") < KAnon, col("n")).otherwise(0L)).over(all))
-      .withColumn("total", sum(col("n")).over(all))
+      .crossJoin(broadcast(totals))
       .select(col("lang"), col("source"), col("len_bucket"), col("n"),
         col("at_risk"),
         // integer div, not `/`: Column./ is always DOUBLE division
@@ -837,16 +840,19 @@ object Pipeline {
       .orderBy(col("lang"), col("source"), col("len_bucket"))
   }
 
-  /** Oracle twin: same census; the corpus-wide shares come from window
-    * totals exactly as in the Spark plan. */
+  /** Oracle twin: same census; the corpus-wide shares come from a 1-row
+    * totals aggregate cross-joined back, exactly as in the Spark plan. */
   val kAnonymitySql: String =
     s"""WITH g AS (
       |  SELECT lang, source, n_chars // 100 AS len_bucket, COUNT(*) AS n
-      |  FROM documents GROUP BY 1, 2, 3)
+      |  FROM documents GROUP BY 1, 2, 3),
+      |t AS (
+      |  SELECT SUM(CASE WHEN n < $KAnon THEN n ELSE 0 END) AS risky_total,
+      |    SUM(n) AS total
+      |  FROM g)
       |SELECT lang, source, len_bucket, n, n < $KAnon AS at_risk,
-      |  CAST(SUM(CASE WHEN n < $KAnon THEN n ELSE 0 END) OVER () * 1000000
-      |    // SUM(n) OVER () AS BIGINT) AS risk_share_fp
-      |FROM g ORDER BY lang, source, len_bucket""".stripMargin
+      |  CAST(risky_total * 1000000 // total AS BIGINT) AS risk_share_fp
+      |FROM g, t ORDER BY lang, source, len_bucket""".stripMargin
 
   /** Oracle twin: the same hash gate and span union with DuckDB list
     * lambdas (`range` is end-exclusive where Spark's `sequence` is

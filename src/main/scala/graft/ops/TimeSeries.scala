@@ -421,18 +421,26 @@ object TimeSeries {
     * than asserted.
     *
     * Determinism: components are rounded to 6 decimals, so each sum
-    * (S+R, T+R) is an EXACT double and casts losslessly to
-    * DECIMAL(19,6) — 19, not 18: DuckDB does NOT widen decimal
-    * multiplication, and (19,6)² is exactly the 38-digit ceiling; all five moments accumulate exactly; each variance
+    * (S+R, T+R) is an EXACT double and the casts are lossless; the
+    * operand precisions are deliberately ASYMMETRIC per engine so both
+    * sides' moment products are exact. Spark takes DECIMAL(18,6):
+    * its product type for (p,6)×(p,6) is (2p+1,12), so (18,6)² =
+    * (37,12) fits the 38-digit cap, whereas (19,6)² = (39,12) would be
+    * rounded (under allowPrecisionLoss) to (38,11) — a 1e-6-boundary
+    * drift channel. The DuckDB twin takes DECIMAL(19,6): DuckDB
+    * multiplies in the OPERANDS' physical lane without widening, so
+    * (18,6) (an INT64 decimal) overflow-errors on these magnitudes,
+    * while 19 digits forces the INT128 lane and the (38,12) product is
+    * exact. Identical values, exact in both engines; each variance
     * numerator n·Σx²−(Σx)² (the n² denominators cancel in the ratio)
     * is one identically-ordered double chain; degenerate (zero-variance)
     * denominators emit NULL in both engines. */
   def seasonalityStrength(spark: SparkSession, dir: String): DataFrame = {
     val c = stlComponents(spark, dir)
       .select(col("event_type"),
-        col("remainder").cast("decimal(19,6)").as("r"),
-        (col("seasonal") + col("remainder")).cast("decimal(19,6)").as("sr"),
-        (col("trend") + col("remainder")).cast("decimal(19,6)").as("tq"))
+        col("remainder").cast("decimal(18,6)").as("r"),
+        (col("seasonal") + col("remainder")).cast("decimal(18,6)").as("sr"),
+        (col("trend") + col("remainder")).cast("decimal(18,6)").as("tq"))
     val m = c.groupBy(col("event_type")).agg(
       count(lit(1)).as("n"),
       sum(col("r")).as("s_r"), sum(col("r") * col("r")).as("ss_r"),
@@ -498,8 +506,17 @@ object TimeSeries {
     * streams. Ordered pairs include a==b, so the autocorrelation
     * function comes out of the same pass.
     *
-    * Determinism: all five moments (Σx, Σy, Σx², Σy², Σxy) accumulate in
-    * exact DECIMAL over the joined overlap window — order-independent —
+    * Determinism: the daily sums are re-pinned to a controlled decimal
+    * after the aggregate, ASYMMETRICALLY per engine (same rationale as
+    * [[seasonalityStrength]]): Spark takes (18,4) — it widens
+    * sum(DECIMAL(18,4)) to (28,4), whose squares' ideal type (57,8)
+    * would be rounded to (38,6), a lossy engine-specific accumulation,
+    * while (18,4)² = (37,8) is exact; DuckDB takes (19,4) — its INT128
+    * decimal lane, since DuckDB multiplies without widening the
+    * operands' physical type and the (18,4)/INT64 lane would
+    * overflow-error one scale-up away. So all five moments
+    * (Σx, Σy, Σx², Σy², Σxy) accumulate in exact DECIMAL over the joined
+    * overlap window — order-independent —
     * and the Pearson assembly is IEEE-correctly-rounded double ops in
     * identical operand order, then round(·, 6); degenerate (constant)
     * windows emit NULL in both engines. Scale posture: the daily table
@@ -510,7 +527,7 @@ object TimeSeries {
   def crossCorrelation(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type"), col("ts").cast("date").as("day"))
-      .agg(sum(col("value").cast("decimal(18,4)")).as("v"))
+      .agg(sum(col("value").cast("decimal(18,4)")).cast("decimal(18,4)").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lags = spark.range(0, MaxXcorrLag + 1)
       .select(col("id").cast("int").as("lag"))
@@ -545,7 +562,7 @@ object TimeSeries {
   val crossCorrelationSql: String =
     s"""WITH daily AS (
       |  SELECT event_type, CAST(ts AS DATE) AS day,
-      |    SUM(CAST(value AS DECIMAL(18,4))) AS v
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(19,4)) AS v
       |  FROM events GROUP BY 1, 2),
       |lags AS (SELECT CAST(unnest(range(0, ${MaxXcorrLag + 1})) AS INTEGER) AS lag),
       |j AS (
