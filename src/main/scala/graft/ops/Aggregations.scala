@@ -163,38 +163,43 @@ object Aggregations {
 
   /** approx_count_distinct (HyperLogLog++). The sketch itself is
     * engine-specific, so the *output* is made portable: exact distinct
-    * counts plus deterministic `within_tol` booleans asserting the sketch
-    * landed within 5% of truth (HLL rsd=0.01 → 5 std errors of margin; the
-    * sketch is hash-based, so the booleans are a fixed property of the
-    * dataset, not a coin flip). The oracle twin computes the exact counts
-    * and expects TRUE. At 100 TB the HLL column replaces exact
-    * COUNT(DISTINCT) for dashboards: one pass, fixed memory, mergeable, no
-    * exploding distinct-shuffle. */
+    * counts plus deterministic `within_tol` booleans asserting the
+    * sketch landed within 10% of truth (HLL rsd=0.02 → 5 std errors of
+    * margin; the sketch is hash-based, so the booleans are a fixed
+    * property of the dataset, not a coin flip — and rsd=0.02 keeps the
+    * same 5σ determinism as the earlier rsd=0.01/5% pair while staying
+    * below the p=14 register count whose per-row update path measured
+    * 2-3× slower in Spark's HLL++). The oracle twin computes the exact
+    * counts and expects TRUE. At 100 TB the HLL column replaces exact
+    * COUNT(DISTINCT) for dashboards: one pass, fixed memory, mergeable,
+    * no exploding distinct-shuffle. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    // The sketches and the exact counts MUST be separate aggregation
-    // passes: mixing approx_count_distinct with countDistinct in one agg
-    // puts the HLL++ buffers inside the multi-distinct EXPAND rewrite,
-    // where the partial aggregate keys on (group, distinct-value, gid) —
-    // every such row then carries its own pair of rsd=0.01 (p=14, ~13 KB)
-    // sketches. Measured at sf0.1: 22 MINUTES and tens of GB of sort
-    // spill in one task, vs ~2 s split. (The bench's .count() prunes the
-    // sketch columns, which is why this only surfaced under Verify's
-    // materializing write.) Split, the sketch pass carries 3 buffers
-    // total and the exact pass carries plain count buffers — both
-    // map-side combined, the true 100 TB shape.
-    val exact = li.groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
-    val approx = li.groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("ao"),
-        approx_count_distinct(col("l_partkey"), 0.01).as("ap"))
-    exact.join(broadcast(approx), "l_returnflag")
+    // One DEDUP-FIRST pass per distinct column: distinct (group, value)
+    // pairs (map-side combined — the exchange carries pair cardinality,
+    // not raw rows), then a tiny per-group aggregate computes the exact
+    // count AND the HLL sketch together over the already-distinct
+    // values — HLL insertion is idempotent, so the sketch over distinct
+    // values has bit-identical registers to one over raw rows. This
+    // avoids BOTH prior failure modes: countDistinct's multi-distinct
+    // EXPAND (which at one point put the rsd=0.01 p=14 ~13 KB sketch
+    // buffers inside the expand keying — 22 minutes of sort spill), and
+    // the 32-partition partial-sketch merge shipping wide HLL buffers
+    // for a 3-row output (the final agg here sees only pre-deduped
+    // values, 3 sketch buffers total). Same 100 TB shape: dedup-first
+    // is the standard rewrite when value-cardinality ≪ row count.
+    def pass(valueCol: String, exactAs: String, sketchAs: String) =
+      li.select(col("l_returnflag"), col(valueCol)).distinct()
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as(exactAs),
+          approx_count_distinct(col(valueCol), 0.02).as(sketchAs))
+    pass("l_orderkey", "exact_orders", "ao")
+      .join(broadcast(pass("l_partkey", "exact_parts", "ap")), "l_returnflag")
       .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
         (abs(col("ao") - col("exact_orders")).cast(DoubleType) /
-          col("exact_orders") <= 0.05).as("orders_ok"),
+          col("exact_orders") <= 0.10).as("orders_ok"),
         (abs(col("ap") - col("exact_parts")).cast(DoubleType) /
-          col("exact_parts") <= 0.05).as("parts_ok"))
+          col("exact_parts") <= 0.10).as("parts_ok"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -215,7 +220,19 @@ object Aggregations {
     * sketch path. One pass, bounded memory — the 100 TB quantile plan. */
   def approxQuantiles(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    li.groupBy(col("l_returnflag"))
+    // Pre-partition on the group key so the aggregate runs in COMPLETE
+    // mode: percentile()'s buffer is the full per-group value list, and
+    // the default partial→final plan SERIALIZES those lists (plus the
+    // accuracy-10000 approx_percentile sketches) across the exchange —
+    // per input partition per group — for a 3-row result. Exchanging
+    // the raw (flag, two doubles) rows first is far cheaper than
+    // exchanging value-list buffers, and the sketch/list then never
+    // leaves its aggregating task. Group cardinality (3) bounds the
+    // post-exchange parallelism, which is exactly the sketch algebra's
+    // point at 100 TB: per-group state, not per-row state.
+    li.select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .repartition(col("l_returnflag"))
+      .groupBy(col("l_returnflag"))
       .agg(
         expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
           .as("aq"),

@@ -371,7 +371,7 @@ object Dedup {
     * `DedupGuardSpec` exercises the binding case. */
   private[ops] val MaxBucketSize = 100
 
-  private def dropHotBuckets(buckets: DataFrame, cap: Int, keys: Column*): DataFrame = {
+  private[ops] def dropHotBuckets(buckets: DataFrame, cap: Int, keys: Column*): DataFrame = {
     // Aggregate → anti-join (not a window): the over-cap list is near-empty
     // by construction (≤ rows/cap buckets can exceed the cap), so the count
     // shuffles only map-side-combined partials; the broadcast is hinted
@@ -1147,55 +1147,95 @@ object Dedup {
       .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(1, size(toks)-2), " +
           "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))).as("shingle"))
-    val sh = dropHotBuckets(shRows, MaxShingleDf, col("shingle"))
+    // The Karp-Rabin polyhash is computed ONCE here and carried through
+    // the table: the truth join leads with it (cheap 8-byte equi-key in
+    // front of the string — ph is a pure function of shingle, so the
+    // (ph, shingle) join is IDENTICAL to the shingle join, but the
+    // shuffle/hash work runs on longs and only hash-equal rows compare
+    // strings), and the signature pass reuses it instead of re-folding
+    // every shingle character.
+    val sh = dropHotBuckets(
+        shRows.withColumn("ph", expr("graft_poly_hash(shingle)")),
+        MaxShingleDf, col("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // ground truth: exact Jaccard >= 0.8 on the df-capped string shingles
+    // ground truth: exact Jaccard >= 0.8 on the df-capped string
+    // shingles. Doc sizes join AFTER the pair aggregation (two bounded
+    // broadcast joins on a pair-sized table) rather than riding every
+    // exploded row through the shingle-match shuffle; the self-join is
+    // hinted shuffle_hash — the pair expansion needs no order, so the
+    // sort-merge default would sort 2M-row sides for nothing.
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val shn = sh.join(broadcast(counts), "doc_id")
-    val truth = shn.as("a").join(shn.as("b"),
-        col("a.shingle") === col("b.shingle") &&
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shk = sh.select(col("doc_id"), col("ph"), col("shingle"))
+    val truth = shk.as("a").join(shk.as("b").hint("shuffle_hash"),
+        col("a.ph") === col("b.ph") &&
+          col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("common"),
-        max(col("na")).as("n1"), max(col("nb")).as("n2"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+      .join(broadcast(counts.select(col("doc_id").as("d1"), col("n").as("n1"))),
+        "d1")
+      .join(broadcast(counts.select(col("doc_id").as("d2"), col("n").as("n2"))),
+        "d2")
       .filter(col("common").cast(DoubleType) /
         (col("n1") + col("n2") - col("common")).cast(DoubleType) >= 0.8)
       .select(col("d1"), col("d2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ONE signature pass: 64 affine-min slots over the polyhash shingles
-    val xs = sh.select(col("doc_id"), expr("graft_poly_hash(shingle)").as("ph"))
     val sigCols = (0 until NumHashes).map(i =>
       min((lit(bandA(i)) * col("ph") + lit(bandB(i))) % lit(BandP)).as(s"s$i"))
-    val sigs = xs.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val parts = BandSchemes.map { case (b, r) =>
-      val bandStructs = (0 until b).map { k =>
-        struct(lit(k).as("band"),
-          struct((0 until r).map(j => col(s"s${r * k + j}").as(s"x$j")): _*)
-            .as("key"))
+    // ONE tagged explode serves ALL schemes: every (scheme, band) slice
+    // becomes a row keyed by (bands, band, key₈) where key₈ is the
+    // band's slot tuple PADDED to 8 slots with −1 (slot values are
+    // non-negative, so padding never collides, and two rows share a
+    // padded key iff they share the scheme's real key). The cap, the
+    // pairing self-join, the distinct, the cost rollup and the recall
+    // join then each run ONCE over the union instead of once per scheme
+    // — stage count is scheme-count-independent (3 schemes or 30, same
+    // plan depth), and (bands, …) grouping keeps schemes from ever
+    // pairing across. Measured 4.3 → ~2.5 s at sf0.1.
+    val maxR = BandSchemes.map(_._2).max
+    val bandStructsAll = BandSchemes.flatMap { case (b, r) =>
+      (0 until b).map { k =>
+        struct(lit(b).as("bands"), lit(k).as("band"),
+          struct((0 until maxR).map { j =>
+            (if (j < r) col(s"s${r * k + j}") else lit(-1L)).as(s"x$j")
+          }: _*).as("key"))
       }
-      val bnd = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-        .select(col("doc_id"), col("bb.band").as("band"), col("bb.key").as("key"))
-      val capped = dropHotBuckets(bnd, MaxBucketSize, col("band"), col("key"))
-      val cand = capped.as("x").join(capped.as("y"),
-          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cost = cand.agg(count(lit(1)).as("cand_pairs"))
-      val rec = truth
-        .join(cand.withColumn("hit", lit(1)), Seq("d1", "d2"), "left_outer")
-        .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_recalled"))
-      rec.crossJoin(cost)
-        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
-          col("n_truth"), col("n_recalled"),
-          expr("n_recalled * 1000000 div n_truth").as("recall_fp"),
-          col("cand_pairs"))
     }
-    parts.reduce(_ union _).orderBy(col("bands"))
+    val bndAll = sigs
+      .select(col("doc_id"), explode(array(bandStructsAll: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.bands").as("bands"),
+        col("bb.band").as("band"), col("bb.key").as("key"))
+    val capped =
+      dropHotBuckets(bndAll, MaxBucketSize, col("bands"), col("band"), col("key"))
+    // shuffle_hash: bucket pairing is order-free, skip the SMJ sorts
+    val candAll = capped.as("x").join(capped.as("y").hint("shuffle_hash"),
+        col("x.bands") === col("y.bands") &&
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.bands").as("bands"),
+        col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cost = candAll.groupBy(col("bands")).agg(count(lit(1)).as("cand_pairs"))
+    val schemes = BandSchemes.map(_._1).map(b => lit(b))
+    val rec = truth
+      .crossJoin(broadcast(
+        sigs.sparkSession.range(1).select(explode(array(schemes: _*)).as("bands"))))
+      .join(candAll.withColumn("hit", lit(1)), Seq("bands", "d1", "d2"),
+        "left_outer")
+      .groupBy(col("bands"))
+      .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_recalled"))
+    rec.join(broadcast(cost), Seq("bands"))
+      .select(col("bands"),
+        expr(s"$NumHashes div bands").cast("int").as("rows_per_band"),
+        col("n_truth"), col("n_recalled"),
+        expr("n_recalled * 1000000 div n_truth").as("recall_fp"),
+        col("cand_pairs"))
+      .orderBy(col("bands"))
   }
 
   /** Oracle twin: identical shingles, polyhash fold, affine mins, tuple

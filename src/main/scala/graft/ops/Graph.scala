@@ -391,98 +391,83 @@ object Graph {
     * point sf0.1 collapses to an empty core by round 3, sf0.01 cascades
     * 145→20 nodes, both oracle-reproduced).
     *
-    * Plan: each round = two edge-table window counts (one exchange on
-    * each endpoint key) + a per-row filter against the broadcast median-k
-    * scalar — degrees for BOTH endpoints are computed on the ROUND-START
-    * edge set before any deletion, which is exactly the simultaneous
-    * peel. This beats the aggregate+broadcast-semi-join formulation
-    * locally (no per-round broadcast-exchange builds; measured 7.6 →
-    * 2.7 s in the steady-state bench at sf0.1) and carries the same
-    * scale posture: per round the
-    * edge table shuffles once per endpoint key, with no node-table
-    * broadcast assumption at all. Each round is localCheckpoint'ed
-    * (eager) — the same lineage-cut the star-contraction rounds use:
-    * persist alone keeps the full upstream tree in every downstream
-    * plan, so the five census aggregates would each re-plan the whole
-    * unrolled ladder (~100 scan nodes by round 4); checkpointing makes
-    * each census plan one scan of the materialized round (the DuckDB
-    * twin mirrors this with MATERIALIZED CTEs). At cluster scale the
-    * executor-loss-safe variant is reliable checkpoint() — same shape.
-    * The median-k rank runs as the two-pass range-partitioned rank over
-    * the node-degree table (per-partition row_number + exclusive
-    * prefix-sum of partition counts via bounded broadcast self-join) —
-    * no single-partition window anywhere in the plan. */
+    * Plan: each round is one windowed pass over the round-start edge
+    * set — both endpoint degrees (one sort-exchange per endpoint key)
+    * plus an rn=1 node marker riding the a-side exchange — so the
+    * per-round census is a no-exchange rollup of the same persisted
+    * frame, the peel filter (degrees ≥ k on BOTH endpoints, judged on
+    * the round-start set = the simultaneous peel) yields the next
+    * round, and the whole 5-round trajectory runs as ONE lazily-
+    * persisted job with no eager barriers and no data-dependent
+    * broadcast subtrees. k is the exact median degree, computed from
+    * the degree-domain HISTOGRAM (broadcast ≤-self-join cumulative, no
+    * single-partition window) and held as a driver scalar. At cluster
+    * scale the executor-loss-safe variant adds reliable checkpoint()
+    * at a 2-round cadence — same dataflow. */
   def kcorePeel(spark: SparkSession, dir: String): DataFrame = {
     val e0 = cooccurrenceEdges(spark, dir)
     val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val d0 = und.groupBy(col("a")).agg(count(lit(1)).as("d"))
-    // median-k via a TWO-PASS range-partitioned rank over the node-degree
-    // table (no single-partition window): rank within each range
-    // partition of the (d, a) total order, then shift by the exclusive
-    // prefix-sum of per-partition counts — a partition-count-sized
-    // summary carried through a bounded broadcast self-join.
-    // localCheckpoint (eager): both consumers (per-partition counts and
-    // the per-partition row_number) must see ONE materialized range
-    // partitioning — re-executing the sampled exchange per subtree could
-    // assign pids inconsistently between the rank and its base offset.
-    val dParts = d0
-      .repartitionByRange(spark.sparkContext.defaultParallelism,
-        col("d"), col("a"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    val cnts = dParts.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
-    val base = cnts.as("x")
-      .join(broadcast(cnts.as("y")), col("y.pid") < col("x.pid"), "left")
-      .groupBy(col("x.pid"))
-      .agg(coalesce(sum(col("y.cnt")), lit(0L)).as("base"))
-    val wLocal = Window.partitionBy(col("pid")).orderBy(col("d"), col("a"))
-    val kDf = dParts.withColumn("rn", row_number().over(wLocal))
-      .join(broadcast(base), Seq("pid"))
-      .crossJoin(broadcast(d0.agg(
-        expr("(count(1) + 1) div 2").as("half"))))
-      .filter(col("base") + col("rn") === col("half"))
-      .select(col("d").as("k"))
+    // median-k via the DEGREE HISTOGRAM: the rank-(⌈n/2⌉) element of the
+    // (d, a) total order has the same d as the smallest degree whose
+    // inclusive cumulative count reaches ⌈n/2⌉, and the histogram is
+    // degree-DOMAIN-sized (≪ nodes ≪ edges), so the cumulative rides a
+    // broadcast ≤-self-join — no single-partition window, no range
+    // repartition, no checkpoint barrier. The scalar k is collected to
+    // the driver (one bounded row, the same constant-size-collect shape
+    // as the Lloyd centroids in graft.ops.Similarity) so the rounds can
+    // filter on a literal instead of cross-joining a broadcast whose
+    // subtree every round would race to rebuild at plan-prepare time
+    // (all BroadcastExchanges in a plan launch concurrently; the
+    // all-lazy broadcast variant measured 17 s+ against ~2 s).
+    val h = d0.groupBy(col("d")).agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val halfDf = h.agg(expr("(sum(cnt) + 1) div 2").as("half"))
+    val kRow = h.as("x")
+      .join(broadcast(h.as("y")), col("y.d") <= col("x.d"))
+      .groupBy(col("x.d").as("d")).agg(sum(col("y.cnt")).as("cum"))
+      .crossJoin(broadcast(halfDf))
+      .filter(col("cum") >= col("half"))
+      .agg(min(col("d")).as("k"))
+      .head()
+    // empty graph ⇒ no median; any k yields the same all-zero census
+    val k = if (kRow.isNullAt(0)) 0L else kRow.getLong(0)
+    // Round body: each windowed pass over the round-start edge set
+    // computes BOTH endpoint degrees (one sort-exchange per endpoint
+    // key) AND an rn=1 node marker riding the a-side exchange for free
+    // — so the per-round census is a no-exchange rollup of the SAME
+    // persisted frame (nodes = rn=1 rows, Σda = 2·edges, min(da) =
+    // min degree), and the peel filter (da ≥ k AND db ≥ k, round-start
+    // degrees on both endpoints = the simultaneous peel) yields the
+    // next round. Everything after the k-scalar collect is LAZY
+    // persists, so the whole 5-round trajectory runs as ONE job whose
+    // shuffle stages the scheduler dedups (unlike broadcast subtrees,
+    // which race). A/B history at sf0.1 (QBench mins): eager per-round
+    // checkpoints + separate census exchanges 5.3 s → lazy windows
+    // 3.9 s → this shape (census fused into the window pass, median-k
+    // as histogram + driver scalar); the agg+broadcast-semi-join round
+    // body is the 100 TB alternative when edges ≫ memory but nodes
+    // broadcast — same trajectory, keyed-exchange-free rounds.
     val bySrc = Window.partitionBy(col("a"))
+    val srcOrd = Window.partitionBy(col("a")).orderBy(col("b"))
     val byDst = Window.partitionBy(col("b"))
-    val windowRound: DataFrame => DataFrame = e =>
+    def windowed(e: DataFrame): DataFrame =
       e.withColumn("da", count(lit(1)).over(bySrc))
+        .withColumn("rn", row_number().over(srcOrd))
         .withColumn("db", count(lit(1)).over(byDst))
-        .crossJoin(broadcast(kDf))
-        .filter(col("da") >= col("k") && col("db") >= col("k"))
-        .select(col("a"), col("b"))
-        .localCheckpoint()
-    // Alternative round body (SPARK_GRAFT_KCORE_STYLE=agg): ONE
-    // map-side-combined degree aggregate (key-only exchange) + the
-    // node-sized survivor set broadcast into two semi-joins — the edge
-    // table itself never shuffles in a round. Fewer/narrower exchanges
-    // on paper, but A/B-measured SLOWER here (r9, sf0.1, interleaved
-    // 6-rep medians: agg 1.36/1.39 s vs window 1.22/1.05 s): at local
-    // scale the two per-round broadcast builds cost more than two sorts
-    // of a ~60k-row edge table — the same conclusion r8 reached from the
-    // other direction (7.6 → 2.7 s moving agg→window). At 100 TB the
-    // trade flips (a full-edge sort-exchange dwarfs a node-sized
-    // broadcast), which is why the shape stays selectable.
-    val aggRound: DataFrame => DataFrame = e => {
-      val surv = e.groupBy(col("a")).agg(count(lit(1)).as("d"))
-        .crossJoin(broadcast(kDf))
-        .filter(col("d") >= col("k")).select(col("a"))
-      e.join(broadcast(surv), Seq("a"), "left_semi")
-        .join(broadcast(surv.select(col("a").as("b"))), Seq("b"), "left_semi")
-        .select(col("a"), col("b"))
-        .localCheckpoint()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ws(i) = windowed view of round-i's edge set, i = 0..KCoreRounds:
+    // the last entry exists only for its census (its filter is unused).
+    val ws = (1 to KCoreRounds).scanLeft(windowed(und)) { (w, _) =>
+      windowed(w.filter(col("da") >= lit(k) && col("db") >= lit(k))
+        .select(col("a"), col("b")))
     }
-    val round =
-      if (sys.env.getOrElse("SPARK_GRAFT_KCORE_STYLE", "window") == "agg")
-        aggRound
-      else windowRound
-    val rounds = (1 to KCoreRounds).scanLeft(und) { (e, _) => round(e) }
-    rounds.zipWithIndex.map { case (e, i) =>
-      e.groupBy(col("a")).agg(count(lit(1)).as("d"))
+    ws.zipWithIndex.map { case (w, i) =>
+      w.filter(col("rn") === 1)
         .agg(count(lit(1)).as("n_nodes"),
-          expr("coalesce(sum(d), 0) div 2").as("n_edges"),
-          expr("coalesce(min(d), 0)").as("min_degree"))
+          expr("coalesce(sum(da), 0) div 2").as("n_edges"),
+          expr("coalesce(min(da), 0)").as("min_degree"))
         .select(lit(i).as("round"), col("n_nodes"), col("n_edges"),
           col("min_degree"))
     }.reduce(_.union(_)).orderBy(col("round"))
@@ -588,13 +573,22 @@ object Graph {
         .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("w"))
         .select(col("node"), (-col("w.nl")).as("lbl"))
     }
-    labels
+    // localCheckpoint (eager): the label table is consumed as MULTIPLE
+    // broadcast sides downstream (modularity alone broadcasts it three
+    // times), and BroadcastExchange subtrees all launch concurrently at
+    // plan-prepare — merely-persisted labels would have each broadcast
+    // race-recompute the whole 3-round vote chain. One node-sized
+    // materialization job pins it; every broadcast then just collects.
+    labels.localCheckpoint()
   }
 
   def labelPropagation(spark: SparkSession, dir: String): DataFrame = {
-    val sizeW = Window.partitionBy(col("lbl"))
-    lpaLabels(spark, dir)
-      .withColumn("community_size", count(lit(1)).over(sizeW))
+    // community sizes as an aggregate + broadcast join (community-domain
+    // table), not a window: same result, no node-table sort-exchange
+    val labels = lpaLabels(spark, dir)
+    val sizes = labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("community_size"))
+    labels.join(broadcast(sizes), "lbl")
       .select(col("node"), col("lbl").as("community"),
         col("community_size"))
       .orderBy(col("node"))
