@@ -50,10 +50,21 @@ object Bench {
     * Spark job submission is thread-safe; per-query persist()s are left
     * in place until the pass ends (clearing mid-flight would yank a
     * neighbor's cached table — harmless for results, bad for timing). */
+  /** The benched query set: all of SparkEntry.queries, or the comma-list
+    * in SPARK_GRAFT_ONLY (scale-curve runs time a data-bound subset at
+    * SFs where the full 183-query floor would drown the signal). */
+  private def selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = {
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .sortBy(_._1)
+  }
+
   private def concurrentPass(spark: SparkSession, dir: String,
       streams: Int, warm: Boolean): (Double, Int) = {
     val queue = new ConcurrentLinkedQueue[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach(queue.add)
+    selected.foreach(queue.add)
     val errors = new java.util.concurrent.atomic.AtomicInteger(0)
     val done = new CountDownLatch(streams)
     val t0 = System.nanoTime()
@@ -85,8 +96,8 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val streams = sys.env.getOrElse("SPARK_GRAFT_STREAMS", "8").toInt
     val load0 = loadavg()
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val spark = LocalScratch(SparkSession.builder()
+      .master(s"local[$cpus]"))
       // Reduce-side width sized to DATA VOLUME, not core count: sf0.1
       // shuffles are sub-100 MB, so cpus/4 partitions keep every reduce
       // task meaningfully sized while quartering per-wave scheduling
@@ -180,8 +191,23 @@ object Bench {
       catch { case _: Throwable => () }
       if (ok) dt else -1.0
     }
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> timeOne(name, fn)
+    // TWO full power passes, per-query MIN — the identical basis to the
+    // DuckDB side (tools/time_duckdb.py is best-of-2 per query). On this
+    // host class single-shot times are weather, not measurements: with
+    // the box otherwise idle (loadavg < 2, zero cgroup throttling, zero
+    // reported steal) identical back-to-back reps of one query swing
+    // 3–10× (e.g. 4.2 → 48.6 s), tracking an fdatasync throughput swing
+    // of 27.9 → 227 MB/s on the same disk. Pass 2 also runs at true
+    // steady-state (pass 1 finishes any sf0.1-profile JIT the sf0.001
+    // warm-up missed), which is what a per-query throughput claim is
+    // about; the stall re-run below still catches a query that was
+    // unlucky twice.
+    val pass1 = selected.map { case (name, fn) => name -> timeOne(name, fn) }
+    val pass2 = selected.map { case (name, fn) => name -> timeOne(name, fn) }.toMap
+    val firstPass = pass1.map { case (name, t1) =>
+      val t2 = pass2.getOrElse(name, -1.0)
+      // a FAILED rep never overwrites a valid one
+      name -> (if (t1 < 0) t2 else if (t2 < 0) t1 else math.min(t1, t2))
     }
     // Transient-stall re-run: a query whose time is wildly out of family
     // (t > max(2.5 s, 5× suite median)) gets ONE re-run, min taken. Capped

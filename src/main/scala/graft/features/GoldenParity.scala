@@ -64,6 +64,48 @@ object GoldenParity {
     census.union(diffs).orderBy(col("metric"))
   }
 
+  /** Corrected-day-of-week flagship twin (SURVEY.md §2a S12, VERDICT r10
+    * item 7): the same census shape over [[Features]] with
+    * `bugCompat=false` — the 0=Sunday..6=Saturday encoding the reference
+    * INTENDED (`/root/reference/02.py:57-65` loops d=0..6 against a
+    * 1=Sunday..7=Saturday DAYOFWEEK, so its `dow_0` is dead and Saturday
+    * rows are unencoded). Under the fix every buggy sum shifts down one
+    * slot (fixed dow d ≡ buggy dow d+1) and the 8,766 Saturdays that the
+    * bug dropped reappear in dow6 — pinned by `encoded_rows` = Σ dows =
+    * n_rows, the exactly-one-hot invariant the buggy encoding violates
+    * (its Σ is 40,881). Oracle is the corresponding constant table,
+    * derived independently of the Spark code path: the six surviving
+    * buggy sums are PyArrow-verified against the reference's committed
+    * 02.parquet (FIXTURES.md §1c), and dow6 is forced by the row total. */
+  def fixedDowCensus(spark: SparkSession, dir: String): DataFrame = {
+    val derived = Features(
+      spark.read.parquet(s"$refRoot/01.parquet"), bugCompat = false)
+    val dowSums = (0 until 7).map(d =>
+      sum(col(s"Pickup_dow_is_$d")).cast("long").as(s"dow$d"))
+    val aggCols = dowSums ++ Seq(
+      count(lit(1)).as("n_rows"),
+      (0 until 7).map(d => sum(col(s"Pickup_dow_is_$d")))
+        .reduce(_ + _).cast("long").as("encoded_rows"))
+    val wide = derived.agg(aggCols.head, aggCols.tail: _*)
+    val names = wide.columns
+    wide.select(expr(
+      s"stack(${names.length}, ${names.map(n => s"'$n', $n").mkString(", ")})" +
+        " as (metric, value)"))
+      .orderBy(col("metric"))
+  }
+
+  val fixedDowCensusSql: String = {
+    // buggy sums [dead, Sun..Fri] shift to fixed [Sun..Fri, Sat];
+    // Sat = 49,647 − (7858+7315+5253+5944+6585+7926) = 8,766.
+    val fixedDows = Seq(7858L, 7315L, 5253L, 5944L, 6585L, 7926L, 8766L)
+    val rows =
+      fixedDows.zipWithIndex.map { case (v, d) => s"('dow$d', $v)" } ++
+      Seq("('n_rows', 49647)", "('encoded_rows', 49647)")
+    s"""SELECT metric, CAST(value AS BIGINT) AS value FROM (VALUES
+       |  ${rows.mkString(",\n  ")}
+       |) AS t(metric, value) ORDER BY metric""".stripMargin
+  }
+
   /** Constant-table oracle twin: the independently verified anchors. */
   val censusSql: String = {
     val hours = Seq(2001, 1596, 1231, 897, 738, 430, 549, 977, 1544, 1771,
