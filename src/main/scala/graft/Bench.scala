@@ -115,6 +115,19 @@ object Bench {
       // timestamps (e.g. join_interval_binned's hour bucket) must not
       // drift with the host TZ across DST transitions.
       .config("spark.sql.session.timeZone", "UTC")
+      // WindowExec/SMJ row buffers switch from an in-memory array to a
+      // spilling UnsafeExternalSorter at 4096 rows by DEFAULT — at sf0.1
+      // a 3-group percentile window buffers 200k-row groups, so every
+      // big-partition window paid serialize+spill for rows that fit in a
+      // few MB (measured 0.86 → 0.72 s on one window pass; compounds
+      // across the window-heavy tier). 1M rows ≈ ≤50 MB per group
+      // buffer — sized to sf0.1 against the 24g heap. At cluster scale
+      // this stays data-dependent tuning: partitions there hold far more
+      // rows per group, and the spill path is exactly what makes the
+      // operator memory-safe, so the default is only raised, not removed.
+      .config("spark.sql.windowExec.buffer.in.memory.threshold", "1048576")
+      .config("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", "1048576")
+      .config("spark.sql.sessionWindow.buffer.in.memory.threshold", "1048576")
       // Let AQE coalesce stages downstream of persisted intermediates
       // (see Verify.scala for rationale + measurement).
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")

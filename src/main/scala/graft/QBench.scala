@@ -25,6 +25,10 @@ object QBench {
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+      // mirror Bench's big-partition window/SMJ buffer sizing
+      .config("spark.sql.windowExec.buffer.in.memory.threshold", "1048576")
+      .config("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", "1048576")
+      .config("spark.sql.sessionWindow.buffer.in.memory.threshold", "1048576")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def clear(): Unit =

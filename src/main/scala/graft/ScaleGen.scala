@@ -117,7 +117,7 @@ object ScaleGen {
       shiftCol("vec_id", dVec)(df, k)
         .withColumn("embedding", expr(
           """transform(embedding,
-            |  (x, i) -> cast(x + __k * 0.013f * (pmod(i, 7) - 3) as float))"""
+            |  (x, i) -> cast(x + __k * 0.013d * (pmod(i, 7) - 3) as float))"""
             .stripMargin))
     })
     spark.stop()

@@ -24,6 +24,12 @@ object Verify {
       // coalesces those stages (measured 3.7 s → 2.4 s on dedup_minhash_lsh
       // at sf0.1; same flag a production deployment would set).
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // mirror Bench's big-partition window/SMJ buffer sizing (see
+      // Bench.scala — the 4096-row default spills every sizable window
+      // group through UnsafeExternalSorter)
+      .config("spark.sql.windowExec.buffer.in.memory.threshold", "1048576")
+      .config("spark.sql.sortMergeJoinExec.buffer.in.memory.threshold", "1048576")
+      .config("spark.sql.sessionWindow.buffer.in.memory.threshold", "1048576")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
