@@ -34,17 +34,20 @@ object QBench {
     def clear(): Unit =
       try spark.sharedState.cacheManager.clearCache()
       catch { case _: Throwable => () }
+    // mirror Bench's physical-layout normalization (see Bench.relayout)
+    val dir = Bench.relayout(spark, sfDir)
+    val warmDir = Bench.relayout(spark, "/root/testdata/sf0.001")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       // warm-up (JIT) at the bench's warm SF, then timed reps at sfDir
       try {
-        fn(spark, "/root/testdata/sf0.001")
+        fn(spark, warmDir)
           .write.format("noop").mode("overwrite").save()
       } catch { case e: Throwable => System.err.println(s"warm $name: $e") }
       clear()
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
         clear()
         dt
