@@ -213,7 +213,7 @@ object Aggregations {
   /** approx_percentile (Greenwald-Khanna/KLL-style mergeable quantile
     * sketch). Same portability pattern as `approxDistinct`: scalar
     * `within_tol` booleans (sketch within 5% relative of the exact
-    * percentile — at accuracy=10000 the rank error is 1e-4, far inside
+    * percentile — at accuracy=2000 the rank error is 5e-4, far inside
     * tolerance) next to exact counts. No array columns in the output (the
     * driver's comparator requires flat scalars). The exact-percentile twin
     * (`agg_percentiles`) value-checks interpolation; this entry checks the
@@ -232,9 +232,9 @@ object Aggregations {
     val sketches = li
       .groupBy(col("l_returnflag"))
       .agg(
-        expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 2000)")
           .as("aq"),
-        expr("approx_percentile(l_quantity, 0.5, 10000)").as("amq"),
+        expr("approx_percentile(l_quantity, 0.5, 2000)").as("amq"),
         count(lit(1)).as("n_rows"))
     val exact = exactPercentiles(li, "l_returnflag", Seq(
       ("l_extendedprice", 0.5, "eq50"),

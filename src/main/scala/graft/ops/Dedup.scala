@@ -188,38 +188,32 @@ object Dedup {
     * self-join below run with NO exchange on either side. */
   private[ops] def verifiedPairs(
       sh: DataFrame, cand: DataFrame, threshold: Double): DataFrame = {
-    // Broadcast the candidate-doc list into a semi-join against the cached
-    // shingle table: the corpus-sized side never shuffles — the only data
-    // that moves from here on is the candidate docs' shingles (O(cand)).
-    // No distinct() before the broadcast: a semi-join build side dedups
-    // its keys internally, so the pre-shuffle would be pure overhead.
-    // (For a candidate set too large to broadcast, drop the hint and this
-    // degrades to a shuffled semi-join; the rest is unchanged.)
-    // shC is NOT persisted: it is a narrow broadcast semi-join over the
-    // already-cached shingle table, so each of its three references
-    // (counts child, both self-join sides) replays one cheap hash-lookup
-    // pass over the cache — where a persist cost a full extra
-    // cache-write wave per query. The broadcast build happens once
-    // (identical subtree ⇒ exchange reuse).
-    val candDocs = cand.select(col("d1").as("doc_id"))
-      .union(cand.select(col("d2").as("doc_id")))
-    val shC = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-    // Per-doc shingle counts ride THROUGH the self-join (n is constant per
-    // doc_id, so max() per pair recovers it) instead of re-joining the
-    // pair list against a counts table twice — one broadcast build of the
-    // tiny counts table replaces two, and the pair table never shuffles
-    // again after its aggregate.
-    val counts = shC.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val shCn = shC.join(broadcast(counts), "doc_id")
-    shCn.as("a")
-      .join(shCn.as("b"), col("a.sh") === col("b.sh") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("common"),
-        max(col("na")).as("n1"), max(col("nb")).as("n2"))
-      .join(broadcast(cand), Seq("d1", "d2"), "left_semi")
+    // PER-PAIR verification via doc-keyed set joins — cost O(candidates ×
+    // doc length), never a shingle-keyed pair expansion. The previous
+    // formulation self-joined the candidate docs' shingles on the shingle
+    // key and semi-joined the candidate pairs at the END: its
+    // intermediate size is Σ_shingle df² over candidate docs, which is
+    // invisible at sf0.1 (few candidate docs) and detonates the moment
+    // near-dup density grows — the sf1 (10×) run, where every doc sits
+    // in a replica cluster and every doc is a candidate, spent 40-240 s
+    // here at 4 % CPU utilization. This plan instead joins each
+    // candidate pair to its two per-doc shingle-hash SETS (one bounded
+    // collect over the df-capped shingle table — buffers bounded by doc
+    // length) on the doc key, and computes |A∩B| inside the row with
+    // array_intersect: linear in candidates at any density, the shape
+    // that survives a corpus where dedup actually has work to do. Same
+    // semantics: the sets come from the SAME capped table the old join
+    // read, and the join key was already the xxhash64 shingle hash.
+    val candE = cand.distinct() // band-duplicated pairs verify once
+    val arrs = sh.groupBy(col("doc_id"))
+      .agg(collect_list(col("sh")).as("shs"))
+    val a1 = arrs.select(col("doc_id").as("d1"), col("shs").as("sh1"))
+    val a2 = arrs.select(col("doc_id").as("d2"), col("shs").as("sh2"))
+    candE.join(a1, "d1").join(a2, "d2")
+      .select(col("d1"), col("d2"),
+        size(col("sh1")).cast("long").as("n1"),
+        size(col("sh2")).cast("long").as("n2"),
+        size(array_intersect(col("sh1"), col("sh2"))).cast("long").as("common"))
       .select(col("d1"), col("d2"), col("n1"), col("n2"), col("common"),
         (col("common").cast(DoubleType) /
           (col("n1") + col("n2") - col("common")).cast(DoubleType)).as("jaccard"))
@@ -495,12 +489,29 @@ object Dedup {
   private[ops] val SimHashK = 3 // max Hamming distance in the output
   private[ops] val SimHashBlocks = 4 // 4 × 16-bit blocks — complete for K ≤ 3
 
-  /** Signature-cluster bucket cap for simhash blocking. Short same-domain
-    * docs cluster in signature space, so 16-bit block buckets legitimately
-    * reach ~200 members at sf0.1 — the cap is set above that (it exists
-    * to bound adversarial pileup at O(cap²) per bucket, e.g. an
-    * empty-token flood that all hashes to one signature). */
+  /** Signature-cluster bucket cap FLOOR for simhash blocking. Short
+    * same-domain docs cluster in signature space, so 16-bit block
+    * buckets legitimately reach ~200 members at sf0.1 — the floor sits
+    * above that. The effective cap is [[simhashCap]]. */
   private[ops] val SimHashBucketCap = 1000
+
+  /** Corpus-scaled hot-bucket cap: max(floor, N/5). A FIXED cap is a
+    * scale bug, found by the sf1 (10×) run: organic signature clusters
+    * grow linearly with the corpus, so a cap tuned at sf0.1 started
+    * dropping REAL candidate buckets at sf1 and the engine lost 532
+    * pairs that the bandless all-pairs oracle kept (17,174 vs 17,706).
+    * Scaling the cap with N keeps every organic bucket — the Manku
+    * banding stays COMPLETE for K ≤ 3, so the oracle parity claim holds
+    * at every SF — while still refusing saturation degeneracy (any one
+    * block value holding > 20% of the corpus, e.g. an empty-token flood
+    * hashing everything to one signature; such a bucket's pairs are a
+    * data-quality pathology, not an answer). At 100 TB the additional
+    * production move is to SALT oversized kept buckets across tasks for
+    * parallelism — the semantics here (keep organic, drop saturated)
+    * are the scalable ones. The count is parquet-metadata-only (no
+    * scan). */
+  private[ops] def simhashCap(docs: DataFrame): Int =
+    math.max(SimHashBucketCap, (docs.count() / 5).toInt)
 
   /** SimHash near-dup: all pairs within Hamming distance 3 of the 64-bit
     * signature (graft.functions.SimHash64 — computed in one pass inside
@@ -520,7 +531,8 @@ object Dedup {
     * is the Jaccard-threshold tier. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    simhashPairs(Tables.documents(spark, dir), SimHashBucketCap)
+    val docs = Tables.documents(spark, dir)
+    simhashPairs(docs, simhashCap(docs))
   }
 
   private[ops] def simhashPairs(docs: DataFrame, bucketCap: Int): DataFrame = {
@@ -592,14 +604,15 @@ object Dedup {
     * completeness, and the argmin in one query. */
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val sig = Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val sig = docs
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         expr("graft_simhash64(split(text, ' '))").as("simhash"))
     val blocks = dropHotBuckets(
       simhashBlockRows(sig, "simhash")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      SimHashBucketCap, col("blk"), col("bits"))
+      simhashCap(docs), col("blk"), col("bits"))
     val oldB = blocks.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
     val newB = blocks.filter(pmod(col("doc_id"), lit(5L)) === 0)
     oldB.as("o").join(newB.as("n"), Seq("blk", "bits"))
@@ -1072,14 +1085,15 @@ object Dedup {
     * what the spec pins. */
   def streamIncremental(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val sig = Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val sig = docs
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         expr("graft_simhash64(split(text, ' '))").as("simhash"))
     val blocks = dropHotBuckets(
       simhashBlockRows(sig, "simhash")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      SimHashBucketCap, col("blk"), col("bits"))
+      simhashCap(docs), col("blk"), col("bits"))
     blocks.as("o").join(blocks.as("n"), Seq("blk", "bits"))
       .filter(pmod(col("o.doc_id"), lit(3L)) < pmod(col("n.doc_id"), lit(3L)) &&
         expr("bit_count(o.simhash ^ n.simhash)") <= SimHashK)
@@ -1180,12 +1194,14 @@ object Dedup {
       .filter(col("common").cast(DoubleType) /
         (col("n1") + col("n2") - col("common")).cast(DoubleType) >= 0.8)
       .select(col("d1"), col("d2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // truth and sigs are each consumed ONCE downstream (the recall join /
+    // the tagged explode), so they stay UNPERSISTED: a persist on a
+    // single-use frame only adds a block-write pass. sh, counts and
+    // candAll keep theirs — each feeds ≥2 subtrees.
     // ONE signature pass: 64 affine-min slots over the polyhash shingles
     val sigCols = (0 until NumHashes).map(i =>
       min((lit(bandA(i)) * col("ph") + lit(bandB(i))) % lit(BandP)).as(s"s$i"))
     val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ONE tagged explode serves ALL schemes: every (scheme, band) slice
     // becomes a row keyed by (bands, band, key₈) where key₈ is the
     // band's slot tuple PADDED to 8 slots with −1 (slot values are

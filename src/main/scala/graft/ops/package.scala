@@ -48,61 +48,116 @@ package object ops {
   def davg(c: Column): Column =
     sum(c.cast(DecimalType(18, 4))).cast(DoubleType) / count(lit(1))
 
-  /** Exact interpolated percentiles via ONE sort-exchange window plan.
+  /** Number of histogram cells per (group, value column) in
+    * [[exactPercentiles]] — sized so a refinement cell at sf0.1 holds
+    * ~75 rows; at any SF the census stays ≤ groups·vcols·cells rows. */
+  private val PctBuckets = 8192
+
+  /** EXACT interpolated percentiles via histogram refinement — the
+    * distributed rank-selection plan (one bucket census + one targeted
+    * refinement, both map-side parallel) instead of Spark's
+    * `percentile()` aggregate, whose buffer is the full per-group value
+    * list: boxed, serialized across the exchange in partial mode, and
+    * group-cardinality-parallel (3 tasks here) after a pre-repartition —
+    * measured 1.8–2.4 s per query at sf0.1 for 3-row outputs.
     *
-    * Spark's `percentile()` aggregate buffers the full per-group value
-    * list (boxed, serialized across the exchange in partial mode, or
-    * group-cardinality-parallel after a pre-repartition) — measured
-    * 1.8–2.4 s per query at sf0.1 for 3-row outputs. The sorted-rank
-    * formulation computes the same interpolated values from boundary
-    * rows only: rank each distinct value column with `row_number` over
-    * the group-key exchange (all rank orders ride ONE exchange — a
-    * re-sort per value column, no extra shuffle), keep only the rows at
-    * `floor/ceil(p·(n−1))` positions, and assemble Spark `percentile`'s
-    * exact expression `(ceil−pos)·v_lo + (pos−floor)·v_hi` (bit-identical
-    * to the aggregate's `getPercentile`, so oracle behavior is unchanged)
-    * in a tiny group-sized aggregate. Tungsten radix sort replaces the
-    * list-buffer accumulation; at 100 TB this is the classic
-    * rank-selection quantile plan (sort once, touch k boundary rows).
+    * Plan: (1) per-(group, column) min/max/count — one map-side-combined
+    * aggregate; (2) bucket census: every value hashes to
+    * `floor((v−min)/width)` over [[PctBuckets]] cells, ONE exploded
+    * count aggregate covers all value columns (≤ groups·cols·cells rows
+    * after map-side combine); (3) the cumulative census (bucket-domain
+    * window, census-sized) locates the bucket holding each needed rank
+    * `floor/ceil(p·(n−1))+1`; (4) refinement re-scans ONLY the target
+    * buckets (broadcast semi-join; ~n/cells rows each), ranks inside the
+    * bucket (global rank = census prefix + local rank — buckets are
+    * value-monotone, so this IS the global order), and assembles Spark
+    * `percentile`'s interpolation expression
+    * `(ceil−pos)·v_lo + (pos−floor)·v_hi` bit-identically, so oracle
+    * behavior matches the aggregate exactly. Every stage is
+    * row-parallel; nothing ever holds more than a census per task. At
+    * 100 TB this is the textbook exact-quantile shape: two scans, tiny
+    * exchanges, no single-task sort of a group.
     *
     * `specs` = (valueColumn, p, outputName); value columns MUST be
     * non-null (callers filter first — `percentile` ignores nulls, the
-    * shared `n` here must too). One row per group, unrounded doubles. */
+    * shared counts here must too). One row per group, unrounded
+    * doubles. */
   def exactPercentiles(df: org.apache.spark.sql.DataFrame, group: String,
       specs: Seq[(String, Double, String)]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vcols = specs.map(_._1).distinct
     val base = df.select((col(group) +: vcols.map(col)): _*)
-    val ranked = vcols.foldLeft(base) { (d, v) =>
-        d.withColumn(s"__rn_$v",
-          row_number().over(Window.partitionBy(col(group)).orderBy(col(v))))
-      }
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(group))))
-    def pos(p: Double): Column =
-      lit(p) * (col("__n") - 1).cast(DoubleType)
-    val keep = specs.map { case (v, p, _) =>
-      col(s"__rn_$v") === (floor(pos(p)) + 1) ||
-        col(s"__rn_$v") === (ceil(pos(p)) + 1)
-    }.reduce(_ || _)
-    val aggs = specs.flatMap { case (v, p, out) =>
-      Seq(
-        min(when(col(s"__rn_$v") === (floor(pos(p)) + 1), col(v)))
-          .as(s"__lo_$out"),
-        min(when(col(s"__rn_$v") === (ceil(pos(p)) + 1), col(v)))
-          .as(s"__hi_$out"))
-    } :+ max(col("__n")).as("__nn")
-    val agged = ranked.filter(keep)
-      .groupBy(col(group)).agg(aggs.head, aggs.tail: _*)
-    val outs = specs.map { case (_, p, out) =>
-      val ps = lit(p) * (col("__nn") - 1).cast(DoubleType)
-      val lo = floor(ps)
-      val hi = ceil(ps)
-      when(lo === hi, col(s"__lo_$out").cast(DoubleType))
-        .otherwise(
-          (hi.cast(DoubleType) - ps) * col(s"__lo_$out").cast(DoubleType) +
-            (ps - lo.cast(DoubleType)) * col(s"__hi_$out").cast(DoubleType))
-        .as(out)
+    // (1) bounds + counts, one row per group
+    val mmAggs = vcols.flatMap(v => Seq(
+      min(col(v)).cast(DoubleType).as(s"__mn_$v"),
+      max(col(v)).cast(DoubleType).as(s"__mx_$v"),
+      count(col(v)).as(s"__n_$v")))
+    val mm = base.groupBy(col(group)).agg(mmAggs.head, mmAggs.tail: _*)
+    // exploded (column-name, value) pairs with the bucket id; the mm join
+    // is broadcast (group-sized) and the bucket expression is IDENTICAL
+    // in the census and refinement passes (same deterministic fp math)
+    def pick(prefix: String): Column =
+      vcols.map(v => when(col("__vn") === v, col(s"$prefix$v")))
+        .reduce(_.otherwise(_))
+    val pairs = base.select(col(group), explode(array(vcols.map(v =>
+        struct(lit(v).as("vn"), col(v).cast(DoubleType).as("vv"))): _*)).as("__p"))
+      .select(col(group), col("__p.vn").as("__vn"), col("__p.vv").as("__vv"))
+      .join(broadcast(mm), group)
+      .withColumn("__bkt",
+        when(pick("__mx_") === pick("__mn_"), lit(0L)).otherwise(
+          least(lit(PctBuckets - 1L), greatest(lit(0L),
+            floor((col("__vv") - pick("__mn_")) /
+              ((pick("__mx_") - pick("__mn_")) / PctBuckets))))))
+      .select(col(group), col("__vn"), col("__vv"), col("__bkt"))
+    // (2) census + (3) exclusive prefix over the bucket domain
+    val census = pairs.groupBy(col(group), col("__vn"), col("__bkt"))
+      .agg(count(lit(1)).as("__c"))
+    val wc = Window.partitionBy(col(group), col("__vn")).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = census.withColumn("__below",
+      coalesce(sum(col("__c")).over(wc), lit(0L)))
+    // needed ranks: (group, out, lo|hi, rank, pos) — groups·specs·2 rows
+    val targets = mm.select(col(group), explode(array(specs.flatMap {
+        case (v, p, out) =>
+          val pos = lit(p) * (col(s"__n_$v") - 1).cast(DoubleType)
+          Seq(
+            struct(lit(v).as("vn"), lit(out).as("out"), lit("lo").as("which"),
+              (floor(pos) + 1).as("rank"), pos.as("pos")),
+            struct(lit(v).as("vn"), lit(out).as("out"), lit("hi").as("which"),
+              (ceil(pos) + 1).as("rank"), pos.as("pos")))
+      }: _*)).as("__t"))
+      .select(col(group), col("__t.vn").as("__vn"), col("__t.out").as("__out"),
+        col("__t.which").as("__which"), col("__t.rank").as("__rank"),
+        col("__t.pos").as("__pos"))
+    val tloc = targets.join(cum, Seq(group, "__vn"))
+      .filter(col("__rank") > col("__below") &&
+        col("__rank") <= col("__below") + col("__c"))
+      .select(col(group), col("__vn"), col("__out"), col("__which"),
+        col("__rank"), col("__pos"), col("__bkt"), col("__below"))
+    // (4) refinement: only the target buckets' rows, ranked in-bucket
+    val wl = Window.partitionBy(col(group), col("__vn"), col("__bkt"))
+      .orderBy(col("__vv"))
+    val vals = pairs
+      .join(broadcast(tloc.select(col(group), col("__vn"), col("__bkt")).distinct()),
+        Seq(group, "__vn", "__bkt"), "left_semi")
+      .withColumn("__lrn", row_number().over(wl))
+      .join(broadcast(tloc), Seq(group, "__vn", "__bkt"))
+      .filter(col("__below") + col("__lrn") === col("__rank"))
+    val assembled = vals.groupBy(col(group), col("__out"))
+      .agg(
+        min(when(col("__which") === "lo", col("__vv"))).as("__vlo"),
+        min(when(col("__which") === "hi", col("__vv"))).as("__vhi"),
+        max(col("__pos")).as("__pos"))
+      .withColumn("__res", {
+        val lo = floor(col("__pos"))
+        val hi = ceil(col("__pos"))
+        when(lo === hi, col("__vlo")).otherwise(
+          (hi.cast(DoubleType) - col("__pos")) * col("__vlo") +
+            (col("__pos") - lo.cast(DoubleType)) * col("__vhi"))
+      })
+    val outAggs = specs.map { case (_, _, out) =>
+      min(when(col("__out") === out, col("__res"))).as(out)
     }
-    agged.select((col(group) +: outs): _*)
+    assembled.groupBy(col(group)).agg(outAggs.head, outAggs.tail: _*)
   }
 }

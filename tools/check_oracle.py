@@ -81,12 +81,17 @@ def values_equal(a, b):
 
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
+
+    import os
+    def suffix(t):
+        # directory-layout tables (Spark writes a dir of part files)
+        return "/*.parquet" if os.path.isdir(f"{sf_dir}/{t}.parquet") else ""
     con = duckdb.connect()
     if len(sys.argv) > 3:  # optional: pin threads (determinism probes)
         con.execute(f"SET threads={int(sys.argv[3])}")
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet{suffix(t)}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_noracle = 0
     for qdir in sorted(glob.glob(f"{out_dir}/*/")):

@@ -29,12 +29,17 @@ def main():
         json_path = args[i + 1]
         del args[i:i + 2]
     out_dir, sf_dir = args[0], args[1]
+
+    import os
+    def suffix(t):
+        # directory-layout tables (Spark writes a dir of part files)
+        return "/*.parquet" if os.path.isdir(f"{sf_dir}/{t}.parquet") else ""
     threads = args[2] if len(args) > 2 else "32"
     con = duckdb.connect()
     con.execute(f"SET threads={threads}")
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet{suffix(t)}')")
     sql = json.load(open(f"{out_dir}/oracle_sql.json"))
     times = {}
     for name in sorted(sql):
