@@ -151,3 +151,179 @@ case class FloatVectorSqNorm(child: Expression)
        """.stripMargin
     })
 }
+
+/** The IVF quantizer hot loop as ONE codegen'd expression: the `p`
+  * nearest centroids (by score ‖c‖² − 2·v·c, tie-broken on ascending
+  * cid) of a float vector, returned as an array of cids in rank order.
+  *
+  * `cents` is a SINGLE literal of array<struct<cid int, csq double,
+  * centroid array<double>>> — the whole quantizer state travels as one
+  * serialized object, so plan size and codegen are independent of
+  * nlist. That is what lets nlist scale as √N (Similarity.ivfCellsFor):
+  * the earlier inline form spent k expression nodes × dim literal
+  * doubles per projection, and the broadcast-crossjoin form
+  * materialized N×k joined rows carrying the embedding payload
+  * (measured 27 GB/pass at 500k×448 — 58 s for the sf10 query this
+  * loop brings to ~8 s). Per row this is k·dim fused multiply-adds and
+  * one bounded insertion sort of size p — no row explosion, no boxing,
+  * no exchange.
+  *
+  * The score arithmetic is the exact sequence the crossjoin form ran:
+  * csq (driver-folded) minus 2 × the left-to-right float×double dot —
+  * bit-identical to FloatDoubleDot, hence to the DuckDB oracle's
+  * `c.csq - 2 * list_sum(...)` — and the (score, cid) strict-less
+  * insertion keeps the first (lowest-cid) entry on exact ties, matching
+  * `ROW_NUMBER() OVER (ORDER BY score, cid)`. */
+case class NearestCells(first: Expression, second: Expression, third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  import org.apache.spark.sql.types.{ArrayType, IntegerType}
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_nearest_cells"
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): NearestCells =
+    copy(first = f, second = s, third = t)
+
+  // Decoded quantizer cache: the cents child is a plan literal, so its
+  // evaluated ArrayData is the SAME object every row — decode it to
+  // primitive arrays once (per task / per expression instance) instead of
+  // paying a getStruct + getArray wrapper allocation per (row × centroid):
+  // at 500k rows × 708 cells × 3 passes that is ~10⁹ allocations, and
+  // removing them took the sf10 query 37 s → single digits. Reference
+  // inequality re-decodes, so a non-literal child stays correct.
+  @transient private var cacheSrc: AnyRef = _
+  @transient private var cacheIds: Array[Int] = _
+  @transient private var cacheCsq: Array[Double] = _
+  @transient private var cacheMat: Array[Array[Double]] = _
+
+  private def decoded(cents: ArrayData): Unit = {
+    if (!(cents.asInstanceOf[AnyRef] eq cacheSrc)) {
+      val k = cents.numElements()
+      val ids = new Array[Int](k)
+      val csq = new Array[Double](k)
+      val mat = new Array[Array[Double]](k)
+      var j = 0
+      while (j < k) {
+        val row = cents.getStruct(j, 3)
+        ids(j) = row.getInt(0)
+        csq(j) = row.getDouble(1)
+        mat(j) = row.getArray(2).toDoubleArray()
+        j += 1
+      }
+      cacheIds = ids; cacheCsq = csq; cacheMat = mat
+      cacheSrc = cents.asInstanceOf[AnyRef]
+    }
+  }
+
+  override def nullSafeEval(e: Any, c: Any, pAny: Any): Any = {
+    val emb = e.asInstanceOf[ArrayData]
+    val cents = c.asInstanceOf[ArrayData]
+    val p = pAny.asInstanceOf[Int]
+    decoded(cents)
+    val (ids, csqs, mat) = (cacheIds, cacheCsq, cacheMat)
+    val k = ids.length
+    val topS = new Array[Double](p)
+    val topC = new Array[Int](p)
+    var filled = 0
+    var j = 0
+    while (j < k) {
+      val cid = ids(j)
+      val cent = mat(j)
+      val n = math.min(emb.numElements(), cent.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        dot += emb.getFloat(i).toDouble * cent(i)
+        i += 1
+      }
+      val s = csqs(j) - 2.0 * dot
+      // bounded insertion: find slot where (s, cid) < (topS, topC)
+      var pos = if (filled < p) filled else p
+      while (pos > 0 && (s < topS(pos - 1) ||
+        (s == topS(pos - 1) && cid < topC(pos - 1)))) pos -= 1
+      if (pos < p) {
+        var m = math.min(filled, p - 1)
+        while (m > pos) { topS(m) = topS(m - 1); topC(m) = topC(m - 1); m -= 1 }
+        topS(pos) = s
+        topC(pos) = cid
+        if (filled < p) filled += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(topC.take(filled))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (e, c, pv) => {
+      // decoded-quantizer mutable state: same reference-equality cache as
+      // nullSafeEval, hoisted out of the per-row code path
+      val src = ctx.addMutableState("org.apache.spark.sql.catalyst.util.ArrayData",
+        "nearestCellsSrc")
+      val ids = ctx.addMutableState("int[]", "nearestCellsIds")
+      val csqs = ctx.addMutableState("double[]", "nearestCellsCsq")
+      val mat = ctx.addMutableState("double[][]", "nearestCellsMat")
+      val k = ctx.freshName("k")
+      val p = ctx.freshName("p")
+      val topS = ctx.freshName("topS")
+      val topC = ctx.freshName("topC")
+      val filled = ctx.freshName("filled")
+      val j = ctx.freshName("j")
+      val row = ctx.freshName("row")
+      val cid = ctx.freshName("cid")
+      val cent = ctx.freshName("cent")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val pos = ctx.freshName("pos")
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      val dj = ctx.freshName("dj")
+      s"""
+         |if ($src != $c) {
+         |  final int $k = $c.numElements();
+         |  $ids = new int[$k];
+         |  $csqs = new double[$k];
+         |  $mat = new double[$k][];
+         |  for (int $dj = 0; $dj < $k; $dj++) {
+         |    final org.apache.spark.sql.catalyst.InternalRow $row = $c.getStruct($dj, 3);
+         |    $ids[$dj] = $row.getInt(0);
+         |    $csqs[$dj] = $row.getDouble(1);
+         |    $mat[$dj] = $row.getArray(2).toDoubleArray();
+         |  }
+         |  $src = $c;
+         |}
+         |final int $p = $pv;
+         |final double[] $topS = new double[$p];
+         |final int[] $topC = new int[$p];
+         |int $filled = 0;
+         |for (int $j = 0; $j < $ids.length; $j++) {
+         |  final int $cid = $ids[$j];
+         |  final double[] $cent = $mat[$j];
+         |  final int $n = java.lang.Math.min($e.numElements(), $cent.length);
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += (double) $e.getFloat($i) * $cent[$i];
+         |  }
+         |  final double $s = $csqs[$j] - 2.0 * $dot;
+         |  int $pos = ($filled < $p) ? $filled : $p;
+         |  while ($pos > 0 && ($s < $topS[$pos - 1] ||
+         |      ($s == $topS[$pos - 1] && $cid < $topC[$pos - 1]))) $pos--;
+         |  if ($pos < $p) {
+         |    for (int $m = java.lang.Math.min($filled, $p - 1); $m > $pos; $m--) {
+         |      $topS[$m] = $topS[$m - 1]; $topC[$m] = $topC[$m - 1];
+         |    }
+         |    $topS[$pos] = $s;
+         |    $topC[$pos] = $cid;
+         |    if ($filled < $p) $filled++;
+         |  }
+         |}
+         |final int[] $out = new int[$filled];
+         |System.arraycopy($topC, 0, $out, 0, $filled);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+}

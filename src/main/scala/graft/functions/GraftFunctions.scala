@@ -23,6 +23,7 @@ object GraftFunctions {
     "graft_vec_dot" -> { args => FloatVectorDot(args(0), args(1)) },
     "graft_vec_dot_fd" -> { args => FloatDoubleDot(args(0), args(1)) },
     "graft_vec_sqnorm" -> { args => FloatVectorSqNorm(args(0)) },
+    "graft_nearest_cells" -> { args => NearestCells(args(0), args(1), args(2)) },
     "graft_simhash64" -> { args => SimHash64(args(0)) },
     "graft_poly_hash" -> { args => PolyHash64(args(0)) },
     "graft_topk_sketch" -> { args =>

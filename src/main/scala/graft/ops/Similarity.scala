@@ -294,9 +294,30 @@ object Similarity {
       |FROM comp JOIN sized USING (canonical_id)
       |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
-  private val IvfCells = 8  // coarse-quantizer cells (k)
+  private val IvfCells = 8  // pinned k for the TUNING artifacts (recall/inertia curves)
   private val IvfRounds = 2 // FIXED Lloyd rounds — determinism over convergence
   private val IvfProbe = 2  // cells probed per query
+
+  /** Corpus-scaled cell count for the PRODUCTION IVF operator:
+    * nlist = max(8, ⌈√N⌉) — the standard IVF sizing (FAISS guideline is
+    * nlist ∝ √N), keeping cell size ≈ √N so per-query probe cost is
+    * O(probe·√N) instead of O(probe·N/k_fixed). A FIXED k is a scale
+    * bug of the same class as the simhash cap: with queries ∝ N and
+    * cells of size N/8, total rerank work is N²/400 — measured 36.8×
+    * on a 10× corpus (sf1 → sf10) before this change. Both engines
+    * derive k from the same corpus count via IEEE double sqrt/ceil
+    * ([[ivfCellsSqlK]] is the oracle-side twin), so index construction
+    * stays hash-checkable at every SF. Seeds are the `vec_id < k`
+    * prefix, which requires k ≤ the dense original-id block; √N grows
+    * far slower than N, so the prefix always exists. The count is
+    * parquet-metadata-only. */
+  private[ops] def ivfCellsFor(n: Long): Int =
+    math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** Oracle-side twin of [[ivfCellsFor]] — DuckDB evaluates the same
+    * max(8, ceil(sqrt(count))) with the same IEEE semantics. */
+  private[ops] val ivfCellsSqlK: String =
+    "GREATEST(8, CAST(ceil(sqrt((SELECT COUNT(*) FROM embeddings))) AS BIGINT))"
 
   // ---- shared deterministic Lloyd trainer (IVF ANN tier + SemDeDup tier) ----
 
@@ -362,6 +383,61 @@ object Similarity {
     cents
   }
 
+  /** The quantizer state as ONE plan literal: array<struct<cid, csq,
+    * centroid>>, csq folded left-to-right on the driver — the identical
+    * IEEE sequence [[cellScore]] inlines, so scores are bit-equal either
+    * way. One serialized object instead of k expression nodes × dim
+    * literal doubles, so plan size and codegen time are independent of
+    * nlist — the prerequisite for nlist = √N. */
+  private[ops] def centroidsLit(cents: Seq[(Int, Seq[Double])]): Column =
+    typedLit(cents.map { case (cid, c) =>
+      (cid, c.foldLeft(0.0)((acc, x) => acc + x * x), c)
+    })
+
+  /** Nearest-cell assignment as a NARROW projection: per row, one
+    * codegen'd k·dim loop (graft.functions.NearestCells with p=1) — no
+    * row explosion, no exchange. Tie-breaks match the oracle's
+    * `ROW_NUMBER() ORDER BY score, cid`. An earlier broadcast-crossjoin
+    * formulation was scale-safe in plan size but materialized N×k joined
+    * rows carrying the embedding payload — 27 GB/pass at 500k vectors ×
+    * 448 cells; this form is pure flops. */
+  private[ops] def assignCells(em: DataFrame,
+      cents: Seq[(Int, Seq[Double])]): DataFrame =
+    em.select(col("vec_id"), col("embedding"),
+      element_at(call_function("graft_nearest_cells",
+        col("embedding"), centroidsLit(cents), lit(1)), 1).as("cid"))
+
+  /** [[lloydCentroids]] with join-based assignment rounds — same seeds,
+    * same DECIMAL(28,8) means, same tie-breaks, but the per-round argmin
+    * runs through [[assignCells]] instead of k inlined literal structs,
+    * so nlist can scale with the corpus (√N) without the plan growing
+    * with k. Returns the same driver-side (cid, centroid) list. */
+  private[ops] def lloydCentroidsScaled(em: DataFrame, k: Int,
+      rounds: Int): Seq[(Int, Seq[Double])] = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType => DD}
+    val spark = em.sparkSession
+    var cents: Seq[(Int, Seq[Double])] =
+      em.filter(col("vec_id") < k)
+        .select(col("vec_id").cast("int").as("cid"),
+          expr("transform(embedding, x -> cast(x as double))").as("centroid"))
+        .collect().toSeq
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
+    for (_ <- 0 until rounds) {
+      cents = assignCells(em, cents)
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(col("x").cast(DecimalType(28, 8))).cast(DD) /
+          count(lit(1))).as("m"))
+        .collect().toSeq
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+        .toSeq.sortBy(_._1)
+    }
+    cents
+  }
+
   /** Left-fold double dot in DuckDB SQL — the oracle-side twin of
     * graft_vec_dot_fd (identical element order and widening). */
   private[ops] def sqlDot(e: String, c: String): String =
@@ -370,7 +446,7 @@ object Similarity {
   /** Oracle-side twin of [[lloydCentroids]]: the `cents0 … cents<rounds>`
     * CTE chain (unrolled fixed-round Lloyd with identical arithmetic).
     * Callers append their own CTEs referencing `cents<rounds>`. */
-  private[ops] def lloydCtesSql(k: Int, rounds: Int): String = {
+  private[ops] def lloydCtesSql(k: Any, rounds: Int): String = {
     def centsCte(n: Int, prev: String): String =
       s"""assign$n AS (
          |  SELECT vec_id, embedding, cid FROM (
@@ -442,36 +518,61 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     val em = Tables.embeddings(spark, dir)
 
-    val cents = lloydCentroids(em, IvfCells, IvfRounds)
+    // Corpus-scaled nlist (√N cells of ≈√N members — see ivfCellsFor).
+    // The quantizer state is still k×dim driver doubles (bounded by
+    // construction) but travels as ONE plan literal, and both the
+    // assignment and the probe ranking are narrow codegen'd k·dim loops
+    // (graft.functions.NearestCells) — no inlined literal structs, no
+    // crossjoin row explosion, no exchange.
+    val k = ivfCellsFor(em.count())
+    val cents = lloydCentroidsScaled(em, k, IvfRounds)
 
     // Final assignment — narrow, re-derived per consumer from the scan
     // (cheaper than a persist barrier: one projection over the corpus).
-    val cells = em.select(col("vec_id"), col("embedding"),
-      nearestCid(cents)(col("embedding")).as("cid"))
-    // Each query probes its IvfProbe nearest cells: sorted struct array,
-    // sliced — same (score, cid) order as the oracle's windowed rank.
+    // Squared norms are hoisted into the assignment/probe projections
+    // (the oracle's cells.sq / queries.q_sq shape): the rerank touches
+    // every member of every probed cell, and when near-dup mass piles
+    // replicas into the same cells that is far more pairs than
+    // queries + corpus — recomputing both norms per PAIR doubled the
+    // rerank flops at sf10.
+    val cells = assignCells(em, cents)
+      .withColumn("sq", call_function("graft_vec_sqnorm", col("embedding")))
+    // Each query probes its IvfProbe nearest cells — NearestCells returns
+    // them in (score, cid) rank order, the oracle's prnk selection.
     val probes = em.filter(pmod(col("vec_id"), lit(50L)) === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        explode(slice(array_sort(array(scoreStructs(cents)(col("embedding")): _*)),
-          1, IvfProbe).getField("c")).as("cid"))
-    // exact cosine rerank within probed cells; probe side is tiny
-    // (queries × IvfProbe) — broadcast it so the corpus never shuffles
-    val wr = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-    broadcast(probes).join(cells, "cid")
+        call_function("graft_vec_sqnorm", col("embedding")).as("q_sq"),
+        explode(call_function("graft_nearest_cells",
+          col("embedding"), centroidsLit(cents), lit(IvfProbe))).as("cid"))
+    // Exact cosine rerank within probed cells; probe side is tiny
+    // (queries × IvfProbe) — broadcast it so the corpus never shuffles.
+    // Top-3 selection runs through the native bounded-heap TopKPerGroup
+    // node, not a window: replica-dense cells make the scored pair count
+    // balloon (99.5M pairs at sf10 — 27× the balanced estimate), and the
+    // window formulation local-sorts ALL of them (34 s) where the heap
+    // keeps 3 per query per partition (O(n log k), no sort buffer). The
+    // (cos_sim desc, vec_id) order is total within a query, so the kept
+    // rows are bit-identical to the window's ≤3 — the cheap rank window
+    // after runs over queries × 3 rows only.
+    val scored = broadcast(probes).join(cells, "cid")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+        round(call_function("graft_vec_dot", col("q_emb"), col("embedding")) /
+          (sqrt(col("q_sq")) * sqrt(col("sq"))), 6).as("cos_sim"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    graft.plans.GraftOps.topKPerGroup(scored, Seq("query_id"),
+        Seq(("cos_sim", true), ("vec_id", false)), 3)
       .withColumn("rnk", row_number().over(wr))
-      .filter(col("rnk") <= 3)
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  /** Oracle twin: unrolled fixed-round Lloyd with identical arithmetic. */
+  /** Oracle twin: unrolled fixed-round Lloyd with identical arithmetic;
+    * k is the same corpus-derived max(8, ⌈√N⌉) the engine computes. */
   val annIvfSql: String = {
     val dot = sqlDot _
     val fin = s"cents$IvfRounds"
-    s"""WITH ${lloydCtesSql(IvfCells, IvfRounds)},
+    s"""WITH ${lloydCtesSql(ivfCellsSqlK, IvfRounds)},
       |${lloydCellsSql(IvfRounds)},
       |queries AS (
       |  SELECT vec_id AS query_id, embedding AS q_emb, sq AS q_sq
