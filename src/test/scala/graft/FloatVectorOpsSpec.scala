@@ -116,3 +116,80 @@ class FloatVectorOpsSpec extends AnyFunSuite {
     }
   }
 }
+
+/** NearestCells (graft_nearest_cells): the single-literal IVF quantizer
+  * loop must select exactly the p nearest centroids by (‖c‖²−2·v·c, cid)
+  * — agreeing with an independently computed sort-based reference in both
+  * codegen (DataFrame) and interpreted (direct eval) paths, honoring the
+  * lowest-cid tie-break, and degrading cleanly when p ≥ k. */
+class NearestCellsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def em = {
+    GraftFunctions.register(spark)
+    Tables.embeddings(spark, dir)
+  }
+
+  /** Independent reference: score every centroid, full sort by (s, cid),
+    * take p — the semantics the bounded insertion loop must reproduce. */
+  private def reference(emb: Seq[Float], cents: Seq[(Int, Seq[Double])],
+      p: Int): Seq[Int] =
+    cents.map { case (cid, c) =>
+      val csq = c.foldLeft(0.0)((a, x) => a + x * x)
+      val n = math.min(emb.length, c.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += emb(i).toDouble * c(i); i += 1 }
+      (csq - 2.0 * dot, cid)
+    }.sorted.take(p).map(_._2)
+
+  private def centsOf(k: Int): Seq[(Int, Seq[Double])] =
+    em.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int"),
+        expr("transform(embedding, x -> cast(x as double))"))
+      .collect().toSeq
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).sortBy(_._1)
+
+  test("codegen path agrees with the sort-based reference for p=1..4") {
+    val cents = centsOf(7)
+    val lit7 = typedLit(cents.map { case (cid, c) =>
+      (cid, c.foldLeft(0.0)((a, x) => a + x * x), c)
+    })
+    val cols = Seq(col("vec_id"), col("embedding")) ++
+      (1 to 4).map(p => call_function("graft_nearest_cells",
+        col("embedding"), lit7, lit(p)).as(s"p$p"))
+    val rows = em.select(cols: _*).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val emb = r.getSeq[Float](1)
+      (1 to 4).foreach { p =>
+        val got = r.getSeq[Int](1 + p)
+        assert(got == reference(emb, cents, p),
+          s"vec ${r.getLong(0)} p=$p")
+      }
+    }
+  }
+
+  test("p >= k returns all k cids in rank order; ties break to lowest cid") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.InternalRow
+    val emb = Literal.create(ArrayData.toArrayData(Array(1.0f, 0.0f)),
+      ArrayType(FloatType))
+    // two IDENTICAL centroids (cids 5 and 3) + one farther: the tie must
+    // order 3 before 5, and p=5 > k=3 must return exactly 3 entries
+    val centType = ArrayType(StructType(Seq(
+      StructField("_1", IntegerType), StructField("_2", DoubleType),
+      StructField("_3", ArrayType(DoubleType)))))
+    def c(cid: Int, v: Seq[Double]) = InternalRow(cid,
+      v.foldLeft(0.0)((a, x) => a + x * x), ArrayData.toArrayData(v.toArray))
+    val cents = Literal.create(ArrayData.toArrayData(Array(
+      c(5, Seq(1.0, 0.0)), c(3, Seq(1.0, 0.0)), c(9, Seq(-5.0, 4.0)))),
+      centType)
+    val out = graft.functions.NearestCells(emb, cents, Literal(5))
+      .eval(null).asInstanceOf[ArrayData].toIntArray().toSeq
+    assert(out == Seq(3, 5, 9))
+  }
+}
