@@ -109,7 +109,19 @@ object Dedup {
     * The cap bounds the self-join at O(corpus × maxDf). The DuckDB oracle
     * twins apply the same cap, so the semantic is portable (on this corpus
     * max df = 25, so the default cap never binds — `DedupGuardSpec`
-    * exercises the binding case adversarially). */
+    * exercises the binding case adversarially).
+    *
+    * CAP-SCALING POLICY (the r11 sf1/sf10 lesson, SCALE_r11.md): a cap
+    * must scale with the corpus iff its ORACLE contract is uncapped.
+    * [[simhashCap]] scales (its all-pairs oracle has no cap, so a fixed
+    * cap silently lost true pairs at sf1); MaxShingleDf and
+    * [[MaxBucketSize]] stay FIXED because both engines apply them
+    * identically (parity holds at every SF — re-verified value-identical
+    * at sf1) and because what they drop grows only with boilerplate/
+    * duplicate mass, which the production tier ordering removes upstream:
+    * exact-dedup first, near-dup on survivors (`dedup_apply`'s contract).
+    * A near-dup cluster larger than the cap on the POST-exact-dedup
+    * corpus is degenerate input, not signal. */
   private[ops] val MaxShingleDf = 1000
 
   private[graft] def hashedShingles(docs: DataFrame, maxDf: Int): DataFrame = {
