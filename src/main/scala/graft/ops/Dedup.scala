@@ -1190,6 +1190,15 @@ object Dedup {
     // exploded row through the shingle-match shuffle; the self-join is
     // hinted shuffle_hash — the pair expansion needs no order, so the
     // sort-merge default would sort 2M-row sides for nothing.
+    // Prefix filtering (Bayardo 2007: index only the |x|−⌈0.8|x|⌉+1
+    // rarest shingles, verify candidates on doc-keyed sets) was
+    // implemented and A/B-measured here in r11: it cut raw pair-groups
+    // 1.13M → 89k but COST 3.2 → 5.0 s at sf0.1 — its 4 extra stages
+    // (df census, rarity join, per-doc rank window, exact re-verify)
+    // outweigh an expansion that df ≤ 25 keeps trivial at this corpus.
+    // It becomes the right plan only when per-shingle dfs grow past the
+    // stage overhead; until then MaxShingleDf (both-engine-capped)
+    // bounds the worst case at O(corpus × maxDf).
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shk = sh.select(col("doc_id"), col("ph"), col("shingle"))
