@@ -109,31 +109,41 @@ package object ops {
             floor((col("__vv") - pick("__mn_")) /
               ((pick("__mx_") - pick("__mn_")) / PctBuckets))))))
       .select(col(group), col("__vn"), col("__vv"), col("__bkt"))
-    // (2) census + (3) exclusive prefix over the bucket domain
+    // (2) census + (3) exclusive prefix AND total count over the bucket
+    // domain — both windows share the (group, vn) exchange. The needed
+    // ranks `floor/ceil(p·(n−1))+1` are derived from the census total n
+    // (identical to mm's non-null count under the callers' non-null
+    // contract) and located in the SAME pass: each census row explodes
+    // its column's (out, lo|hi, rank, pos) spec entries and keeps those
+    // whose rank falls inside the row's bucket. This removes the whole
+    // second mm subtree and the separate targets⋈cum join the previous
+    // formulation paid — the census exchange IS the target locator.
     val census = pairs.groupBy(col(group), col("__vn"), col("__bkt"))
       .agg(count(lit(1)).as("__c"))
     val wc = Window.partitionBy(col(group), col("__vn")).orderBy(col("__bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = census.withColumn("__below",
-      coalesce(sum(col("__c")).over(wc), lit(0L)))
-    // needed ranks: (group, out, lo|hi, rank, pos) — groups·specs·2 rows
-    val targets = mm.select(col(group), explode(array(specs.flatMap {
-        case (v, p, out) =>
-          val pos = lit(p) * (col(s"__n_$v") - 1).cast(DoubleType)
-          Seq(
-            struct(lit(v).as("vn"), lit(out).as("out"), lit("lo").as("which"),
-              (floor(pos) + 1).as("rank"), pos.as("pos")),
-            struct(lit(v).as("vn"), lit(out).as("out"), lit("hi").as("which"),
-              (ceil(pos) + 1).as("rank"), pos.as("pos")))
-      }: _*)).as("__t"))
-      .select(col(group), col("__t.vn").as("__vn"), col("__t.out").as("__out"),
+    val wn = Window.partitionBy(col(group), col("__vn"))
+    val cum = census
+      .withColumn("__below", coalesce(sum(col("__c")).over(wc), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(wn))
+    val specArr: Column = vcols.map { v =>
+      val ss = specs.filter(_._1 == v).flatMap { case (_, p, out) =>
+        val pos = lit(p) * (col("__n") - 1).cast(DoubleType)
+        Seq(
+          struct(lit(out).as("out"), lit("lo").as("which"),
+            (floor(pos) + 1).as("rank"), pos.as("pos")),
+          struct(lit(out).as("out"), lit("hi").as("which"),
+            (ceil(pos) + 1).as("rank"), pos.as("pos")))
+      }
+      (v, array(ss: _*))
+    }.map { case (v, arr) => when(col("__vn") === v, arr) }
+      .reduce(_.otherwise(_))
+    val tloc = cum.withColumn("__t", explode(specArr))
+      .filter(col("__t.rank") > col("__below") &&
+        col("__t.rank") <= col("__below") + col("__c"))
+      .select(col(group), col("__vn"), col("__t.out").as("__out"),
         col("__t.which").as("__which"), col("__t.rank").as("__rank"),
-        col("__t.pos").as("__pos"))
-    val tloc = targets.join(cum, Seq(group, "__vn"))
-      .filter(col("__rank") > col("__below") &&
-        col("__rank") <= col("__below") + col("__c"))
-      .select(col(group), col("__vn"), col("__out"), col("__which"),
-        col("__rank"), col("__pos"), col("__bkt"), col("__below"))
+        col("__t.pos").as("__pos"), col("__bkt"), col("__below"))
     // (4) refinement: only the target buckets' rows, ranked in-bucket
     val wl = Window.partitionBy(col(group), col("__vn"), col("__bkt"))
       .orderBy(col("__vv"))
@@ -143,21 +153,27 @@ package object ops {
       .withColumn("__lrn", row_number().over(wl))
       .join(broadcast(tloc), Seq(group, "__vn", "__bkt"))
       .filter(col("__below") + col("__lrn") === col("__rank"))
-    val assembled = vals.groupBy(col(group), col("__out"))
-      .agg(
-        min(when(col("__which") === "lo", col("__vv"))).as("__vlo"),
-        min(when(col("__which") === "hi", col("__vv"))).as("__vhi"),
-        max(col("__pos")).as("__pos"))
-      .withColumn("__res", {
-        val lo = floor(col("__pos"))
-        val hi = ceil(col("__pos"))
-        when(lo === hi, col("__vlo")).otherwise(
-          (hi.cast(DoubleType) - col("__pos")) * col("__vlo") +
-            (col("__pos") - lo.cast(DoubleType)) * col("__vhi"))
-      })
-    val outAggs = specs.map { case (_, _, out) =>
-      min(when(col("__out") === out, col("__res"))).as(out)
+    // final assembly in ONE group-keyed aggregate (conditional min/max per
+    // output instead of a (group, out) rollup THEN a pivot — one exchange
+    // fewer) with the interpolation expression applied in the projection
+    val aggCols = specs.flatMap { case (_, _, out) =>
+      Seq(
+        min(when(col("__out") === out && col("__which") === "lo",
+          col("__vv"))).as(s"__vlo_$out"),
+        min(when(col("__out") === out && col("__which") === "hi",
+          col("__vv"))).as(s"__vhi_$out"),
+        max(when(col("__out") === out, col("__pos"))).as(s"__pos_$out"))
     }
-    assembled.groupBy(col(group)).agg(outAggs.head, outAggs.tail: _*)
+    val agged = vals.groupBy(col(group)).agg(aggCols.head, aggCols.tail: _*)
+    val outs = specs.map { case (_, _, out) =>
+      val pos = col(s"__pos_$out")
+      val lo = floor(pos)
+      val hi = ceil(pos)
+      when(lo === hi, col(s"__vlo_$out")).otherwise(
+        (hi.cast(DoubleType) - pos) * col(s"__vlo_$out") +
+          (pos - lo.cast(DoubleType)) * col(s"__vhi_$out"))
+        .as(out)
+    }
+    agged.select((col(group) +: outs): _*)
   }
 }
