@@ -912,7 +912,15 @@ object Similarity {
         col("n_hits"), expr("n_hits * 1000000 div n_exact").as("recall_fp"),
         col("cost"))
 
-    // ---- PQ family: one seed collect at max k; codebook k = row prefix
+    // ---- PQ family: one seed collect at max k; codebook k = row prefix.
+    // The per-k chains are deliberately NOT fused into one tagged
+    // dataflow (the banding-eval pattern): they are INDEPENDENT subtrees
+    // of one union job, so the scheduler overlaps their stages across
+    // the pool — an r11 A/B of the tagged fusion measured 3.6 → 4.4 s at
+    // sf0.1 (fewer stages, but serialized into one chain). Fusion wins
+    // when the fused stages are resource-bound (the banding case, where
+    // every scheme re-scanned a corpus-sized table); here each chain is
+    // tiny and parallelism is the scarce win.
     val seeds = pqSeeds(em, PqEvalKs.max)
     val codeCols = (0 until PqM).map(m => s"code$m")
     val pqParts = PqEvalKs.map { k =>
