@@ -1345,7 +1345,6 @@ object Dedup {
       |ORDER BY bands""".stripMargin
   }
 
-  private val SemClusters = 8    // k-means cells (shared Lloyd trainer)
   private val SemRounds = 2      // fixed Lloyd rounds — determinism over convergence
   private val SemTau = 0.3       // cosine threshold on the 6-decimal rounded value
   private val SemClusterCap = 1000 // hot-cluster guard, mirrored in the oracle
@@ -1360,14 +1359,20 @@ object Dedup {
     * the whole decision — centroids, assignments, per-pair cosines, keep
     * flags — is re-derived arithmetically by the DuckDB twin.
     *
-    * Scale shape: cell assignment is a narrow per-row projection (argmin
-    * over k broadcast centroids — no shuffle); pairing is a self
-    * EQUI-join keyed on cid, so the corpus shuffles once on cluster id and
-    * never meets itself outside a cluster. Per-cluster work is O(s²) in
-    * cluster size s — bounded in expectation by scaling k with the corpus
-    * (SemDeDup runs k ≈ √N so E[s] ≈ √N), and guarded here like the ANN
-    * tier's hot-bucket cap: clusters above `SemClusterCap` members are
-    * excluded from pairing (all kept) rather than allowed to go quadratic.
+    * Scale shape: cell assignment is a narrow per-row projection (the
+    * codegen'd NearestCells quantizer loop — no shuffle); pairing is a
+    * self EQUI-join keyed on cid, so the corpus shuffles once on cluster
+    * id and never meets itself outside a cluster. Per-cluster work is
+    * O(s²) in cluster size s, bounded by running SemDeDup's own sizing:
+    * k = max(8, ⌈√N⌉) cells ([[Similarity.ivfCellsFor]] — the paper runs
+    * k ≈ √N so E[s] ≈ √N), with the hot-cluster guard as a second fence
+    * (clusters above `SemClusterCap` members are excluded from pairing —
+    * all kept — rather than allowed to go quadratic). k was a FIXED 8
+    * until r11: at sf1 that made E[s] = 2500 > cap, so EVERY cluster
+    * tripped the guard and the operator silently stopped deduplicating —
+    * the same fixed-capacity scale-bug class as the simhash cap and the
+    * IVF nlist, caught by the same 10× run (SCALE_r11.md). Both engines
+    * derive k from the same corpus count, so parity holds at every SF.
     * The synthetic corpus has no true near-dups (max pairwise cosine
     * ≈ 0.51), so the threshold is a semantic-similarity τ = 0.3 rather
     * than SemDeDup's 0.9+; the mechanism is identical and the comparison
@@ -1376,11 +1381,11 @@ object Dedup {
   def semantic(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val em = Tables.embeddings(spark, dir)
-    val cents = Similarity.lloydCentroids(em, SemClusters, SemRounds)
-    val cells = em.select(col("vec_id"),
-      Similarity.nearestCid(cents)(col("embedding")).as("cid"),
-      col("embedding"),
-      Similarity.sqNorm(col("embedding")).as("sq"))
+    val k = Similarity.ivfCellsFor(em.count())
+    val cents = Similarity.lloydCentroidsScaled(em, k, SemRounds)
+    val cells = Similarity.assignCells(em, cents)
+      .withColumn("sq", Similarity.sqNorm(col("embedding")))
+      .select(col("vec_id"), col("cid"), col("embedding"), col("sq"))
     // hot-cluster guard: the size census is k rows — broadcast it
     val okCells = cells.groupBy(col("cid")).count()
       .filter(col("count") <= SemClusterCap).select(col("cid"))
@@ -1397,10 +1402,11 @@ object Dedup {
       .orderBy(col("cid"), col("vec_id"))
   }
 
-  /** Oracle twin: same unrolled Lloyd CTEs as `sim_ann_ivf`, then the
-    * within-cluster pairing and min-id survivor rule in plain SQL. */
+  /** Oracle twin: same unrolled Lloyd CTEs as `sim_ann_ivf` — including
+    * the corpus-derived k = max(8, ⌈√N⌉) — then the within-cluster
+    * pairing and min-id survivor rule in plain SQL. */
   val semanticSql: String =
-    s"""WITH ${Similarity.lloydCtesSql(SemClusters, SemRounds)},
+    s"""WITH ${Similarity.lloydCtesSql(Similarity.ivfCellsSqlK, SemRounds)},
       |${Similarity.lloydCellsSql(SemRounds)},
       |ok AS (SELECT cid FROM cells GROUP BY cid HAVING COUNT(*) <= $SemClusterCap),
       |p AS (SELECT c.* FROM cells c JOIN ok USING (cid)),
