@@ -96,14 +96,38 @@ object Graph {
       |SELECT node, r FROM r3 ORDER BY r DESC, node LIMIT 20""".stripMargin
   }
 
-  // Co-occurrence graph knobs: a (event_type, hour) bucket with more than
-  // MaxBucketUsers users is dropped before pairing (the hot-bucket cap that
-  // bounds the quadratic pair expansion — same posture as the LSH tiers in
-  // [[Dedup]]), and a user pair must co-occur in at least MinCooccur
-  // buckets to become an edge (sparsifies the saturated co-presence graph
-  // into a repeated-interaction one).
-  private val MaxBucketUsers = 40
+  // Co-occurrence graph knobs: a (event_type, hour) bucket with more
+  // users than the cap is dropped before pairing (the hot-bucket guard
+  // that bounds the quadratic pair expansion — same posture as the LSH
+  // tiers in [[Dedup]]), and a user pair must co-occur in at least
+  // MinCooccur buckets to become an edge (sparsifies the saturated
+  // co-presence graph into a repeated-interaction one).
+  //
+  // The cap SCALES with the user population — max(40, ⌈users/10⌉) — the
+  // same fixed-capacity lesson as the simhash/IVF/SemDeDup fixes
+  // (SCALE_r11.md): bucket membership grows ∝ distinct users (measured:
+  // same 3,600 hour×type buckets at every SF, 10× members at sf1), so
+  // the old fixed 40 dropped EVERY bucket at sf1 and the whole
+  // co-occurrence tier — triangles, LPA, k-core, modularity,
+  // assortativity, link prediction — silently returned empty results
+  // while staying oracle-green (the twins mirror the cap). A bucket over
+  // 10% of all users remains degenerate co-presence, not interaction,
+  // and is still dropped. At much larger corpora the production knob is
+  // bucket GRANULARITY (hour → minute shrinks memberships 60×); the cap
+  // is the degeneracy fence, not the cost model. Both engines derive the
+  // cap from the same COUNT(DISTINCT user_id) with identical
+  // double-divide + ceil arithmetic ([[maxBucketUsersSql]]).
+  private val MaxBucketUsersFloor = 40
   private val MinCooccur = 4
+
+  private def maxBucketUsers(users: Long): Long =
+    math.max(MaxBucketUsersFloor.toLong,
+      math.ceil(users.toDouble / 10.0).toLong)
+
+  /** Oracle-side twin of [[maxBucketUsers]]. */
+  private val maxBucketUsersSql: String =
+    s"GREATEST($MaxBucketUsersFloor, CAST(ceil(" +
+      "(SELECT COUNT(DISTINCT user_id) FROM events) / 10.0) AS BIGINT))"
 
   /** The co-occurrence edge pipeline shared by [[triangleCount]] and
     * [[linkPrediction]] — ONE exchange (on the bucket key) carries the
@@ -152,6 +176,10 @@ object Graph {
   }
 
   private def cooccurrenceEdgesBuild(spark: SparkSession, dir: String): DataFrame = {
+    // corpus-scaled cap input: one distinct-count job, memoized with the
+    // pipeline (the oracle twins re-derive the same count inline)
+    val users = Tables.events(spark, dir)
+      .select(col("user_id")).distinct().count()
     val occ = Tables.events(spark, dir)
       .select(col("event_type"), date_trunc("HOUR", col("ts")).as("hb"),
         col("user_id"))
@@ -160,7 +188,7 @@ object Graph {
     val bucketW = Window.partitionBy(col("event_type"), col("hb"))
     val occOk = occ
       .withColumn("bsz", count(lit(1)).over(bucketW))
-      .filter(col("bsz") <= MaxBucketUsers)
+      .filter(col("bsz") <= maxBucketUsers(users))
       .drop("bsz")
     occOk.as("x").join(occOk.as("y"), Seq("event_type", "hb"))
       .filter(col("x.user_id") < col("y.user_id"))
@@ -229,7 +257,7 @@ object Graph {
       |  FROM events),
       |ok AS (
       |  SELECT event_type, hb FROM occ
-      |  GROUP BY event_type, hb HAVING COUNT(*) <= $MaxBucketUsers),
+      |  GROUP BY event_type, hb HAVING COUNT(*) <= $maxBucketUsersSql),
       |edges AS (
       |  SELECT x.user_id AS a, y.user_id AS b
       |  FROM occ x JOIN ok USING (event_type, hb)
@@ -288,7 +316,7 @@ object Graph {
       |  FROM events),
       |ok AS (
       |  SELECT event_type, hb FROM occ
-      |  GROUP BY event_type, hb HAVING COUNT(*) <= $MaxBucketUsers),
+      |  GROUP BY event_type, hb HAVING COUNT(*) <= $maxBucketUsersSql),
       |edges AS (
       |  SELECT x.user_id AS a, y.user_id AS b
       |  FROM occ x JOIN ok USING (event_type, hb)
@@ -492,7 +520,7 @@ object Graph {
       |  FROM events),
       |ok AS (
       |  SELECT event_type, hb FROM occ
-      |  GROUP BY event_type, hb HAVING COUNT(*) <= $MaxBucketUsers),
+      |  GROUP BY event_type, hb HAVING COUNT(*) <= $maxBucketUsersSql),
       |e0 AS (
       |  SELECT x.user_id AS a, y.user_id AS b
       |  FROM occ x JOIN ok USING (event_type, hb)
@@ -611,7 +639,7 @@ object Graph {
       |  FROM events),
       |ok AS (
       |  SELECT event_type, hb FROM occ
-      |  GROUP BY event_type, hb HAVING COUNT(*) <= $MaxBucketUsers),
+      |  GROUP BY event_type, hb HAVING COUNT(*) <= $maxBucketUsersSql),
       |edges AS MATERIALIZED (
       |  SELECT x.user_id AS a, y.user_id AS b
       |  FROM occ x JOIN ok USING (event_type, hb)
@@ -745,7 +773,7 @@ object Graph {
       |  FROM events),
       |ok AS (
       |  SELECT event_type, hb FROM occ
-      |  GROUP BY event_type, hb HAVING COUNT(*) <= $MaxBucketUsers),
+      |  GROUP BY event_type, hb HAVING COUNT(*) <= $maxBucketUsersSql),
       |edges AS (
       |  SELECT x.user_id AS a, y.user_id AS b
       |  FROM occ x JOIN ok USING (event_type, hb)
