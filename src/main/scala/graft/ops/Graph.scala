@@ -120,7 +120,7 @@ object Graph {
   private val MaxBucketUsersFloor = 40
   private val MinCooccur = 4
 
-  private def maxBucketUsers(users: Long): Long =
+  private[ops] def maxBucketUsers(users: Long): Long =
     math.max(MaxBucketUsersFloor.toLong,
       math.ceil(users.toDouble / 10.0).toLong)
 

@@ -41,4 +41,12 @@ class ScalePolicySpec extends AnyFunSuite {
     assert(Dedup.simhashCap(docsOf(5000)) === 1000)  // sf0.1: unchanged by the fix
     assert(Dedup.simhashCap(docsOf(10000)) === 2000) // growth is N/5 past the floor
   }
+
+  test("co-occurrence bucket cap scales with users — fixed cap emptied the graph tier at sf1") {
+    assert(Graph.maxBucketUsers(100) === 40L)    // floor rules small populations
+    assert(Graph.maxBucketUsers(400) === 40L)
+    assert(Graph.maxBucketUsers(1500) === 150L)  // sf0.1 events
+    assert(Graph.maxBucketUsers(15000) === 1500L) // sf1: old fixed 40 dropped every bucket
+    assert(Graph.maxBucketUsers(150000) === 15000L)
+  }
 }
