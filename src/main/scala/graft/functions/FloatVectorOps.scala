@@ -327,3 +327,102 @@ case class NearestCells(first: Expression, second: Expression, third: Expression
        """.stripMargin
     })
 }
+
+/** The decoded IVF quantizer payload — primitive arrays, shipped to
+  * executors ONCE via torrent broadcast instead of riding inside every
+  * serialized plan/task binary as a `typedLit` literal. With
+  * nlist = ⌈√N⌉ (Similarity.ivfCellsFor) the quantizer is k×dim doubles
+  * and grows with the corpus: at 10¹¹ vectors × 64 dims it is ~160 MB,
+  * which a plan literal would re-serialize per plan, bloat the codegen
+  * constant pool with, and re-broadcast with every task binary. A
+  * `Broadcast` handle keeps the PLAN O(1) in nlist — the executors
+  * fetch the payload once per node, exactly MLlib's KMeansModel shape. */
+final class Quantizer(val ids: Array[Int], val csq: Array[Double],
+    val mat: Array[Array[Double]]) extends Serializable {
+  def k: Int = ids.length
+}
+
+object NearestCells {
+  /** The quantizer probe loop shared by the literal-backed and
+    * broadcast-backed expressions: the `p` nearest centroids of `emb` by
+    * score ‖c‖² − 2·v·c, tie-broken on ascending cid — bit-identical
+    * arithmetic and tie order to NearestCells.nullSafeEval/doGenCode
+    * (same left-to-right float×double fmas, same strict-less bounded
+    * insertion). Static so generated code can call it without an extra
+    * reference object. */
+  def rank(emb: ArrayData, ids: Array[Int], csqs: Array[Double],
+      mat: Array[Array[Double]], p: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val k = ids.length
+    val topS = new Array[Double](p)
+    val topC = new Array[Int](p)
+    var filled = 0
+    var j = 0
+    while (j < k) {
+      val cid = ids(j)
+      val cent = mat(j)
+      val n = math.min(emb.numElements(), cent.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        dot += emb.getFloat(i).toDouble * cent(i)
+        i += 1
+      }
+      val s = csqs(j) - 2.0 * dot
+      var pos = if (filled < p) filled else p
+      while (pos > 0 && (s < topS(pos - 1) ||
+        (s == topS(pos - 1) && cid < topC(pos - 1)))) pos -= 1
+      if (pos < p) {
+        var m = math.min(filled, p - 1)
+        while (m > pos) { topS(m) = topS(m - 1); topC(m) = topC(m - 1); m -= 1 }
+        topS(pos) = s
+        topC(pos) = cid
+        if (filled < p) filled += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(topC.take(filled))
+  }
+}
+
+/** Broadcast-backed nearest-cell assignment: same semantics and
+  * bit-identical arithmetic as [[NearestCells]], but the quantizer
+  * arrives as a `Broadcast[Quantizer]` CONSTRUCTOR parameter — the plan
+  * carries an 8-byte handle, not the k×dim payload. This closes the
+  * √N-driver-state channel the corpus-scaled nlist opened: task-binary
+  * size, plan serialization, and codegen constant-pool pressure are all
+  * O(1) in nlist (pinned by QuantizerBroadcastSpec). Not registrable by
+  * name (the broadcast can't ride through `call_function` args);
+  * constructed directly and wrapped via the DatasetShim column bridge. */
+case class NearestCellsBcast(child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[Quantizer], p: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  import org.apache.spark.sql.types.{ArrayType, IntegerType}
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_nearest_cells_bcast"
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellsBcast =
+    copy(child = newChild)
+
+  @transient private lazy val q: Quantizer = bc.value
+
+  override def nullSafeEval(e: Any): Any =
+    NearestCells.rank(e.asInstanceOf[ArrayData], q.ids, q.csq, q.mat, p)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, e => {
+      // the broadcast HANDLE goes into the references array; the payload
+      // is fetched lazily once per task and cached in mutable state
+      val bcRef = ctx.addReferenceObj("nearestCellsBcastHandle", bc,
+        classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+      val qv = ctx.addMutableState("graft.functions.Quantizer", "nearestCellsQuantizer")
+      s"""
+         |if ($qv == null) {
+         |  $qv = (graft.functions.Quantizer) $bcRef.value();
+         |}
+         |${ev.value} = graft.functions.NearestCells.rank(
+         |  $e, $qv.ids(), $qv.csq(), $qv.mat(), $p);
+       """.stripMargin
+    })
+}

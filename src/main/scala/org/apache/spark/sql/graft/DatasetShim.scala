@@ -19,4 +19,14 @@ object DatasetShim {
     * custom operators on top of it). */
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  /** A Column wrapping a raw Catalyst Expression — needed for expressions
+    * that carry non-Expression constructor state (e.g. a `Broadcast`
+    * handle), which can't ride through `call_function` registration. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    classic.ExpressionUtils.column(e)
+
+  /** The Catalyst Expression behind a Column (inverse of [[column]]). */
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }
