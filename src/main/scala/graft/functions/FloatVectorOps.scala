@@ -219,41 +219,10 @@ case class NearestCells(first: Expression, second: Expression, third: Expression
   }
 
   override def nullSafeEval(e: Any, c: Any, pAny: Any): Any = {
-    val emb = e.asInstanceOf[ArrayData]
     val cents = c.asInstanceOf[ArrayData]
-    val p = pAny.asInstanceOf[Int]
     decoded(cents)
-    val (ids, csqs, mat) = (cacheIds, cacheCsq, cacheMat)
-    val k = ids.length
-    val topS = new Array[Double](p)
-    val topC = new Array[Int](p)
-    var filled = 0
-    var j = 0
-    while (j < k) {
-      val cid = ids(j)
-      val cent = mat(j)
-      val n = math.min(emb.numElements(), cent.length)
-      var dot = 0.0
-      var i = 0
-      while (i < n) {
-        dot += emb.getFloat(i).toDouble * cent(i)
-        i += 1
-      }
-      val s = csqs(j) - 2.0 * dot
-      // bounded insertion: find slot where (s, cid) < (topS, topC)
-      var pos = if (filled < p) filled else p
-      while (pos > 0 && (s < topS(pos - 1) ||
-        (s == topS(pos - 1) && cid < topC(pos - 1)))) pos -= 1
-      if (pos < p) {
-        var m = math.min(filled, p - 1)
-        while (m > pos) { topS(m) = topS(m - 1); topC(m) = topC(m - 1); m -= 1 }
-        topS(pos) = s
-        topC(pos) = cid
-        if (filled < p) filled += 1
-      }
-      j += 1
-    }
-    new GenericArrayData(topC.take(filled))
+    NearestCells.rank(e.asInstanceOf[ArrayData], cacheIds, cacheCsq, cacheMat,
+      pAny.asInstanceOf[Int])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

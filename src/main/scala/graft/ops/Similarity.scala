@@ -388,24 +388,66 @@ object Similarity {
     * IEEE sequence [[cellScore]] inlines, so scores are bit-equal either
     * way. One serialized object instead of k expression nodes × dim
     * literal doubles, so plan size and codegen time are independent of
-    * nlist — the prerequisite for nlist = √N. */
+    * nlist — the prerequisite for nlist = √N. Superseded on the hot
+    * paths by [[broadcastQuantizer]]/[[nearestCellsCol]] (the literal
+    * still rides in every serialized plan and task binary; the broadcast
+    * handle does not) — retained for the parity spec. */
   private[ops] def centroidsLit(cents: Seq[(Int, Seq[Double])]): Column =
     typedLit(cents.map { case (cid, c) =>
       (cid, c.foldLeft(0.0)((acc, x) => acc + x * x), c)
     })
 
+  /** The decoded quantizer payload, csq folded left-to-right on the
+    * driver — the identical IEEE sequence [[centroidsLit]]/[[cellScore]]
+    * embed, so scores stay bit-equal across all three forms. */
+  private[ops] def quantizerOf(
+      cents: Seq[(Int, Seq[Double])]): graft.functions.Quantizer =
+    new graft.functions.Quantizer(
+      cents.map(_._1).toArray,
+      cents.map(_._2.foldLeft(0.0)((acc, x) => acc + x * x)).toArray,
+      cents.map(_._2.toArray).toArray)
+
+  /** Ship the quantizer to executors ONCE via torrent broadcast. With
+    * nlist = √N the quantizer grows with the corpus; as a `typedLit` it
+    * rode inside every serialized plan AND every task binary (the last
+    * named scale-killer). As a broadcast the plan carries an 8-byte
+    * handle — task-binary and plan size are O(1) in nlist. */
+  private[ops] def broadcastQuantizer(em: DataFrame,
+      cents: Seq[(Int, Seq[Double])]): org.apache.spark.broadcast.Broadcast[graft.functions.Quantizer] =
+    em.sparkSession.sparkContext.broadcast(quantizerOf(cents))
+
+  /** The p nearest cells of `emb` against a broadcast quantizer — the
+    * broadcast-backed twin of `graft_nearest_cells(emb, lit, p)`
+    * (bit-identical arithmetic and tie order; shared probe loop in
+    * NearestCells.rank). Built via the DatasetShim column bridge: the
+    * Broadcast handle is constructor state, not an Expression child, so
+    * it can't ride through `call_function`. */
+  private[ops] def nearestCellsCol(
+      bc: org.apache.spark.broadcast.Broadcast[graft.functions.Quantizer],
+      emb: Column, p: Int): Column =
+    org.apache.spark.sql.graft.DatasetShim.column(
+      graft.functions.NearestCellsBcast(
+        org.apache.spark.sql.graft.DatasetShim.expression(emb), bc, p))
+
   /** Nearest-cell assignment as a NARROW projection: per row, one
-    * codegen'd k·dim loop (graft.functions.NearestCells with p=1) — no
-    * row explosion, no exchange. Tie-breaks match the oracle's
-    * `ROW_NUMBER() ORDER BY score, cid`. An earlier broadcast-crossjoin
-    * formulation was scale-safe in plan size but materialized N×k joined
-    * rows carrying the embedding payload — 27 GB/pass at 500k vectors ×
-    * 448 cells; this form is pure flops. */
+    * codegen'd k·dim loop (graft.functions.NearestCellsBcast with p=1) —
+    * no row explosion, no exchange, and the quantizer arrives by
+    * broadcast so the plan is O(1) in nlist. Tie-breaks match the
+    * oracle's `ROW_NUMBER() ORDER BY score, cid`. An earlier
+    * broadcast-crossjoin formulation was scale-safe in plan size but
+    * materialized N×k joined rows carrying the embedding payload —
+    * 27 GB/pass at 500k vectors × 448 cells; this form is pure flops. */
   private[ops] def assignCells(em: DataFrame,
       cents: Seq[(Int, Seq[Double])]): DataFrame =
+    assignCellsBc(em, broadcastQuantizer(em, cents))
+
+  /** [[assignCells]] against an already-broadcast quantizer — lets one
+    * broadcast serve several projections of the same index (annIvf uses
+    * it for both the corpus assignment and the query probes). */
+  private[ops] def assignCellsBc(em: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[graft.functions.Quantizer]): DataFrame =
     em.select(col("vec_id"), col("embedding"),
-      element_at(call_function("graft_nearest_cells",
-        col("embedding"), centroidsLit(cents), lit(1)), 1).as("cid"))
+      element_at(nearestCellsCol(bc, col("embedding"), 1), 1).as("cid"))
 
   /** [[lloydCentroids]] with join-based assignment rounds — same seeds,
     * same DECIMAL(28,8) means, same tie-breaks, but the per-round argmin
@@ -520,12 +562,14 @@ object Similarity {
 
     // Corpus-scaled nlist (√N cells of ≈√N members — see ivfCellsFor).
     // The quantizer state is still k×dim driver doubles (bounded by
-    // construction) but travels as ONE plan literal, and both the
-    // assignment and the probe ranking are narrow codegen'd k·dim loops
-    // (graft.functions.NearestCells) — no inlined literal structs, no
+    // construction) but ships to executors ONCE by torrent broadcast —
+    // one handle serves both the corpus assignment and the query probes,
+    // and both rankings are narrow codegen'd k·dim loops
+    // (graft.functions.NearestCellsBcast) — no plan-riding literal, no
     // crossjoin row explosion, no exchange.
     val k = ivfCellsFor(em.count())
     val cents = lloydCentroidsScaled(em, k, IvfRounds)
+    val bc = broadcastQuantizer(em, cents)
 
     // Final assignment — narrow, re-derived per consumer from the scan
     // (cheaper than a persist barrier: one projection over the corpus).
@@ -535,15 +579,14 @@ object Similarity {
     // replicas into the same cells that is far more pairs than
     // queries + corpus — recomputing both norms per PAIR doubled the
     // rerank flops at sf10.
-    val cells = assignCells(em, cents)
+    val cells = assignCellsBc(em, bc)
       .withColumn("sq", call_function("graft_vec_sqnorm", col("embedding")))
-    // Each query probes its IvfProbe nearest cells — NearestCells returns
-    // them in (score, cid) rank order, the oracle's prnk selection.
+    // Each query probes its IvfProbe nearest cells — NearestCellsBcast
+    // returns them in (score, cid) rank order, the oracle's prnk selection.
     val probes = em.filter(pmod(col("vec_id"), lit(50L)) === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         call_function("graft_vec_sqnorm", col("embedding")).as("q_sq"),
-        explode(call_function("graft_nearest_cells",
-          col("embedding"), centroidsLit(cents), lit(IvfProbe))).as("cid"))
+        explode(nearestCellsCol(bc, col("embedding"), IvfProbe)).as("cid"))
     // Exact cosine rerank within probed cells; probe side is tiny
     // (queries × IvfProbe) — broadcast it so the corpus never shuffles.
     // Top-3 selection runs through the native bounded-heap TopKPerGroup
