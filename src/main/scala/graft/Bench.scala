@@ -335,15 +335,41 @@ object Bench {
     // shortlist (slowest ratios first) is computable from artifacts
     // alone. Provenance is the duckdb file's own meta; absent or
     // unparsable, the side file simply omits the ratio map.
-    val duckTimes: Map[String, Double] =
+    // PAIR-MATCHING GUARD (added after r12 shipped an unmatched pair: a
+    // bench run on a ~3.5×-degraded box was ratio'd against a basis
+    // measured in a different load window, making the ≤2× gate
+    // un-certifiable from the round's own artifacts). The DuckDB basis
+    // carries its own generation timestamp; if it is older than
+    // SPARK_GRAFT_PAIR_MAX_AGE_SEC (default 3 h) the ratios are REFUSED —
+    // the side file ships `"pair_matched":false` and no ratio map, so a
+    // stale basis can never masquerade as a same-window comparison. The
+    // age itself ships on the driver-parsed stdout line either way.
+    val duckPath = sys.env.getOrElse("SPARK_GRAFT_DUCKDB_TIMES", "duckdb_times.json")
+    val maxPairAge =
+      sys.env.getOrElse("SPARK_GRAFT_PAIR_MAX_AGE_SEC", "10800").toLong
+    val (duckTimesRaw, duckMeta): (Map[String, Double], Map[String, String]) =
       try {
-        val p = sys.env.getOrElse("SPARK_GRAFT_DUCKDB_TIMES", "duckdb_times.json")
-        val txt = scala.io.Source.fromFile(p).mkString
+        val txt = scala.io.Source.fromFile(duckPath).mkString
         val qBlock = txt.split("\"queries\"\\s*:\\s*\\{", 2)(1)
-        "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9.]+)".r
+        val qs = "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9.]+)".r
           .findAllMatchIn(qBlock)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty }
+        val metaBlock = txt.split("\"meta\"\\s*:\\s*\\{", 2)
+          .lift(1).map(_.split("\\}", 2)(0)).getOrElse("")
+        val meta = "\"([A-Za-z0-9_]+)\"\\s*:\\s*\"?([^\",}]+)\"?".r
+          .findAllMatchIn(metaBlock)
+          .map(m => m.group(1) -> m.group(2)).toMap
+        (qs, meta)
+      } catch { case _: Throwable => (Map.empty, Map.empty) }
+    val pairAgeSec: Long = duckMeta.get("generated_utc").flatMap { ts =>
+      try Some(java.time.Duration.between(
+        java.time.Instant.parse(ts), java.time.Instant.now()).getSeconds)
+      catch { case _: Throwable => None }
+    }.getOrElse(-1L)
+    val pairMatched = duckTimesRaw.nonEmpty &&
+      pairAgeSec >= 0 && pairAgeSec <= maxPairAge
+    val duckTimes: Map[String, Double] =
+      if (pairMatched) duckTimesRaw else Map.empty
     try {
       val sidePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json")
       val w = new java.io.PrintWriter(sidePath)
@@ -361,7 +387,12 @@ object Bench {
           }
           s""","ratios":${pairs.mkString("{", ",", "}")}"""
         }
-      try w.println(s"""{"queries":$qs,"sf":"$sfDir0","tput_wall":${f"$tputWall%.3f"}$stalledJson,"tput_errors":$tputErrors,"streams":$streams,"load0":${f"$load0%.2f"},"load1":${f"$load1%.2f"}$ratioJson}""")
+      val pairJson = {
+        val total = duckTimesRaw.values.filter(_ >= 0).sum
+        s""","pair_matched":$pairMatched,"pair_age_sec":$pairAgeSec""" +
+          (if (duckTimesRaw.nonEmpty) s""","duckdb_total":${f"$total%.3f"}""" else "")
+      }
+      try w.println(s"""{"queries":$qs,"sf":"$sfDir0","tput_wall":${f"$tputWall%.3f"}$stalledJson,"tput_errors":$tputErrors,"streams":$streams,"load0":${f"$load0%.2f"},"load1":${f"$load1%.2f"}$pairJson$ratioJson}""")
       finally w.close()
     } catch { case _: Throwable => () }
     val base = new java.io.File(sfDir0).getName.stripPrefix("sf")
@@ -372,7 +403,11 @@ object Bench {
     // would silently flatter the headline if the error count were buried.
     val stalledStdout =
       tputStalled.map(s => f""","tput_wall_stalled":$s%.3f""").getOrElse("")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":$sfJson%s,"errors":$errors%d,"tput_wall":$tputWall%.3f,"tput_errors":$tputErrors%d$stalledStdout%s,"streams":$streams%d,"load0":$load0%.2f,"load1":$load1%.2f}""")
+    // pair_age_sec rides the driver-parsed line so the judge can tell a
+    // same-window engine/DuckDB pair from a stale basis without the side
+    // file; pm is 1/0 (matched/unmatched) to keep the line compact.
+    val pm = if (pairMatched) 1 else 0
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":$sfJson%s,"errors":$errors%d,"tput_wall":$tputWall%.3f,"tput_errors":$tputErrors%d$stalledStdout%s,"streams":$streams%d,"load0":$load0%.2f,"load1":$load1%.2f,"pm":$pm%d,"pair_age_sec":$pairAgeSec%d}""")
     spark.stop()
   }
 }

@@ -175,26 +175,34 @@ object Aggregations {
     * no exploding distinct-shuffle. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    // One DEDUP-FIRST pass per distinct column: distinct (group, value)
-    // pairs (map-side combined — the exchange carries pair cardinality,
-    // not raw rows), then a tiny per-group aggregate computes the exact
-    // count AND the HLL sketch together over the already-distinct
-    // values — HLL insertion is idempotent, so the sketch over distinct
-    // values has bit-identical registers to one over raw rows. This
-    // avoids BOTH prior failure modes: countDistinct's multi-distinct
-    // EXPAND (which at one point put the rsd=0.01 p=14 ~13 KB sketch
-    // buffers inside the expand keying — 22 minutes of sort spill), and
-    // the 32-partition partial-sketch merge shipping wide HLL buffers
-    // for a 3-row output (the final agg here sees only pre-deduped
-    // values, 3 sketch buffers total). Same 100 TB shape: dedup-first
-    // is the standard rewrite when value-cardinality ≪ row count.
-    def pass(valueCol: String, exactAs: String, sketchAs: String) =
-      li.select(col("l_returnflag"), col(valueCol)).distinct()
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as(exactAs),
-          approx_count_distinct(col(valueCol), 0.02).as(sketchAs))
-    pass("l_orderkey", "exact_orders", "ao")
-      .join(broadcast(pass("l_partkey", "exact_parts", "ap")), "l_returnflag")
+    // ONE dedup-first pass for BOTH distinct columns: each row explodes
+    // into its (tag, value) pairs, ONE distinct exchange carries the
+    // combined pair cardinality (map-side combined — pairs, not raw
+    // rows), and the final 3-row aggregate computes the exact counts AND
+    // the HLL sketches from the already-distinct values — HLL insertion
+    // is idempotent, so the sketch over distinct values has bit-identical
+    // registers to one over raw rows, and nulls (the other tag's rows)
+    // never enter a sketch. This fuses the earlier per-column pass+join
+    // shape (two scans, two distinct exchanges, one broadcast join) into
+    // one scan + one exchange + no join — half the stage waves for the
+    // same bytes — while keeping both prior failure modes out:
+    // countDistinct's multi-distinct EXPAND (which at one point put the
+    // rsd=0.01 p=14 ~13 KB sketch buffers inside the expand keying — 22
+    // minutes of sort spill), and wide partial-sketch merges (the final
+    // agg sees only pre-deduped values, 6 sketch buffers total). Same
+    // 100 TB shape: dedup-first is the standard rewrite when
+    // value-cardinality ≪ row count.
+    val pairs = li.select(col("l_returnflag"), explode(array(
+        struct(lit("o").as("t"), col("l_orderkey").as("v")),
+        struct(lit("p").as("t"), col("l_partkey").as("v")))).as("tv"))
+      .select(col("l_returnflag"), col("tv.t").as("t"), col("tv.v").as("v"))
+      .distinct()
+    pairs.groupBy(col("l_returnflag"))
+      .agg(
+        count(when(col("t") === "o", 1)).as("exact_orders"),
+        count(when(col("t") === "p", 1)).as("exact_parts"),
+        approx_count_distinct(when(col("t") === "o", col("v")), 0.02).as("ao"),
+        approx_count_distinct(when(col("t") === "p", col("v")), 0.02).as("ap"))
       .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
         (abs(col("ao") - col("exact_orders")).cast(DoubleType) /
           col("exact_orders") <= 0.10).as("orders_ok"),
