@@ -1378,7 +1378,16 @@ object Dedup {
     * than SemDeDup's 0.9+; the mechanism is identical and the comparison
     * happens on the 6-decimal-rounded cosine both engines compute
     * bit-identically. */
-  def semantic(spark: SparkSession, dir: String): DataFrame = {
+  def semantic(spark: SparkSession, dir: String): DataFrame =
+    semanticWithCap(spark, dir, SemClusterCap)
+
+  /** [[semantic]] with the hot-cluster cap as a parameter — the test
+    * seam DegenerateOutputSpec uses to DELIBERATELY re-break the cap
+    * (cap=1 ⇒ every cluster tripped ⇒ zero dups, oracle-green) and
+    * prove the liveness detector fails CI on that state instead of the
+    * next 10× scale run. Production path always passes SemClusterCap. */
+  private[ops] def semanticWithCap(spark: SparkSession, dir: String,
+      clusterCap: Int): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val em = Tables.embeddings(spark, dir)
     val k = Similarity.ivfCellsFor(em.count())
@@ -1388,7 +1397,7 @@ object Dedup {
       .select(col("vec_id"), col("cid"), col("embedding"), col("sq"))
     // hot-cluster guard: the size census is k rows — broadcast it
     val okCells = cells.groupBy(col("cid")).count()
-      .filter(col("count") <= SemClusterCap).select(col("cid"))
+      .filter(col("count") <= clusterCap).select(col("cid"))
     val paired = cells.join(broadcast(okCells), "cid")
     val dups = paired.as("a")
       .join(paired.as("b"),

@@ -31,8 +31,25 @@ import org.apache.spark.sql.functions._
   */
 object RuntimeFilter {
 
-  private[graft] val BloomBits = 1 << 17
+  private[graft] val BloomBitsFloor = 1 << 17
   private[graft] val DimBrands = Seq("Brand#3", "Brand#7", "Brand#17")
+
+  /** Corpus-derived sketch size: ~10 bits per dim key keeps the
+    * false-positive rate ≈1% at the probe's hash count, whatever the
+    * corpus (the capacity-literal audit class: a FIXED 2¹⁷ bits
+    * saturates once the dim key set outgrows it — FP → 1 and the
+    * runtime filter silently degrades to a full-fact no-op; correctness
+    * survives because the exact join follows, but the 100 TB plan
+    * collapses to the unfiltered shuffle the filter exists to avoid).
+    * Floor 2¹⁷ bits (16 KiB), cap 2²⁷ (16 MiB — still trivially
+    * broadcastable; a dim whose key set outgrows even that has left the
+    * selective-dim regime this operator models and should shuffle),
+    * rounded up to the word multiple BloomBuildLongs requires. */
+  private[graft] def bloomBitsFor(nKeys: Long): Int = {
+    val want = math.max(BloomBitsFloor.toLong, 10L * nKeys)
+    val capped = math.min(want, 1L << 27)
+    (((capped + 63) / 64) * 64).toInt
+  }
 
   private[graft] def dim(spark: SparkSession, dir: String): DataFrame =
     Tables.part(spark, dir)
@@ -55,9 +72,14 @@ object RuntimeFilter {
     * straight into the scan's generated loop. */
   private[graft] def bloomPrunedFact(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val bf: Array[Byte] = dim(spark, dir)
+    // size the sketch from the dim key count (one dim-sided count job —
+    // the dim scan is the cheap side by the operator's own premise) and
+    // fold count + build into one pass-shaped pair of dim jobs
+    val dimDf = dim(spark, dir)
+    val bits = bloomBitsFor(dimDf.count())
+    val bf: Array[Byte] = dimDf
       .agg(call_function("graft_bloom_build",
-        col("p_partkey"), lit(BloomBits)).as("bf"))
+        col("p_partkey"), lit(bits)).as("bf"))
       .head().getAs[Array[Byte]](0)
     Tables.lineitem(spark, dir)
       .select(col("l_partkey"), col("l_extendedprice"))

@@ -640,6 +640,15 @@ object Similarity {
       |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
   }
 
+  // Capacity-literal audit (r13): PqK is a PRECISION/space knob, not a
+  // capacity — PQ quality depends on the data DISTRIBUTION, not the
+  // corpus count (FAISS ships k=256 per subspace regardless of N), so
+  // corpus growth cannot saturate it the way the simhash/IVF/bucket caps
+  // saturated: every vector always maps to its nearest code, encode cost
+  // stays O(N·k·dim), and the enumerated ADC table is a constant k^M.
+  // The recall consequence of the knob is MEASURED, not assumed —
+  // sim_ann_recall_eval sweeps k ∈ {4, 8, 16} and ships the
+  // recall-vs-cost curve as an oracle-checked artifact every round.
   private val PqM = 4        // subspaces
   private val PqSub = 16     // dims per subspace (4 × 16 = 64)
   private val PqK = 8        // codes per subspace codebook

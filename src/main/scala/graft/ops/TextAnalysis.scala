@@ -147,13 +147,26 @@ object TextAnalysis {
   /** Top-k token frequencies via the custom SpaceSaving sketch aggregate
     * (graft.functions.SpaceSavingTopK): single pass, fixed memory, one
     * serialized sketch per partition on the shuffle — the 100 TB
-    * heavy-hitters path. Capacity 128 exceeds the corpus vocabulary, so
-    * the sketch is exact here and the oracle is a plain COUNT(*). */
+    * heavy-hitters path.
+    *
+    * Capacity contract (capacity-literal audit): 128 counters against a
+    * GENERATOR-FIXED 31-token vocabulary (SF-independent — the testdata
+    * text draws from a closed token set, pinned by ScalePolicySpec), so
+    * the sketch is EXACT here and the oracle is a plain COUNT(*). This
+    * is not the simhash-cap class: vocabulary does not grow with the
+    * corpus, so the literal cannot saturate on this data. On an open
+    * vocabulary the exactness claim is the first casualty and the
+    * failure is LOUD (the oracle COUNT(*) diverges), not silent — the
+    * sketch then only guarantees presence of keys with freq > N/128 and
+    * overcounts by ≤ N/128 (Metwally Thm. 2-3), and capacity becomes a
+    * precision knob to size ≫ k / skew, like CMS width. */
+  private[ops] val TopkSketchCapacity = 128
+
   def topkSketch(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val d = Tables.documents(spark, dir)
     d.select(explode(split(col("text"), " ")).as("token"))
-      .agg(expr("graft_topk_sketch(token, 128, 20)").as("top"))
+      .agg(expr(s"graft_topk_sketch(token, $TopkSketchCapacity, 20)").as("top"))
       .select(explode(col("top")).as("s"))
       .select(col("s.token").as("token"), col("s.n").as("n"))
       .orderBy(col("n").desc, col("token"))
@@ -367,7 +380,15 @@ object TextAnalysis {
     * bytes collect once (fenced CONSTANT-size: 128 KiB whatever the
     * corpus, same pattern as the bloom literal in [[RuntimeFilter]]) and
     * the codegen `graft_cms_estimate` probes inline over the tiny top-k
-    * table. */
+    * table.
+    *
+    * Capacity-literal audit: the 4×4096 shape is a PRECISION knob, not a
+    * capacity — the error bound the output asserts (⌈e·N/width⌉) is
+    * CORPUS-DERIVED, scaling with N by construction, so the sketch
+    * cannot silently saturate: if width ever became too narrow for the
+    * vocabulary's collision load, `est_within_bound` flips false and the
+    * oracle (which expects TRUE) fails the driver gate. Self-detecting —
+    * no separate liveness entry needed. */
   def cmsTokenCounts(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val toks = Tables.documents(spark, dir)

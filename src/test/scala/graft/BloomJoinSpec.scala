@@ -15,10 +15,23 @@ class BloomJoinSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val dir = "/root/testdata/sf0.001"
 
+  test("bloomBitsFor scales with the dim key count — a fixed 2^17 saturates to a no-op filter") {
+    // floor regime: small dims keep the 16 KiB sketch
+    assert(RuntimeFilter.bloomBitsFor(0) === RuntimeFilter.BloomBitsFloor)
+    assert(RuntimeFilter.bloomBitsFor(13000) === RuntimeFilter.BloomBitsFloor)
+    // linear regime: ~10 bits/key, word-aligned
+    assert(RuntimeFilter.bloomBitsFor(100000) === 1000000)
+    assert(RuntimeFilter.bloomBitsFor(100001) % 64 === 0)
+    assert(RuntimeFilter.bloomBitsFor(1000000) === 10000000)
+    // cap regime: broadcastability fence at 2^27
+    assert(RuntimeFilter.bloomBitsFor(1L << 40) === (1 << 27))
+  }
+
   test("BloomOps: no false negatives; FPR below 1% at 2^17 bits / 10k keys") {
-    val words = new Array[Long](RuntimeFilter.BloomBits / 64)
+    val bits = RuntimeFilter.bloomBitsFor(10000)
+    val words = new Array[Long](bits / 64)
     val keys = (0 until 10000).map(i => i * 7919L + 13)
-    keys.foreach(k => BloomOps.set(words, RuntimeFilter.BloomBits, k))
+    keys.foreach(k => BloomOps.set(words, bits, k))
     val bytes = java.nio.ByteBuffer.allocate(words.length * 8)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bytes.asLongBuffer().put(words)

@@ -49,4 +49,33 @@ class ScalePolicySpec extends AnyFunSuite {
     assert(Graph.maxBucketUsers(15000) === 1500L) // sf1: old fixed 40 dropped every bucket
     assert(Graph.maxBucketUsers(150000) === 15000L)
   }
+
+  test("topk-sketch capacity covers the generator vocabulary 4x — the exactness contract") {
+    // capacity-literal audit (r13): topkSketch's exact-oracle claim
+    // requires vocab ≤ capacity. The testdata generator draws text from
+    // a CLOSED token set (31 tokens at every SF), so the 128-counter
+    // literal cannot saturate on this data — but that is a property of
+    // the generator, so pin it: if a future testdata generation opens
+    // the vocabulary past capacity/4, this fails with the contract
+    // spelled out instead of the oracle diverging mysteriously.
+    import org.apache.spark.sql.functions._
+    val vocab = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .distinct().count()
+    assert(vocab * 4 <= TextAnalysis.TopkSketchCapacity,
+      s"vocabulary $vocab outgrew capacity ${TextAnalysis.TopkSketchCapacity}" +
+        " / 4 — topkSketch's exact-oracle contract no longer holds")
+  }
+
+  test("bloom runtime-filter bits scale with dim keys (see BloomJoinSpec for the curve)") {
+    // cross-reference pin: the sizing function lives with the operator
+    // and its regime tests in BloomJoinSpec; here assert only the audit
+    // property — MORE keys never get FEWER bits (monotone, no silent cap
+    // below the broadcast fence)
+    val pts = Seq(0L, 10000L, 100000L, 1000000L, 10000000L)
+    val bits = pts.map(graft.ops.RuntimeFilter.bloomBitsFor)
+    assert(bits === bits.sorted, s"bloom sizing not monotone: $bits")
+    assert(bits.last === (1 << 27) ||
+      bits.last >= 10L * pts.last, "neither linear nor capped at the fence")
+  }
 }
