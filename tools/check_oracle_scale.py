@@ -1,0 +1,184 @@
+#!/usr/bin/env python3
+"""Scale-campaign variant of check_oracle.py: per-query DuckDB TIMEOUT
+(the oracle-tractability frontier) + machine-readable JSON results.
+
+At sf10 some twins (recursive CTEs, unrolled Lloyd chains over a 200k
+corpus) stop being tractable in DuckDB; that is a property of the ORACLE,
+not the engine. This tool value-checks every query whose twin finishes
+under the timeout and records the rest as the frontier list, so the
+artifact distinguishes "verified at scale" from "oracle gave out".
+
+Usage:
+  check_oracle_scale.py <verify_out_dir> <sf_dir> [--timeout SEC]
+                        [--threads N] [--json PATH] [--only q1,q2]
+"""
+import glob
+import json
+import math
+import sys
+import threading
+import time
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def type_class(t):
+    import pyarrow.types as pt
+    if pt.is_integer(t):
+        return "int"
+    if pt.is_floating(t):
+        return "float"
+    if pt.is_decimal(t):
+        return f"decimal(*,{t.scale})"
+    if pt.is_boolean(t):
+        return "bool"
+    if pt.is_string(t) or pt.is_large_string(t):
+        return "string"
+    if pt.is_timestamp(t):
+        return "timestamp"
+    if pt.is_date(t):
+        return "date"
+    if pt.is_binary(t) or pt.is_large_binary(t):
+        return "binary"
+    if pt.is_list(t) or pt.is_large_list(t) or pt.is_fixed_size_list(t):
+        return "list"
+    if pt.is_struct(t):
+        return "struct"
+    if pt.is_map(t):
+        return "map"
+    return str(t)
+
+
+def values_equal(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+def main():
+    args = list(sys.argv[1:])
+    def opt(name, default=None):
+        if name in args:
+            i = args.index(name)
+            v = args[i + 1]
+            del args[i:i + 2]
+            return v
+        return default
+    timeout = float(opt("--timeout", "300"))
+    threads = int(opt("--threads", "32"))
+    json_path = opt("--json")
+    only = opt("--only")
+    only = set(only.split(",")) if only else None
+    out_dir, sf_dir = args[0], args[1]
+
+    import os
+    def suffix(t):
+        return "/*.parquet" if os.path.isdir(f"{sf_dir}/{t}.parquet") else ""
+    con = duckdb.connect()
+    con.execute(f"SET threads={threads}")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet{suffix(t)}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    n_pass = n_fail = n_timeout = n_noracle = 0
+    for qdir in sorted(glob.glob(f"{out_dir}/*/")):
+        name = qdir.rstrip("/").split("/")[-1]
+        if only and name not in only:
+            continue
+        files = glob.glob(f"{qdir}/*.parquet")
+        if not files:
+            results[name] = {"status": "fail", "why": "no spark output"}
+            n_fail += 1
+            print(f"FAIL {name}: no spark output parquet", flush=True)
+            continue
+        spark_tbl = pq.read_table(files[0])
+        if name not in oracle:
+            results[name] = {"status": "rows_only", "rows": spark_tbl.num_rows}
+            n_noracle += 1
+            print(f"(rows-only) {name}: {spark_tbl.num_rows} rows", flush=True)
+            continue
+        timer = threading.Timer(timeout, con.interrupt)
+        timer.start()
+        t0 = time.time()
+        try:
+            duck_tbl = con.execute(oracle[name]).fetch_arrow_table()
+            dt = time.time() - t0
+        except duckdb.InterruptException:
+            results[name] = {"status": "oracle_timeout", "limit_sec": timeout,
+                             "rows": spark_tbl.num_rows}
+            n_timeout += 1
+            print(f"TIMEOUT {name}: oracle exceeded {timeout:.0f}s "
+                  f"(engine rows={spark_tbl.num_rows})", flush=True)
+            continue
+        except Exception as e:
+            # an interrupt can surface as a generic error in some paths
+            if "INTERRUPT" in str(e).upper():
+                results[name] = {"status": "oracle_timeout",
+                                 "limit_sec": timeout,
+                                 "rows": spark_tbl.num_rows}
+                n_timeout += 1
+                print(f"TIMEOUT {name}: {e}", flush=True)
+            else:
+                results[name] = {"status": "fail", "why": f"oracle error: {e}"}
+                n_fail += 1
+                print(f"FAIL {name}: oracle SQL error: {e}", flush=True)
+            continue
+        finally:
+            timer.cancel()
+        problems = []
+        s_cols = sorted(spark_tbl.column_names)
+        d_cols = sorted(duck_tbl.column_names)
+        if s_cols != d_cols:
+            problems.append(f"columns differ: spark={s_cols} duck={d_cols}")
+        else:
+            for c in s_cols:
+                sc = type_class(spark_tbl.schema.field(c).type)
+                dc = type_class(duck_tbl.schema.field(c).type)
+                if sc != dc:
+                    problems.append(f"TYPE col {c}: {sc} vs {dc}")
+        if spark_tbl.num_rows != duck_tbl.num_rows:
+            problems.append(
+                f"rowcount: spark={spark_tbl.num_rows} duck={duck_tbl.num_rows}")
+        if not problems:
+            sd = spark_tbl.to_pydict()
+            dd = duck_tbl.to_pydict()
+            for c in s_cols:
+                for i, (x, y) in enumerate(zip(sd[c], dd[c])):
+                    if not values_equal(x, y):
+                        problems.append(f"col {c} row {i}: {x!r} vs {y!r}")
+                        break
+                if problems:
+                    break
+        if problems:
+            results[name] = {"status": "fail", "why": "; ".join(problems[:3])}
+            n_fail += 1
+            print(f"FAIL {name}: " + "; ".join(problems[:3]), flush=True)
+        else:
+            results[name] = {"status": "pass", "rows": spark_tbl.num_rows,
+                             "oracle_sec": round(dt, 1)}
+            n_pass += 1
+            print(f"PASS {name} ({spark_tbl.num_rows} rows, "
+                  f"oracle {dt:.1f}s)", flush=True)
+    summary = {"pass": n_pass, "fail": n_fail, "oracle_timeout": n_timeout,
+               "rows_only": n_noracle, "timeout_sec": timeout,
+               "sf_dir": sf_dir, "threads": threads}
+    print("\n" + json.dumps(summary))
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump({"summary": summary, "queries": results}, f, indent=1)
+        print(f"wrote {json_path}")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
