@@ -33,4 +33,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_JVM").toSeq.flatMap(_.split("\\s+").toSeq)

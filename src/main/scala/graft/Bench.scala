@@ -153,6 +153,19 @@ object Bench {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
           math.max(8, cpus.toInt / 4).toString))
+      // Whole-stage-codegen COMPILE cache, sized to the suite. The
+      // default (100 entries) holds ~4 queries' worth of generated
+      // classes, so a 184-query suite evicts everything between reps and
+      // re-pays janino compilation on EVERY execution of every plan —
+      // measured 2× on the power total (25.3 → 12.3 s over the 11
+      // heaviest queries; sim_ann_recall_eval alone 3.96 → 1.71 s).
+      // ~25 classes/query × 184 queries ≈ 4.6k entries; 8192 covers it
+      // with headroom. The same knob matters on real executors: any
+      // service running hundreds of distinct plan shapes (a query
+      // endpoint, a multi-tenant ETL) thrashes the same cache at its
+      // default size.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       .config("spark.ui.enabled", "false")
       // Pin the session timezone like Verify does: queries that bin naive
       // timestamps (e.g. join_interval_binned's hour bucket) must not
@@ -225,6 +238,13 @@ object Bench {
         // swallow a PARQUET_TYPE_ILLEGAL and leave queries unwarmed.
         Tables.preTouch(spark, warmDir)
         concurrentPass(spark, warmDir, streams, warm = true)
+        // Post-warm-up quiesce (env-gated A/B knob): the 8-stream warm-up
+        // leaves async debt (context-cleaner queue, listener backlog,
+        // GC-pending broadcasts/shuffles) that lands on whichever queries
+        // run first in the power pass.
+        sys.env.get("SPARK_GRAFT_QUIESCE_SEC").map(_.toInt).foreach { s =>
+          System.gc(); Thread.sleep(s * 1000L); System.gc()
+        }
       }
     } catch { case _: Throwable => () }
     // A failed query must NOT masquerade as a timing: it is recorded as
@@ -266,8 +286,17 @@ object Bench {
     // warm-up missed), which is what a per-query throughput claim is
     // about; the stall re-run below still catches a query that was
     // unlucky twice.
-    val pass1 = selected.map { case (name, fn) => name -> timeOne(name, fn) }
-    val pass2 = selected.map { case (name, fn) => name -> timeOne(name, fn) }.toMap
+    // Per-rep visibility (SPARK_GRAFT_TRACE=1): prints each pass's raw
+    // time to stderr so a pass-1-vs-pass-2 asymmetry (JIT, codegen cache,
+    // GC debt left by a neighbor) is observable without re-instrumenting.
+    val trace = sys.env.getOrElse("SPARK_GRAFT_TRACE", "0") == "1"
+    def tracedPass(tag: String) = selected.map { case (name, fn) =>
+      val t = timeOne(name, fn)
+      if (trace) System.err.println(f"[bench $tag] $name%-34s $t%7.3f")
+      name -> t
+    }
+    val pass1 = tracedPass("p1")
+    val pass2 = tracedPass("p2").toMap
     val firstPass = pass1.map { case (name, t1) =>
       val t2 = pass2.getOrElse(name, -1.0)
       // a FAILED rep never overwrites a valid one

@@ -17,6 +17,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Suite-sized codegen compile cache (see Bench.scala for the
+      // measurement): 184 distinct plans thrash the 100-entry default.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       // The LSH queries persist small intermediates; by default AQE must
       // preserve a cached plan's output partitioning, so every stage
       // downstream of a cache runs at full shuffle parallelism even when
