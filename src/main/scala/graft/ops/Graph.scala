@@ -96,38 +96,68 @@ object Graph {
       |SELECT node, r FROM r3 ORDER BY r DESC, node LIMIT 20""".stripMargin
   }
 
-  // Co-occurrence graph knobs: a (event_type, hour) bucket with more
-  // users than the cap is dropped before pairing (the hot-bucket guard
-  // that bounds the quadratic pair expansion — same posture as the LSH
-  // tiers in [[Dedup]]), and a user pair must co-occur in at least
-  // MinCooccur buckets to become an edge (sparsifies the saturated
-  // co-presence graph into a repeated-interaction one).
+  // Co-occurrence graph knobs: each (event_type, hour) bucket is SAMPLED
+  // down to at most K users before pairing (deterministic hash-rank
+  // subset — every bucket contributes, per-bucket pair work is bounded
+  // at K²), and a user pair must co-occur in at least MinCooccur buckets
+  // to become an edge (sparsifies the saturated co-presence graph into a
+  // repeated-interaction one).
   //
-  // The cap SCALES with the user population — max(40, ⌈users/10⌉) — the
-  // same fixed-capacity lesson as the simhash/IVF/SemDeDup fixes
-  // (SCALE_r11.md): bucket membership grows ∝ distinct users (measured:
-  // same 3,600 hour×type buckets at every SF, 10× members at sf1), so
-  // the old fixed 40 dropped EVERY bucket at sf1 and the whole
-  // co-occurrence tier — triangles, LPA, k-core, modularity,
-  // assortativity, link prediction — silently returned empty results
-  // while staying oracle-green (the twins mirror the cap). A bucket over
-  // 10% of all users remains degenerate co-presence, not interaction,
-  // and is still dropped. At much larger corpora the production knob is
-  // bucket GRANULARITY (hour → minute shrinks memberships 60×); the cap
-  // is the degeneracy fence, not the cost model. Both engines derive the
-  // cap from the same COUNT(DISTINCT user_id) with identical
-  // double-divide + ceil arithmetic ([[maxBucketUsersSql]]).
-  private val MaxBucketUsersFloor = 40
+  // Sampling replaced the r11 drop-threshold in r13, and the threshold's
+  // SHAPE was the scale bug: this data densifies every bucket uniformly
+  // (same 3,600 hour×type buckets at every SF; median membership 27 at
+  // sf0.1 → 2,700 at sf10), so any drop-cap either admits everything —
+  // max(40, ⌈users/10⌉) let the sf10 pre-edge pairing hit 14.1 BILLION
+  // rows and time the whole graph tier out — or, set tight enough to
+  // bound work (4√users), kept 17 of 3,600 buckets: the r11 empty-graph
+  // degeneration again. Sampling has no such cliff. K = max(40,
+  // ⌈1.6·√users⌉) keeps total pair volume LINEAR in the corpus once
+  // buckets saturate (nBuckets × K²/2 ∝ users) and leaves the spec SFs
+  // bit-identical (K=62 at sf0.1 exceeds the largest real bucket, 51).
+  // The rank key is an affine hash both engines compute exactly in
+  // 64-bit integer arithmetic — ((user_id % 999999937) · 2654435761)
+  // % 999999937, ties broken by user_id — so the sampled subsets are
+  // bit-identical across engines. At much larger corpora the production
+  // knob is bucket GRANULARITY (hour → minute shrinks memberships 60×);
+  // the sample is the degeneracy fence, not the cost model.
+  private val BucketSampleFloor = 40
   private val MinCooccur = 4
 
-  private[ops] def maxBucketUsers(users: Long): Long =
-    math.max(MaxBucketUsersFloor.toLong,
-      math.ceil(users.toDouble / 10.0).toLong)
+  private[ops] def bucketSampleK(users: Long): Long =
+    math.max(BucketSampleFloor.toLong,
+      math.ceil(1.6 * math.sqrt(users.toDouble)).toLong)
 
-  /** Oracle-side twin of [[maxBucketUsers]]. */
-  private val maxBucketUsersSql: String =
-    s"GREATEST($MaxBucketUsersFloor, CAST(ceil(" +
-      "(SELECT COUNT(DISTINCT user_id) FROM events) / 10.0) AS BIGINT))"
+  /** Oracle-side twin of [[bucketSampleK]] (identical IEEE double
+    * sqrt/ceil → identical K). */
+  private val bucketSampleKSql: String =
+    s"GREATEST($BucketSampleFloor, CAST(ceil(1.6 * sqrt(" +
+      "(SELECT COUNT(DISTINCT user_id) FROM events))) AS BIGINT))"
+
+  /** Shared oracle prelude: the sampled-bucket co-occurrence edge list.
+    * Mirrors [[cooccurrenceEdgesBuild]] CTE-for-stage; `edgesName` lets
+    * twins keep their local naming, `materialized` their DuckDB
+    * materialization hints. */
+  private def coocEdgesSqlPrelude(edgesName: String,
+      materialized: Boolean = false): String = {
+    val mat = if (materialized) " MATERIALIZED" else ""
+    s"""occ AS (
+      |  SELECT DISTINCT event_type, date_trunc('hour', ts) AS hb, user_id
+      |  FROM events),
+      |ok AS (
+      |  SELECT event_type, hb, user_id FROM (
+      |    SELECT event_type, hb, user_id,
+      |      ROW_NUMBER() OVER (PARTITION BY event_type, hb
+      |        ORDER BY ((user_id % 999999937) * 2654435761) % 999999937,
+      |          user_id) AS rk
+      |    FROM occ)
+      |  WHERE rk <= $bucketSampleKSql),
+      |$edgesName AS$mat (
+      |  SELECT x.user_id AS a, y.user_id AS b
+      |  FROM ok x JOIN ok y USING (event_type, hb)
+      |  WHERE x.user_id < y.user_id
+      |  GROUP BY x.user_id, y.user_id HAVING COUNT(*) >= $MinCooccur)"""
+      .stripMargin
+  }
 
   /** The co-occurrence edge pipeline shared by [[triangleCount]] and
     * [[linkPrediction]] — ONE exchange (on the bucket key) carries the
@@ -179,11 +209,17 @@ object Graph {
         col("user_id"))
       .repartition(col("event_type"), col("hb"))
       .distinct()
+    // Deterministic per-bucket sample (policy + portable rank key
+    // documented at [[bucketSampleK]]); the window partitions by the
+    // same key the pipeline is already hash-partitioned on — no extra
+    // exchange.
     val bucketW = Window.partitionBy(col("event_type"), col("hb"))
+      .orderBy(pmod(col("user_id") % lit(999999937L) * lit(2654435761L),
+        lit(999999937L)), col("user_id"))
     val occOk = occ
-      .withColumn("bsz", count(lit(1)).over(bucketW))
-      .filter(col("bsz") <= maxBucketUsers(users))
-      .drop("bsz")
+      .withColumn("rk", row_number().over(bucketW))
+      .filter(col("rk") <= bucketSampleK(users))
+      .drop("rk")
     occOk.as("x").join(occOk.as("y"), Seq("event_type", "hb"))
       .filter(col("x.user_id") < col("y.user_id"))
       .groupBy(col("x.user_id").as("a"), col("y.user_id").as("b"))
@@ -227,6 +263,21 @@ object Graph {
     * never a cartesian; the quadratic pre-edge step is bounded by
     * MaxBucketUsers². The DuckDB twin keeps the id-oriented program —
     * same triangles, independently derived. */
+  /** Wedge-generation degree bound: each node's degree-ordered
+    * out-adjacency is truncated to its MaxWedgeDegree id-smallest
+    * arrows BEFORE the two-path join, bounding wedge volume at
+    * N·W² regardless of graph density. EXACT below the cap — the
+    * sf0.1 graph's max degree-ordered out-degree is 41 (measured;
+    * [[ScalePolicySpec]] pins the invariant at spec SF), so spec-SF
+    * counts are unchanged — and an identically-truncated LOWER BOUND
+    * above it, which is the standard posture for triangle counting on
+    * dense graphs (the sf10 ScaleGen graph reaches avg degree 614
+    * because replicas share time buckets; its full wedge set is
+    * ~5·10¹⁰). The closing-edge probe (e3) stays UNtruncated. The twin
+    * mirrors orientation, truncation order (dst id) and cap exactly,
+    * so both engines compute the same truncation. */
+  private[ops] val MaxWedgeDegree = 64
+
   def triangleCount(spark: SparkSession, dir: String): DataFrame = {
     val edges = cooccurrenceEdges(spark, dir)
     val deg = edges.select(col("a").as("n"))
@@ -241,8 +292,13 @@ object Graph {
         when(aFirst, col("a")).otherwise(col("b")).as("src"),
         when(aFirst, col("b")).otherwise(col("a")).as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tri = oriented.as("e1")
-      .join(oriented.as("e2"), col("e2.src") === col("e1.dst"))
+    val capped = oriented
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("dst"))))
+      .filter(col("rk") <= MaxWedgeDegree).drop("rk")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tri = capped.as("e1")
+      .join(capped.as("e2"), col("e2.src") === col("e1.dst"))
       .join(oriented.as("e3"),
         col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
       .select(col("e1.src").as("a"), col("e1.dst").as("b"),
@@ -255,23 +311,24 @@ object Graph {
   }
 
   val triangleCountSql: String =
-    s"""WITH occ AS (
-      |  SELECT DISTINCT event_type, date_trunc('hour', ts) AS hb, user_id
-      |  FROM events),
-      |ok AS (
-      |  SELECT event_type, hb FROM occ
-      |  GROUP BY event_type, hb HAVING COUNT(*) <= $maxBucketUsersSql),
-      |edges AS (
-      |  SELECT x.user_id AS a, y.user_id AS b
-      |  FROM occ x JOIN ok USING (event_type, hb)
-      |  JOIN occ y USING (event_type, hb)
-      |  WHERE x.user_id < y.user_id
-      |  GROUP BY x.user_id, y.user_id HAVING COUNT(*) >= $MinCooccur),
+    s"""WITH ${coocEdgesSqlPrelude("edges")},
+      |und AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+      |deg AS (SELECT a AS n, COUNT(*) AS dg FROM und GROUP BY a),
+      |ori AS (
+      |  SELECT CASE WHEN (da.dg, e.a) < (db.dg, e.b) THEN e.a ELSE e.b END AS src,
+      |         CASE WHEN (da.dg, e.a) < (db.dg, e.b) THEN e.b ELSE e.a END AS dst
+      |  FROM edges e
+      |  JOIN deg da ON da.n = e.a
+      |  JOIN deg db ON db.n = e.b),
+      |capped AS (
+      |  SELECT src, dst FROM ori
+      |  QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst)
+      |    <= $MaxWedgeDegree),
       |tri AS (
-      |  SELECT e1.a, e1.b, e2.b AS c
-      |  FROM edges e1
-      |  JOIN edges e2 ON e2.a = e1.b
-      |  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b)
+      |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      |  FROM capped e1
+      |  JOIN capped e2 ON e2.src = e1.dst
+      |  JOIN ori e3 ON e3.src = e1.src AND e3.dst = e2.dst)
       |SELECT user_id, COUNT(*) AS n_triangles
       |FROM (SELECT unnest([a, b, c]) AS user_id FROM tri)
       |GROUP BY user_id
@@ -314,18 +371,7 @@ object Graph {
   }
 
   val linkPredictionSql: String =
-    s"""WITH occ AS (
-      |  SELECT DISTINCT event_type, date_trunc('hour', ts) AS hb, user_id
-      |  FROM events),
-      |ok AS (
-      |  SELECT event_type, hb FROM occ
-      |  GROUP BY event_type, hb HAVING COUNT(*) <= $maxBucketUsersSql),
-      |edges AS (
-      |  SELECT x.user_id AS a, y.user_id AS b
-      |  FROM occ x JOIN ok USING (event_type, hb)
-      |  JOIN occ y USING (event_type, hb)
-      |  WHERE x.user_id < y.user_id
-      |  GROUP BY x.user_id, y.user_id HAVING COUNT(*) >= $MinCooccur),
+    s"""WITH ${coocEdgesSqlPrelude("edges")},
       |adj0 AS (
       |  SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
       |adj AS (
@@ -540,18 +586,7 @@ object Graph {
          |  CAST(COALESCE(SUM(d), 0) // 2 AS BIGINT) AS n_edges,
          |  CAST(COALESCE(MIN(d), 0) AS BIGINT) AS min_degree
          |FROM (SELECT a, COUNT(*) AS d FROM $r GROUP BY a)""".stripMargin
-    s"""WITH occ AS (
-      |  SELECT DISTINCT event_type, date_trunc('hour', ts) AS hb, user_id
-      |  FROM events),
-      |ok AS (
-      |  SELECT event_type, hb FROM occ
-      |  GROUP BY event_type, hb HAVING COUNT(*) <= $maxBucketUsersSql),
-      |e0 AS (
-      |  SELECT x.user_id AS a, y.user_id AS b
-      |  FROM occ x JOIN ok USING (event_type, hb)
-      |  JOIN occ y USING (event_type, hb)
-      |  WHERE x.user_id < y.user_id
-      |  GROUP BY x.user_id, y.user_id HAVING COUNT(*) >= $MinCooccur),
+    s"""WITH ${coocEdgesSqlPrelude("e0")},
       |und AS MATERIALIZED (
       |  SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
       |dd0 AS (SELECT a, COUNT(*) AS d FROM und GROUP BY a),
@@ -676,18 +711,7 @@ object Graph {
          |    FROM nbrs n JOIN $prev l ON l.node = n.nbr
          |    GROUP BY n.node, l.lbl)
          |  WHERE rn = 1""".stripMargin
-    s"""occ AS (
-      |  SELECT DISTINCT event_type, date_trunc('hour', ts) AS hb, user_id
-      |  FROM events),
-      |ok AS (
-      |  SELECT event_type, hb FROM occ
-      |  GROUP BY event_type, hb HAVING COUNT(*) <= $maxBucketUsersSql),
-      |edges AS MATERIALIZED (
-      |  SELECT x.user_id AS a, y.user_id AS b
-      |  FROM occ x JOIN ok USING (event_type, hb)
-      |  JOIN occ y USING (event_type, hb)
-      |  WHERE x.user_id < y.user_id
-      |  GROUP BY x.user_id, y.user_id HAVING COUNT(*) >= $MinCooccur),
+    s"""${coocEdgesSqlPrelude("edges", materialized = true)},
       |nbrs AS MATERIALIZED (
       |  SELECT a AS node, b AS nbr FROM edges
       |  UNION ALL SELECT b AS node, a AS nbr FROM edges),
@@ -810,18 +834,7 @@ object Graph {
   /** Oracle twin: same symmetrized moments (HUGEINT sums cast through
     * DECIMAL semantics match Spark's decimal accumulators) and assembly. */
   val assortativitySql: String =
-    s"""WITH occ AS (
-      |  SELECT DISTINCT event_type, date_trunc('hour', ts) AS hb, user_id
-      |  FROM events),
-      |ok AS (
-      |  SELECT event_type, hb FROM occ
-      |  GROUP BY event_type, hb HAVING COUNT(*) <= $maxBucketUsersSql),
-      |edges AS (
-      |  SELECT x.user_id AS a, y.user_id AS b
-      |  FROM occ x JOIN ok USING (event_type, hb)
-      |  JOIN occ y USING (event_type, hb)
-      |  WHERE x.user_id < y.user_id
-      |  GROUP BY x.user_id, y.user_id HAVING COUNT(*) >= $MinCooccur),
+    s"""WITH ${coocEdgesSqlPrelude("edges")},
       |und AS MATERIALIZED (
       |  SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
       |deg AS (SELECT a, COUNT(*) AS deg FROM und GROUP BY a),

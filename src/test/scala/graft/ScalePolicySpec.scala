@@ -42,12 +42,66 @@ class ScalePolicySpec extends AnyFunSuite {
     assert(Dedup.simhashCap(docsOf(10000)) === 2000) // growth is N/5 past the floor
   }
 
-  test("co-occurrence bucket cap scales with users — fixed cap emptied the graph tier at sf1") {
-    assert(Graph.maxBucketUsers(100) === 40L)    // floor rules small populations
-    assert(Graph.maxBucketUsers(400) === 40L)
-    assert(Graph.maxBucketUsers(1500) === 150L)  // sf0.1 events
-    assert(Graph.maxBucketUsers(15000) === 1500L) // sf1: old fixed 40 dropped every bucket
-    assert(Graph.maxBucketUsers(150000) === 15000L)
+  test("co-occurrence bucket sample K grows as sqrt(users) — pair work stays linear") {
+    // r13 policy: per-bucket SAMPLING (not drop-threshold) at
+    // K = max(40, ceil(1.6*sqrt(users))). Total pre-edge pair volume
+    // once buckets saturate is nBuckets * K^2/2, i.e. LINEAR in the
+    // corpus; the r11 linear cap (users/10) made it QUADRATIC — 14.1e9
+    // pre-edge pairs at sf10 timed the whole graph tier out — while a
+    // drop-threshold tight enough to bound work kept 17/3600 buckets
+    // (the r11 empty-graph degeneration). Pin the policy's three
+    // regimes and the spec-SF invariance (largest sf0.1 bucket is 51
+    // users < K=62, so spec-SF outputs are bit-identical to pre-r13).
+    assert(Graph.bucketSampleK(100) === 40L)     // floor rules small populations
+    assert(Graph.bucketSampleK(400) === 40L)
+    assert(Graph.bucketSampleK(1500) === 62L)    // sf0.1 events: K > max bucket 51
+    assert(Graph.bucketSampleK(15000) === 196L)  // sf1
+    assert(Graph.bucketSampleK(150000) === 620L) // sf10: 3600*620^2/2 ~ 0.7e9 pairs
+    val ks = Seq(1L, 1000L, 10000L, 1000000L, 100000000L).map(Graph.bucketSampleK)
+    assert(ks === ks.sorted, s"sample K not monotone: $ks")
+  }
+
+  test("triangle wedge cap exceeds the spec-SF max out-degree — exactness contract") {
+    // capacity-literal audit: triangleCount truncates each node's
+    // degree-ordered out-adjacency at MaxWedgeDegree, which is EXACT
+    // only while the spec graph's max out-degree stays below the cap
+    // (measured 41 at sf0.1; the truncation is the documented
+    // lower-bound posture on denser corpora). Pin the invariant the
+    // exactness claim rests on, at the SF the correctness gate runs.
+    import org.apache.spark.sql.functions._
+    val q = graft.SparkEntry.queries("graph_triangle_count")
+    q(spark, "/root/testdata/sf0.01").collect() // materializes the memo
+    // re-derive the oriented out-degrees independently of the operator
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.01")
+    val users = ev.select(col("user_id")).distinct().count()
+    val k = Graph.bucketSampleK(users)
+    val occ = ev.select(col("event_type"),
+        date_trunc("HOUR", col("ts")).as("hb"), col("user_id")).distinct()
+    val smp = occ.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"), col("hb"))
+          .orderBy(pmod(col("user_id") % lit(999999937L) * lit(2654435761L),
+            lit(999999937L)), col("user_id"))))
+      .filter(col("rk") <= k).drop("rk")
+    val edges = smp.as("x").join(smp.as("y"), Seq("event_type", "hb"))
+      .filter(col("x.user_id") < col("y.user_id"))
+      .groupBy(col("x.user_id").as("a"), col("y.user_id").as("b"))
+      .agg(count(lit(1)).as("w")).filter(col("w") >= 4)
+      .select(col("a"), col("b"))
+    val deg = edges.select(col("a").as("n")).union(edges.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+    val wd = edges
+      .join(deg.select(col("n").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("dg").as("db")), "b")
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val maxOut = wd.select(when(aFirst, col("a")).otherwise(col("b")).as("src"))
+      .groupBy(col("src")).agg(count(lit(1)).as("od"))
+      .agg(max(col("od"))).collect()(0).getLong(0)
+    assert(maxOut <= Graph.MaxWedgeDegree,
+      s"spec-SF max out-degree $maxOut exceeds wedge cap " +
+        s"${Graph.MaxWedgeDegree} — triangle counts are no longer exact " +
+        "at the correctness gate's SF")
   }
 
   test("topk-sketch capacity covers the generator vocabulary 4x — the exactness contract") {
