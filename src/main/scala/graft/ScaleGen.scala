@@ -79,6 +79,12 @@ object ScaleGen {
       df.withColumn(name, col(name) + k * lit(d))
 
     def write(name: String, df: DataFrame): Unit = {
+      // resume-friendly: a table whose _SUCCESS marker exists is done —
+      // a disk-full/OOM mid-campaign only costs the table in flight
+      if (new java.io.File(s"$out/$name.parquet/_SUCCESS").exists()) {
+        println(s"[scalegen] $name already complete, skipping")
+        return
+      }
       df.repartition(math.max(4, xf))
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[scalegen] $name -> $out/$name.parquet")

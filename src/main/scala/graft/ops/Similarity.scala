@@ -343,7 +343,7 @@ object Similarity {
     array_min(array(scoreStructs(cents)(emb): _*)).getField("c")
 
   /** Deterministic fixed-round Lloyd: cells seeded from the first k corpus
-    * vectors, `rounds` refinement passes, element-wise DECIMAL(28,8)-exact
+    * vectors, `rounds` refinement passes, element-wise floor-quantized-exact
     * centroid means. The quantizer state (k × dim doubles, constant-sized
     * by construction) lives on the DRIVER between rounds — the same shape
     * as MLlib's KMeans, which collects centers every Lloyd round. That
@@ -367,12 +367,21 @@ object Similarity {
       // centroid arrays ON THE DRIVER (k·dim values, constant-sized) —
       // the previous in-plan collect_list/sort_array assembly cost a
       // second full shuffle per Lloyd round just to build 8 arrays.
+      //
+      // Mean arithmetic is floor(x·1e8)-quantized INTEGER summation, not
+      // engine-native float→DECIMAL casts: the r13 sf10 campaign showed
+      // Spark and DuckDB round float→DECIMAL(28,8) ties in different
+      // directions on this grid-valued corpus (507/512 round-1 means off
+      // by ~1e-10, flipping a handful of floor(d2·1e4) rows and the
+      // inertia census with them). floor over identical doubles has no
+      // tie to disagree on, and BIGINT sums are order-independent, so
+      // the means are bit-identical across engines at every SF.
       cents =
         em.select(nearestCid(cents)(col("embedding")).as("cid"), col("embedding"))
           .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
           .groupBy(col("cid"), col("pos"))
-          .agg((sum(col("x").cast(DecimalType(28, 8))).cast(DD) /
-            count(lit(1))).as("m"))
+          .agg((sum(floor(col("x").cast(DD) * lit(1e8))).cast(DD) /
+            lit(1e8) / count(lit(1))).as("m"))
           .collect().toSeq
           .groupBy(_.getInt(0))
           .map { case (cid, rows) =>
@@ -450,7 +459,7 @@ object Similarity {
       element_at(nearestCellsCol(bc, col("embedding"), 1), 1).as("cid"))
 
   /** [[lloydCentroids]] with join-based assignment rounds — same seeds,
-    * same DECIMAL(28,8) means, same tie-breaks, but the per-round argmin
+    * same floor-quantized means, same tie-breaks, but the per-round argmin
     * runs through [[assignCells]] instead of k inlined literal structs,
     * so nlist can scale with the corpus (√N) without the plan growing
     * with k. Returns the same driver-side (cid, centroid) list. */
@@ -468,8 +477,8 @@ object Similarity {
       cents = assignCells(em, cents)
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
-        .agg((sum(col("x").cast(DecimalType(28, 8))).cast(DD) /
-          count(lit(1))).as("m"))
+        .agg((sum(floor(col("x").cast(DD) * lit(1e8))).cast(DD) /
+          lit(1e8) / count(lit(1))).as("m"))
         .collect().toSeq
         .groupBy(_.getInt(0))
         .map { case (cid, rows) =>
@@ -502,7 +511,8 @@ object Similarity {
          |  FROM assign$n),
          |means$n AS (
          |  SELECT cid, pos,
-         |    CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS m
+         |    CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1e8) AS BIGINT)) AS DOUBLE)
+         |      / 1e8 / COUNT(*) AS m
          |  FROM dims$n GROUP BY cid, pos),
          |cents$n AS (
          |  SELECT cid, centroid,
@@ -538,7 +548,7 @@ object Similarity {
   /** IVF (inverted-file) ANN — the cell-probing scale path next to the
     * sign-bit LSH tier: a deterministic k-means coarse quantizer (cells
     * seeded from the first k corpus vectors, FIXED Lloyd rounds,
-    * element-wise DECIMAL(28,8)-exact centroid means) partitions the
+    * element-wise floor-quantized-exact centroid means) partitions the
     * corpus into cells; each query probes its `IvfProbe` nearest cells
     * and exact-reranks only those members — at 100 TB the corpus is
     * stored partitioned by cell, so a query touches probe/k of the data.

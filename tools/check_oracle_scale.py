@@ -84,6 +84,15 @@ def main():
         return "/*.parquet" if os.path.isdir(f"{sf_dir}/{t}.parquet") else ""
     con = duckdb.connect()
     con.execute(f"SET threads={threads}")
+    # Bound the oracle's memory and spill to DISK: DuckDB's default limit
+    # (80% of RAM) let the sf10 minhash twin balloon to 90 GB anon RSS
+    # and get OOM-killed, taking the whole campaign's process with it.
+    # With a hard cap it either spills through the temp dir or raises
+    # OutOfMemoryException, which we record as the oracle's own memory
+    # frontier (a property of the ORACLE at this SF, like the timeouts).
+    con.execute("SET memory_limit='40GB'")
+    os.makedirs("/tmp/duck_spill", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
@@ -128,6 +137,13 @@ def main():
                                  "rows": spark_tbl.num_rows}
                 n_timeout += 1
                 print(f"TIMEOUT {name}: {e}", flush=True)
+            elif "OUT OF MEMORY" in str(e).upper() or \
+                    "MEMORY" in type(e).__name__.upper():
+                results[name] = {"status": "oracle_oom",
+                                 "rows": spark_tbl.num_rows}
+                n_timeout += 1
+                print(f"OOM {name}: oracle exceeded its memory cap "
+                      f"(engine rows={spark_tbl.num_rows})", flush=True)
             else:
                 results[name] = {"status": "fail", "why": f"oracle error: {e}"}
                 n_fail += 1
