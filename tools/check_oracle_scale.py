@@ -90,7 +90,7 @@ def main():
     # With a hard cap it either spills through the temp dir or raises
     # OutOfMemoryException, which we record as the oracle's own memory
     # frontier (a property of the ORACLE at this SF, like the timeouts).
-    con.execute("SET memory_limit='40GB'")
+    con.execute(f"SET memory_limit='{os.environ.get('DUCK_MEM', '40GB')}'")
     os.makedirs("/tmp/duck_spill", exist_ok=True)
     con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
