@@ -242,8 +242,14 @@ object Bench {
         // leaves async debt (context-cleaner queue, listener backlog,
         // GC-pending broadcasts/shuffles) that lands on whichever queries
         // run first in the power pass.
-        sys.env.get("SPARK_GRAFT_QUIESCE_SEC").map(_.toInt).foreach { s =>
-          System.gc(); Thread.sleep(s * 1000L); System.gc()
+        // .toIntOption (not .toInt inside the warm-up catch): a typo'd
+        // value must complain loudly, not silently disable the A/B knob.
+        sys.env.get("SPARK_GRAFT_QUIESCE_SEC").foreach { v =>
+          v.toIntOption match {
+            case Some(s) => System.gc(); Thread.sleep(s * 1000L); System.gc()
+            case None => System.err.println(
+              s"[bench] ignoring malformed SPARK_GRAFT_QUIESCE_SEC='$v'")
+          }
         }
       }
     } catch { case _: Throwable => () }
@@ -374,8 +380,15 @@ object Bench {
     // stale basis can never masquerade as a same-window comparison. The
     // age itself ships on the driver-parsed stdout line either way.
     val duckPath = sys.env.getOrElse("SPARK_GRAFT_DUCKDB_TIMES", "duckdb_times.json")
-    val maxPairAge =
-      sys.env.getOrElse("SPARK_GRAFT_PAIR_MAX_AGE_SEC", "10800").toLong
+    // toLongOption: a malformed override must not throw AFTER all timed
+    // passes have run (it would lose the entire bench run's output).
+    val maxPairAge = sys.env.get("SPARK_GRAFT_PAIR_MAX_AGE_SEC")
+      .flatMap { v =>
+        val p = v.toLongOption
+        if (p.isEmpty) System.err.println(
+          s"[bench] ignoring malformed SPARK_GRAFT_PAIR_MAX_AGE_SEC='$v'")
+        p
+      }.getOrElse(10800L)
     val (duckTimesRaw, duckMeta): (Map[String, Double], Map[String, String]) =
       try {
         val txt = scala.io.Source.fromFile(duckPath).mkString

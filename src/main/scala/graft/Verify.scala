@@ -51,38 +51,61 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try {
-        def run(): Unit = fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
         timeoutSec match {
-          case None => run()
+          case None =>
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
           case Some(limit) =>
+            // Clamped mode writes to a temp dir and renames into place
+            // only if the clamp never fired: most queries run several
+            // driver-side jobs, so a single cancelJobGroup can land
+            // between jobs and let the worker survive to write AFTER the
+            // cleanup — a TIMED-OUT query would then surface as (torn)
+            // output the scale checker happily value-checks. The rename
+            // is guarded by `cancelled` and the cancel is re-issued
+            // (cancelJobGroupAndFutureJobs kills jobs the group submits
+            // later, too) until the worker thread actually exits.
             val t0 = System.nanoTime()
+            val tmp = s"$outDir/.tmp-$name"
+            val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
             val th = new Thread(() => {
               spark.sparkContext.setJobGroup(s"verify-$name", name,
                 interruptOnCancel = true)
-              try run()
-              catch { case e: Throwable =>
+              try {
+                fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(tmp)
+                if (!cancelled.get()) {
+                  val dst = new java.io.File(s"$outDir/$name")
+                  if (dst.exists()) rm(dst)
+                  if (!new java.io.File(tmp).renameTo(dst))
+                    System.err.println(s"[verify] $name rename failed")
+                }
+              } catch { case e: Throwable =>
                 System.err.println(s"[verify] $name failed: ${e.getMessage}")
               }
             })
             th.setDaemon(true); th.start()
             th.join(limit * 1000)
             if (th.isAlive) {
-              spark.sparkContext.cancelJobGroup(s"verify-$name")
-              th.join(60000)
-              // remove any partial output so the checker sees a clean skip
-              val d = new java.io.File(s"$outDir/$name")
-              if (d.exists()) {
-                def rm(f: java.io.File): Unit = {
-                  Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-                }
-                rm(d)
+              cancelled.set(true)
+              var waited = 0L
+              while (th.isAlive && waited < 120000) {
+                spark.sparkContext.cancelJobGroupAndFutureJobs(s"verify-$name")
+                th.join(5000); waited += 5000
               }
+              if (th.isAlive)
+                System.err.println(s"[verify] $name worker STILL ALIVE after " +
+                  "cancel loop — subsequent timings may be skewed")
               System.err.println(s"[verify] $name TIMED OUT after ${limit}s")
             } else {
               val dt = (System.nanoTime() - t0) / 1e9
               System.err.println(f"[verify] $name done in $dt%.1fs")
             }
+            // temp dir is dead weight either way once the worker exited
+            val td = new java.io.File(tmp)
+            if (!th.isAlive && td.exists()) rm(td)
         }
       }
       catch { case e: Throwable =>

@@ -91,8 +91,9 @@ def main():
     # OutOfMemoryException, which we record as the oracle's own memory
     # frontier (a property of the ORACLE at this SF, like the timeouts).
     con.execute(f"SET memory_limit='{os.environ.get('DUCK_MEM', '40GB')}'")
-    os.makedirs("/tmp/duck_spill", exist_ok=True)
-    con.execute("SET temp_directory='/tmp/duck_spill'")
+    spill = os.environ.get("DUCK_TMP", "/tmp/duck_spill")
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
@@ -116,7 +117,14 @@ def main():
             n_noracle += 1
             print(f"(rows-only) {name}: {spark_tbl.num_rows} rows", flush=True)
             continue
-        timer = threading.Timer(timeout, con.interrupt)
+        # Guard against the timer firing between fetch_arrow_table()
+        # returning and timer.cancel(): a stray interrupt on the idle
+        # connection would cancel the NEXT query and silently
+        # misclassify it as oracle_timeout. The timer only interrupts
+        # while this query is still marked in-flight.
+        done = threading.Event()
+        timer = threading.Timer(
+            timeout, lambda: (con.interrupt() if not done.is_set() else None))
         timer.start()
         t0 = time.time()
         try:
@@ -150,6 +158,7 @@ def main():
                 print(f"FAIL {name}: oracle SQL error: {e}", flush=True)
             continue
         finally:
+            done.set()
             timer.cancel()
         problems = []
         s_cols = sorted(spark_tbl.column_names)
