@@ -35,9 +35,17 @@ object QBench {
       .config("spark.sql.sessionWindow.buffer.in.memory.threshold", "1048576")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def clear(): Unit =
+    def clear(): Unit = {
       try spark.sharedState.cacheManager.clearCache()
       catch { case _: Throwable => () }
+      // Control knob for the graph-index memo protocol (BENCH_NOTES
+      // control table): with SPARK_GRAFT_GRAPH_MEMO=off the memoized
+      // co-occurrence-edge / LPA-label pipelines are dropped between
+      // reps, so every reference re-prices the index build (incl. its
+      // one-scalar distinct-count job) — the unmemoized per-query cost.
+      if (sys.env.get("SPARK_GRAFT_GRAPH_MEMO").contains("off"))
+        graft.ops.Graph.clearEdgeMemo()
+    }
     // mirror Bench's physical-layout normalization (see Bench.relayout)
     val dir = Bench.relayout(spark, sfDir)
     val warmDir = Bench.relayout(spark, "/root/testdata/sf0.001")

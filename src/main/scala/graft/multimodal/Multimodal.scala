@@ -540,8 +540,18 @@ object Multimodal {
   def phashDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
-    val sigs = imageAssets(spark, dir).mapPartitions(phashes).toDF()
-    graft.ops.Dedup.hammingPairs(sigs, bucketCap = 1000)
+    // Corpus-scaled hot-bucket cap, NOT a constant: the generator's
+    // pattern space is id mod 256, so every distinct phash gains
+    // corpus/256 exact copies as the corpus grows — at sf10 (500k docs,
+    // ~1950 copies each) a fixed cap of 1000 dropped EVERY block bucket
+    // and the query silently returned 0 pairs (found by the r14 scale
+    // campaign; the same fixed-cap bug class r11 fixed for the text
+    // simhash tier). max(1000, N/5) keeps every organic bucket while
+    // still refusing saturation degeneracy, mirroring Dedup.simhashCap.
+    val assets = imageAssets(spark, dir)
+    val cap = math.max(1000L, Tables.documents(spark, dir).count() / 5)
+    val sigs = assets.mapPartitions(phashes).toDF()
+    graft.ops.Dedup.hammingPairs(sigs, bucketCap = cap.toInt)
   }
 
   val phashDedupSql: String =

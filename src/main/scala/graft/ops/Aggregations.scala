@@ -237,19 +237,23 @@ object Aggregations {
     // value-list buffers (the earlier repartition+COMPLETE-mode variant
     // serialized nothing but still single-tasked each group through the
     // list accumulation: 2.4 s for a 3-row output; this shape ~0.8 s).
-    val sketches = li
-      .groupBy(col("l_returnflag"))
-      .agg(
-        expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 2000)")
-          .as("aq"),
-        expr("approx_percentile(l_quantity, 0.5, 2000)").as("amq"),
-        count(lit(1)).as("n_rows"))
-    val exact = exactPercentiles(li, "l_returnflag", Seq(
+    // (r14) The sketches are FUSED into the exact plan's bounds pass
+    // (exactPercentilesWith extraAggs): the first stage of the rank
+    // plan is already a map-side-combined groupBy(l_returnflag) over
+    // the same input, so the GK buffers ride that exchange — one fewer
+    // lineitem scan, shuffle and join stage than the two-branch shape
+    // (measured 1.17 s → see BENCH_NOTES r14).
+    val fused = exactPercentilesWith(li, "l_returnflag", Seq(
       ("l_extendedprice", 0.5, "eq50"),
       ("l_extendedprice", 0.9, "eq90"),
       ("l_extendedprice", 0.99, "eq99"),
-      ("l_quantity", 0.5, "emq")))
-    sketches.join(broadcast(exact), "l_returnflag")
+      ("l_quantity", 0.5, "emq")),
+      Seq(
+        (expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 2000)"),
+          "aq"),
+        (expr("approx_percentile(l_quantity, 0.5, 2000)"), "amq"),
+        (count(lit(1)), "n_rows")))
+    fused
       .select(col("l_returnflag"), col("n_rows"),
         (abs(col("aq")(0) - col("eq50")) / col("eq50") <= 0.05).as("q50_ok"),
         (abs(col("aq")(1) - col("eq90")) / col("eq90") <= 0.05).as("q90_ok"),

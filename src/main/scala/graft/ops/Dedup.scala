@@ -1162,10 +1162,27 @@ object Dedup {
     * shingle exchange feeds truth and signatures; banding explodes to
     * b·N bounded rows per scheme; pairing is tuple-keyed equi-join under
     * the hot-bucket cap. */
-  def bandingRecallEval(spark: SparkSession, dir: String): DataFrame = {
+  def bandingRecallEval(spark: SparkSession, dir: String): DataFrame =
+    bandingRecallEvalImpl(spark, dir, None)
+
+  /** [[bandingRecallEval]] on a deterministic, cluster-preserving 5% doc
+    * slice (`doc_id % 20 = 0`; ScaleGen's replica stride is a power of
+    * ten, so every replica of a sampled base doc shares its residue and
+    * the slice keeps WHOLE near-dup clusters — the recall operating
+    * points see the full corpus's cluster-density regime on 1/20 the
+    * docs and 1/400 the quadratic truth volume). This is the recall
+    * curve that ships at decades where the full-corpus exact-Jaccard
+    * truth tier (and its DuckDB twin) is intractable — the sf10+
+    * scale-evidence variant of the tuning artifact. */
+  def bandingRecallSampled(spark: SparkSession, dir: String): DataFrame =
+    bandingRecallEvalImpl(spark, dir, Some(20L))
+
+  private def bandingRecallEvalImpl(spark: SparkSession, dir: String,
+      docMod: Option[Long]): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     import org.apache.spark.sql.types.DoubleType
-    val d = Tables.documents(spark, dir)
+    val d0 = Tables.documents(spark, dir)
+    val d = docMod.fold(d0)(m => d0.filter(pmod(col("doc_id"), lit(m)) === 0))
     val shRows = d
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -1259,25 +1276,39 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cost = candAll.groupBy(col("bands")).agg(count(lit(1)).as("cand_pairs"))
     val schemes = BandSchemes.map(_._1).map(b => lit(b))
+    // Anchor the output on the 3-row schemes frame (LEFT joins +
+    // coalesce), not on the truth aggregation: an empty truth tier (the
+    // sampled variant at tiny SFs can legitimately have no ≥0.8 pairs in
+    // its slice) must still emit one row per scheme with zero counts —
+    // the shape the twin's scalar-COUNT CTEs produce.
+    val schemesDf = sigs.sparkSession.range(1)
+      .select(explode(array(schemes: _*)).as("bands"))
     val rec = truth
-      .crossJoin(broadcast(
-        sigs.sparkSession.range(1).select(explode(array(schemes: _*)).as("bands"))))
+      .crossJoin(broadcast(schemesDf))
       .join(candAll.withColumn("hit", lit(1)), Seq("bands", "d1", "d2"),
         "left_outer")
       .groupBy(col("bands"))
       .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_recalled"))
-    rec.join(broadcast(cost), Seq("bands"))
+    broadcast(schemesDf)
+      .join(rec, Seq("bands"), "left_outer")
+      .join(broadcast(cost), Seq("bands"), "left_outer")
       .select(col("bands"),
         expr(s"$NumHashes div bands").cast("int").as("rows_per_band"),
-        col("n_truth"), col("n_recalled"),
-        expr("n_recalled * 1000000 div n_truth").as("recall_fp"),
-        col("cand_pairs"))
+        coalesce(col("n_truth"), lit(0L)).as("n_truth"),
+        coalesce(col("n_recalled"), lit(0L)).as("n_recalled"),
+        expr("coalesce(n_recalled, 0L) * 1000000 div n_truth").as("recall_fp"),
+        coalesce(col("cand_pairs"), lit(0L)).as("cand_pairs"))
       .orderBy(col("bands"))
   }
 
   /** Oracle twin: identical shingles, polyhash fold, affine mins, tuple
     * buckets, cap, pairing and recall — all in SQL. */
-  val bandingRecallEvalSql: String = {
+  val bandingRecallEvalSql: String = bandingRecallEvalSqlImpl(None)
+
+  /** Twin of [[bandingRecallSampled]] — same SQL on the doc slice. */
+  val bandingRecallSampledSql: String = bandingRecallEvalSqlImpl(Some(20L))
+
+  private def bandingRecallEvalSqlImpl(docMod: Option[Long]): String = {
     val ph = "list_reduce(list_prepend(CAST(7 AS BIGINT), " +
       "list_transform(range(1, length(shingle)+1), " +
       "i -> CAST(ascii(substr(shingle, CAST(i AS INTEGER), 1)) AS BIGINT))), " +
@@ -1309,10 +1340,12 @@ object Dedup {
       s"SELECT $b AS bands, $r AS rows_per_band, n_truth, n_recalled, " +
         s"CAST(n_recalled * 1000000 // n_truth AS BIGINT) AS recall_fp, " +
         s"CAST(cand_pairs AS BIGINT) AS cand_pairs FROM rec$r, cost$r"
+    val docSrc = docMod.fold("documents")(m =>
+      s"(SELECT * FROM documents WHERE doc_id % $m = 0)")
     s"""WITH toks AS (
       |  SELECT doc_id, unnest(string_split(text,' ')) AS tok,
       |         generate_subscripts(string_split(text,' '),1) AS pos
-      |  FROM documents),
+      |  FROM $docSrc),
       |sh0 AS (
       |  SELECT DISTINCT doc_id,
       |    tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS shingle
@@ -1345,9 +1378,9 @@ object Dedup {
       |ORDER BY bands""".stripMargin
   }
 
-  private val SemRounds = 2      // fixed Lloyd rounds — determinism over convergence
-  private val SemTau = 0.3       // cosine threshold on the 6-decimal rounded value
-  private val SemClusterCap = 1000 // hot-cluster guard, mirrored in the oracle
+  private[ops] val SemRounds = 2      // fixed Lloyd rounds — determinism over convergence
+  private[ops] val SemTau = 0.3       // cosine threshold on the 6-decimal rounded value
+  private[ops] val SemClusterCap = 1000 // hot-cluster guard, mirrored in the oracle
 
   /** Semantic (embedding-cluster) dedup — SemDeDup (Abbas et al., "SemDeDup:
     * Data-efficient learning at web-scale through semantic deduplication",

@@ -193,7 +193,7 @@ object Graph {
     * test suite). */
   def clearEdgeMemo(): Unit = { edgeMemo.clear(); labelMemo.clear() }
 
-  private def cooccurrenceEdges(spark: SparkSession, dir: String): DataFrame = {
+  private[ops] def cooccurrenceEdges(spark: SparkSession, dir: String): DataFrame = {
     edgeMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     edgeMemo.getOrElseUpdate((spark, dir),
       cooccurrenceEdgesBuild(spark, dir))

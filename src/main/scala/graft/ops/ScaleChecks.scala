@@ -1,0 +1,408 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Engine-side scale checks for the ORACLE-FRONTIER queries — the ~dozen
+  * inventory entries whose DuckDB twin is intractable at sf10+ (quadratic
+  * truth tiers, recursive graph CTEs that exhaust spill). Their engine
+  * outputs at scale would otherwise carry no evidence beyond sf0.1; each
+  * check here re-derives or constraint-proves the DUMPED output (the
+  * parquet `graft.Verify` wrote at that SF) with Spark-side math that
+  * stays linear, so the artifact "verified at sf10" extends past the
+  * oracle's reach. Two check species:
+  *
+  *  - PROOFS: the output's defining property is verified against the full
+  *    input (skyline dominance — sound AND complete; BFS distance
+  *    constraints, which uniquely pin the fixed-round min-dist table;
+  *    pair-soundness recomputation for minhash/simhash/phash/semantic;
+  *    ADC/IVF score recomputation). These hold on ALL rows at the full SF.
+  *  - SLICE EQUALITY: where completeness is only checkable quadratically
+  *    (hamming/jaccard truth), the all-pairs truth is recomputed on the
+  *    deterministic cluster-preserving `% 20` slice (see
+  *    [[graft.ScaleSample]]) and the dump restricted to slice pairs must
+  *    EQUAL it — banding completeness (pigeonhole for hamming ≤ 3) means
+  *    equality, not just containment, is the contract.
+  *
+  * Every check returns (pass, detail); the main prints one JSON line per
+  * check and exits non-zero on any failure. Driver-independent: pure
+  * Spark, no DuckDB.
+  */
+object ScaleChecks {
+
+  private def dump(spark: SparkSession, outDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$outDir/$name")
+
+  private val SliceMod = 20L
+
+  type Result = (String, Boolean, Map[String, Long])
+
+  /** Full skyline proof: R ⊆ part, no part row dominates any R row
+    * (soundness), every part row outside R is dominated by an R row
+    * (completeness — sufficient because dominance chains end in maximal,
+    * i.e. skyline, points). All three legs are broadcast-R joins over one
+    * part scan: linear at any SF. */
+  def skylineProof(spark: SparkSession, sfDir: String, outDir: String): Result = {
+    val r = dump(spark, outDir, "skyline_pareto")
+      .select(col("p_partkey").as("rk"), col("p_retailprice").as("rp"),
+        col("p_size").as("rs"))
+    val pts = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    def dominates(bp: Column, bs: Column, ap: Column, as_ : Column): Column =
+      bp <= ap && bs >= as_ && (bp < ap || bs > as_)
+    val nR = r.count()
+    val subsetOk = r.join(pts,
+      col("rk") === col("p_partkey") && col("rp") === col("p_retailprice") &&
+        col("rs") === col("p_size")).count() == nR
+    val sound = pts.join(broadcast(r),
+      dominates(col("p_retailprice"), col("p_size"), col("rp"), col("rs")))
+      .count()
+    val undominatedOutside = pts
+      .join(broadcast(r.select(col("rk"))), col("p_partkey") === col("rk"),
+        "left_anti")
+      .join(broadcast(r),
+        dominates(col("rp"), col("rs"), col("p_retailprice"), col("p_size")),
+        "left_anti")
+      .count()
+    ("skyline_proof", subsetOk && sound == 0 && undominatedOutside == 0,
+      Map("skyline_rows" -> nR, "dominated_in_result" -> sound,
+        "undominated_missing" -> undominatedOutside))
+  }
+
+  /** BFS constraint proof. The query is a fixed 4-round min-distance
+    * unroll from u:min(user_id); its output D is uniquely characterized by
+    *  (1) source row (u:minUser, 0) present, nothing else at dist 0;
+    *  (2) parent: every row at dist k>0 has an in-edge from a row at k−1
+    *      (no value too small / unreachable);
+    *  (3) expansion: no edge (u→v) with D(u) ≤ 3 and (v ∉ D or
+    *      D(v) > D(u)+1) (no value too large, nobody missing);
+    *  (4) all dists in [0, 4].
+    * Each leg is an equi-join of the edge list against the broadcastable
+    * distance table — linear in edges. */
+  def bfsProof(spark: SparkSession, sfDir: String, outDir: String): Result = {
+    val d = dump(spark, outDir, "graph_bfs_distances")
+    val ev = Tables.events(spark, sfDir)
+    val e0 = ev.select(concat(lit("u:"), col("user_id")).as("a"),
+        concat(lit("t:"), col("event_type")).as("b")).distinct()
+    val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+      .union(e0.select(col("b").as("src"), col("a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val srcNode = ev.agg(concat(lit("u:"), min(col("user_id")))).head().getString(0)
+    val zeroRows = d.filter(col("dist") === 0)
+      .select(col("node")).collect().map(_.getString(0)).toSeq
+    val srcOk = zeroRows == Seq(srcNode)
+    val rangeBad = d.filter(col("dist") < 0 || col("dist") > 4).count()
+    val dk = d.select(col("node"), col("dist"))
+    val noParent = dk.filter(col("dist") > 0).as("x")
+      .join(edges.as("e"), col("e.dst") === col("x.node"), "left_outer")
+      .join(dk.as("p"),
+        col("p.node") === col("e.src") && col("p.dist") === col("x.dist") - 1,
+        "left_outer")
+      .groupBy(col("x.node"))
+      .agg(max(when(col("p.node").isNotNull, 1).otherwise(0)).as("hasP"))
+      .filter(col("hasP") === 0).count()
+    val expansionBad = edges.as("e")
+      .join(dk.as("u"), col("u.node") === col("e.src"))
+      .filter(col("u.dist") <= 3)
+      .join(dk.as("v"), col("v.node") === col("e.dst"), "left_outer")
+      .filter(col("v.node").isNull || col("v.dist") > col("u.dist") + 1)
+      .count()
+    edges.unpersist()
+    ("bfs_proof", srcOk && rangeBad == 0 && noParent == 0 && expansionBad == 0,
+      Map("rows" -> d.count(), "range_bad" -> rangeBad,
+        "no_parent" -> noParent, "expansion_bad" -> expansionBad))
+  }
+
+  /** MinHash pair soundness: re-derive (n1, n2, common, jaccard) for every
+    * dumped pair from the df-capped shingle table and require the full
+    * row set to match exactly (both-ways exceptAll = ∅) — in particular
+    * every dumped pair re-verifies at jaccard ≥ 0.8. Linear in pairs. */
+  def minhashSoundness(spark: SparkSession, sfDir: String, outDir: String): Result = {
+    graft.functions.GraftFunctions.register(spark)
+    val p = dump(spark, outDir, "dedup_minhash_lsh")
+    val docs = Tables.documents(spark, sfDir)
+    val sh = Dedup.hashedShingles(docs, 1000)
+    val re = Dedup.verifiedPairs(sh, p.select(col("d1"), col("d2")), 0.8)
+    val extra = p.exceptAll(re).count()
+    val missing = re.exceptAll(p).count()
+    ("minhash_soundness", extra == 0 && missing == 0,
+      Map("pairs" -> p.count(), "not_rederived" -> extra,
+        "rederived_not_dumped" -> missing))
+  }
+
+  /** Slice-equality for a hamming-pair dump: recompute signatures, take
+    * the EXACT all-pairs hamming ≤ K truth on the `% 20` slice, and
+    * require the dump restricted to slice pairs to equal it (banding is
+    * pigeonhole-complete for K ≤ 3, so equality is the contract, not
+    * recall). Also re-derives the hamming value of EVERY dumped pair at
+    * the full SF (soundness). */
+  private def hammingPairCheck(name: String, pairs: DataFrame,
+      sigs: DataFrame): Result = {
+    // sigs: (doc_id, simhash)
+    val s1 = sigs.select(col("doc_id").as("d1"), col("simhash").as("h1"))
+    val s2 = sigs.select(col("doc_id").as("d2"), col("simhash").as("h2"))
+    val re = pairs.join(s1, "d1").join(s2, "d2")
+      .withColumn("rh", expr("cast(bit_count(h1 ^ h2) as bigint)"))
+    val soundBad = re.filter(col("rh") =!= col("hamming") ||
+      col("rh") > Dedup.SimHashK).count()
+    val slice = sigs.filter(pmod(col("doc_id"), lit(SliceMod)) === 0)
+    val truth = slice.as("a").join(slice.as("b"),
+        col("a.doc_id") < col("b.doc_id") &&
+          expr("bit_count(a.simhash ^ b.simhash)") <= Dedup.SimHashK)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        expr("cast(bit_count(a.simhash ^ b.simhash) as bigint)").as("hamming"))
+    val dumpSlice = pairs.filter(
+      pmod(col("d1"), lit(SliceMod)) === 0 && pmod(col("d2"), lit(SliceMod)) === 0)
+    val missing = truth.exceptAll(dumpSlice).count()
+    val extra = dumpSlice.exceptAll(truth).count()
+    (name, soundBad == 0 && missing == 0 && extra == 0,
+      Map("pairs" -> pairs.count(), "hamming_mismatch" -> soundBad,
+        "slice_truth_pairs" -> truth.count(),
+        "slice_missing" -> missing, "slice_extra" -> extra))
+  }
+
+  def simhashCheck(spark: SparkSession, sfDir: String, outDir: String): Result = {
+    graft.functions.GraftFunctions.register(spark)
+    val sigs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr("graft_simhash64(split(text, ' '))").as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val r = hammingPairCheck("simhash_check",
+      dump(spark, outDir, "dedup_simhash").select(col("d1"), col("d2"), col("hamming")),
+      sigs)
+    sigs.unpersist()
+    r
+  }
+
+  def phashCheck(spark: SparkSession, sfDir: String, outDir: String): Result = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val sigs = graft.multimodal.Multimodal.imageAssets(spark, sfDir)
+      .mapPartitions(graft.multimodal.Multimodal.phashes).toDF()
+      .select(col("doc_id"), col("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val r = hammingPairCheck("phash_check",
+      dump(spark, outDir, "multimodal_phash_dedup")
+        .select(col("d1"), col("d2"), col("hamming")),
+      sigs)
+    sigs.unpersist()
+    r
+  }
+
+  /** Incremental-dedup soundness + slice equality: every dumped
+    * (new_doc → dup_of) match re-verifies (chunk order, hamming value,
+    * ≤ K) at the full SF, and on the slice the dump equals the
+    * from-scratch best-match recomputation (banding completeness makes
+    * the best match exact). */
+  def incrementalCheck(spark: SparkSession, sfDir: String, outDir: String): Result = {
+    graft.functions.GraftFunctions.register(spark)
+    val p = dump(spark, outDir, "stream_incremental_dedup")
+    val sigs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr("graft_simhash64(split(text, ' '))").as("simhash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val s1 = sigs.select(col("doc_id").as("new_doc"), col("simhash").as("h1"))
+    val s2 = sigs.select(col("doc_id").as("dup_of"), col("simhash").as("h2"))
+    val soundBad = p.join(s1, "new_doc").join(s2, "dup_of")
+      .filter(expr("cast(bit_count(h1 ^ h2) as bigint)") =!= col("hamming") ||
+        col("hamming") > Dedup.SimHashK ||
+        pmod(col("dup_of"), lit(3L)) >= pmod(col("new_doc"), lit(3L)) ||
+        col("new_chunk") =!= pmod(col("new_doc"), lit(3L)))
+      .count()
+    // slice: exact best predecessor per new doc among earlier chunks
+    val slice = sigs.filter(pmod(col("doc_id"), lit(SliceMod)) === 0)
+    val truth = slice.as("n").join(slice.as("o"),
+        pmod(col("o.doc_id"), lit(3L)) < pmod(col("n.doc_id"), lit(3L)) &&
+          expr("bit_count(n.simhash ^ o.simhash)") <= Dedup.SimHashK)
+      .select(col("n.doc_id").as("new_doc"),
+        struct(expr("cast(bit_count(n.simhash ^ o.simhash) as bigint)").as("h"),
+          col("o.doc_id").as("d")).as("cand"))
+      .groupBy(col("new_doc")).agg(min(col("cand")).as("best"))
+      .select(col("new_doc"), pmod(col("new_doc"), lit(3L)).as("new_chunk"),
+        col("best.d").as("dup_of"), col("best.h").as("hamming"))
+    val dumpSlice = p.filter(pmod(col("new_doc"), lit(SliceMod)) === 0 &&
+      pmod(col("dup_of"), lit(SliceMod)) === 0)
+    // truth's best match may live outside the slice; compare only rows
+    // whose truth-best is in-slice — i.e. slice-truth rows must appear in
+    // the dump with an at-least-as-good (h, d) key, and every dumped
+    // slice row must re-verify (done above). The containment leg:
+    val missing = truth.as("t")
+      .join(p.as("d"), col("t.new_doc") === col("d.new_doc"), "left_outer")
+      .filter(col("d.new_doc").isNull ||
+        struct(col("d.hamming"), col("d.dup_of")) >
+          struct(col("t.hamming"), col("t.dup_of")))
+      .count()
+    sigs.unpersist()
+    ("incremental_check", soundBad == 0 && missing == 0,
+      Map("rows" -> p.count(), "sound_bad" -> soundBad,
+        "slice_worse_than_truth" -> missing))
+  }
+
+  /** Semantic-dedup re-derivation: (a) kept ⇔ no dup_of; (b) every
+    * (vec, dup_of) pair is same-cluster, dup_of < vec, and its rounded
+    * cosine ≥ τ (re-scored from raw vectors); (c) the dumped cid equals
+    * a from-scratch rerun of the deterministic Lloyd assignment for
+    * every vector. */
+  def semanticCheck(spark: SparkSession, sfDir: String, outDir: String): Result = {
+    graft.functions.GraftFunctions.register(spark)
+    val d = dump(spark, outDir, "dedup_semantic")
+    val em = Tables.embeddings(spark, sfDir)
+    val k = Similarity.ivfCellsFor(em.count())
+    val cents = Similarity.lloydCentroidsScaled(em, k, Dedup.SemRounds)
+    val cells = Similarity.assignCells(em, cents)
+    val keptBad = d.filter(col("kept") =!= col("dup_of").isNull).count()
+    val cidBad = d.as("d").join(cells.as("c"), col("d.vec_id") === col("c.vec_id"))
+      .filter(col("d.cid") =!= col("c.cid")).count()
+    val e1 = em.select(col("vec_id").as("v1"), col("embedding").as("x1"))
+    val e2 = em.select(col("vec_id").as("v2"), col("embedding").as("x2"))
+    val pairBad = d.filter(col("dup_of").isNotNull).as("d")
+      .join(d.select(col("vec_id").as("dup_of"), col("cid").as("cid2")), "dup_of")
+      .join(e1, col("d.vec_id") === col("v1"))
+      .join(e2, col("dup_of") === col("v2"))
+      .filter(col("dup_of") >= col("d.vec_id") ||
+        col("cid2") =!= col("d.cid") ||
+        round(Similarity.dot(col("x1"), col("x2")) /
+          (sqrt(Similarity.sqNorm(col("x1"))) * sqrt(Similarity.sqNorm(col("x2")))),
+          6) < Dedup.SemTau)
+      .count()
+    ("semantic_check", keptBad == 0 && cidBad == 0 && pairBad == 0,
+      Map("rows" -> d.count(), "kept_bad" -> keptBad, "cid_bad" -> cidBad,
+        "pair_bad" -> pairBad))
+  }
+
+  /** IVF consistency: every dumped neighbor's recomputed cell is among
+    * its query's probed cells, its cos_sim re-scores identically, and —
+    * for the `% 1000` query sample — the dumped top-3 EQUALS the exact
+    * rerank over the probed cells (full equality on the sampled
+    * sub-problem). */
+  def ivfCheck(spark: SparkSession, sfDir: String, outDir: String): Result = {
+    graft.functions.GraftFunctions.register(spark)
+    val d = dump(spark, outDir, "sim_ann_ivf")
+    val em = Tables.embeddings(spark, sfDir)
+    val k = Similarity.ivfCellsFor(em.count())
+    val cents = Similarity.lloydCentroidsScaled(em, k, Similarity.IvfRounds)
+    val bc = Similarity.broadcastQuantizer(em, cents)
+    val cells = Similarity.assignCellsBc(em, bc)
+      .withColumn("sq", call_function("graft_vec_sqnorm", col("embedding")))
+    val qs = em.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        call_function("graft_vec_sqnorm", col("embedding")).as("q_sq"),
+        Similarity.nearestCellsCol(bc, col("embedding"), Similarity.IvfProbe)
+          .as("probed"))
+    val joined = d.as("d")
+      .join(broadcast(qs.as("q")), col("d.query_id") === col("q.query_id"))
+      .join(cells.as("m"), col("d.vec_id") === col("m.vec_id"))
+    val probeBad = joined.filter(!array_contains(col("probed"), col("m.cid"))).count()
+    val scoreBad = joined.filter(
+      round(call_function("graft_vec_dot", col("q_emb"), col("m.embedding")) /
+        (sqrt(col("q_sq")) * sqrt(col("m.sq"))), 6) =!= col("d.cos_sim")).count()
+    // sampled exact rerank equality
+    val sq = qs.filter(pmod(col("query_id"), lit(1000L)) === 0)
+      .withColumn("cid", explode(col("probed"))).drop("probed")
+    val rescored = broadcast(sq).join(cells, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(call_function("graft_vec_dot", col("q_emb"), col("embedding")) /
+          (sqrt(col("q_sq")) * sqrt(col("sq"))), 6).as("cos_sim"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val exact3 = rescored.withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= 3)
+    val dumpS = d.filter(pmod(col("query_id"), lit(1000L)) === 0)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"),
+        col("rnk").cast("int").as("rnk"))
+    val exactBad = dumpS.exceptAll(exact3).count() + exact3.exceptAll(dumpS).count()
+    ("ivf_check", probeBad == 0 && scoreBad == 0 && exactBad == 0,
+      Map("rows" -> d.count(), "probe_bad" -> probeBad,
+        "score_bad" -> scoreBad, "sampled_exact_bad" -> exactBad))
+  }
+
+  /** PQ/ADC re-scoring: re-encode every dumped neighbor's code tuple and
+    * re-fold the ADC score for its (query, codes) pair — equality on all
+    * dumped rows, plus rnk values 1..3 and strictly ordered per query. */
+  def pqCheck(spark: SparkSession, sfDir: String, outDir: String): Result = {
+    graft.functions.GraftFunctions.register(spark)
+    val d = dump(spark, outDir, "sim_ann_pq_adc")
+    val em = Tables.embeddings(spark, sfDir)
+    val cb = Similarity.pqCodebook(
+      Similarity.pqSeeds(em, Similarity.PqK), Similarity.PqK)
+    val codes = em.select(col("vec_id") +: (0 until Similarity.PqM).map(m =>
+      Similarity.pqCode(cb, Similarity.PqK)(col("embedding"), m).as(s"code$m")): _*)
+    val q = em.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    def dm(m: Int): Column = Similarity.pqAdcTerm(cb, m)
+    val re = d.as("d")
+      .join(codes.as("c"), col("d.vec_id") === col("c.vec_id"))
+      .join(broadcast(q), "query_id")
+      .withColumn("re_dot", round(dm(0) + dm(1) + dm(2) + dm(3), 6))
+    val scoreBad = re.filter(col("re_dot") =!= col("approx_dot")).count()
+    val rnkBad = d.groupBy(col("query_id"))
+      .agg(sort_array(collect_list(col("rnk"))).as("rs"))
+      .filter(col("rs") =!= array(lit(1), lit(2), lit(3))).count()
+    ("pq_check", scoreBad == 0 && rnkBad == 0,
+      Map("rows" -> d.count(), "score_bad" -> scoreBad, "rnk_bad" -> rnkBad))
+  }
+
+  /** Brute-force equality for the cosine top-k dump on the `% 1000` query
+    * sample: the dumped rows for sampled queries must equal an exact
+    * re-computation over the FULL corpus — sampled-truth at full scale,
+    * O(sample × corpus). */
+  def cosineSampledTruth(spark: SparkSession, sfDir: String, outDir: String): Result = {
+    graft.functions.GraftFunctions.register(spark)
+    val d = dump(spark, outDir, "sim_cosine_topk")
+    val em = Tables.embeddings(spark, sfDir)
+    val q = em.filter(pmod(col("vec_id"), lit(1000L)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = em.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(Similarity.cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val exact = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+    val dumpS = d.filter(pmod(col("query_id"), lit(1000L)) === 0)
+      .select(col("query_id"), col("vec_id"), col("cos_sim"),
+        col("rnk").cast("int").as("rnk"))
+    val bad = dumpS.exceptAll(exact).count() + exact.exceptAll(dumpS).count()
+    ("cosine_sampled_truth", bad == 0,
+      Map("dump_rows" -> d.count(), "sampled_rows" -> dumpS.count(),
+        "mismatch" -> bad))
+  }
+
+  /** k-core trajectory invariants: round-0 census equals an independent
+    * recount of the undirected co-occurrence edge set (nodes, edges, min
+    * degree), and the trajectory is monotone non-increasing in nodes and
+    * edges. (End-to-end equality evidence comes from the sampled-oracle
+    * run — this pins the full-SF dump to the full-SF graph.) */
+  def kcoreCheck(spark: SparkSession, sfDir: String, outDir: String): Result = {
+    val d = dump(spark, outDir, "graph_kcore_peel").orderBy(col("round"))
+      .collect()
+    val e0 = Graph.cooccurrenceEdges(spark, sfDir)
+    val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+    val c = und.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      .agg(count(lit(1)), expr("coalesce(sum(deg), 0) div 2"),
+        expr("coalesce(min(deg), 0)")).head()
+    val r0 = d.head
+    val r0Ok = r0.getLong(1) == c.getLong(0) && r0.getLong(2) == c.getLong(1) &&
+      r0.getLong(3) == c.getLong(2)
+    val monoBad = d.sliding(2).count { w =>
+      w(1).getLong(1) > w(0).getLong(1) || w(1).getLong(2) > w(0).getLong(2)
+    }
+    ("kcore_check", r0Ok && monoBad == 0,
+      Map("rounds" -> d.length.toLong,
+        "round0_nodes" -> c.getLong(0), "round0_edges" -> c.getLong(1),
+        "mono_bad" -> monoBad.toLong))
+  }
+
+  val all: Seq[(String, (SparkSession, String, String) => Result)] = Seq(
+    "skyline_proof" -> (skylineProof _),
+    "bfs_proof" -> (bfsProof _),
+    "minhash_soundness" -> (minhashSoundness _),
+    "simhash_check" -> (simhashCheck _),
+    "phash_check" -> (phashCheck _),
+    "incremental_check" -> (incrementalCheck _),
+    "semantic_check" -> (semanticCheck _),
+    "ivf_check" -> (ivfCheck _),
+    "pq_check" -> (pqCheck _),
+    "cosine_sampled_truth" -> (cosineSampledTruth _),
+    "kcore_check" -> (kcoreCheck _))
+}

@@ -295,8 +295,8 @@ object Similarity {
       |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
   private val IvfCells = 8  // pinned k for the TUNING artifacts (recall/inertia curves)
-  private val IvfRounds = 2 // FIXED Lloyd rounds — determinism over convergence
-  private val IvfProbe = 2  // cells probed per query
+  private[ops] val IvfRounds = 2 // FIXED Lloyd rounds — determinism over convergence
+  private[ops] val IvfProbe = 2  // cells probed per query
 
   /** Corpus-scaled cell count for the PRODUCTION IVF operator:
     * nlist = max(8, ⌈√N⌉) — the standard IVF sizing (FAISS guideline is
@@ -659,10 +659,10 @@ object Similarity {
   // The recall consequence of the knob is MEASURED, not assumed —
   // sim_ann_recall_eval sweeps k ∈ {4, 8, 16} and ships the
   // recall-vs-cost curve as an oracle-checked artifact every round.
-  private val PqM = 4        // subspaces
-  private val PqSub = 16     // dims per subspace (4 × 16 = 64)
-  private val PqK = 8        // codes per subspace codebook
-  private val PqQueryMod = 50L
+  private[ops] val PqM = 4        // subspaces
+  private[ops] val PqSub = 16     // dims per subspace (4 × 16 = 64)
+  private[ops] val PqK = 8        // codes per subspace codebook
+  private[ops] val PqQueryMod = 50L
 
   /** Product-quantization ANN with ADC scoring (Jégou/Douze/Schmid,
     * "Product quantization for nearest neighbor search", TPAMI 2011): the
@@ -692,13 +692,13 @@ object Similarity {
     * size (k × dim doubles) whatever the corpus, same fenced pattern as
     * the IVF centroid state. Shared by the PQ query and the recall-eval
     * sweep (which takes a k-prefix per operating point). */
-  private def pqSeeds(em: DataFrame, k: Int): Seq[Seq[Double]] =
+  private[ops] def pqSeeds(em: DataFrame, k: Int): Seq[Seq[Double]] =
     em.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("c"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
       .collect().toSeq.sortBy(_.getInt(0)).map(_.getSeq[Double](1).toSeq)
 
-  private def pqCodebook(seeds: Seq[Seq[Double]], k: Int): Seq[Seq[Seq[Double]]] =
+  private[ops] def pqCodebook(seeds: Seq[Seq[Double]], k: Int): Seq[Seq[Seq[Double]]] =
     (0 until PqM).map(m => seeds.take(k).map(_.slice(m * PqSub, (m + 1) * PqSub)))
 
   private def pqSubVec(emb: Column, m: Int): Column =
@@ -706,7 +706,7 @@ object Similarity {
 
   /** Per-subspace encode: argmin over ‖c‖² − 2·x·c with cid tiebreak
     * (lexicographic struct min — same contract as the IVF assignment). */
-  private def pqCode(cb: Seq[Seq[Seq[Double]]], k: Int)(emb: Column, m: Int): Column = {
+  private[ops] def pqCode(cb: Seq[Seq[Seq[Double]]], k: Int)(emb: Column, m: Int): Column = {
     val structs = (0 until k).map { c =>
       val cent = cb(m)(c)
       val csq = cent.foldLeft(0.0)((a, x) => a + x * x)
@@ -719,7 +719,7 @@ object Similarity {
   }
 
   /** ADC reconstruction-dot term for subspace m against codebook cb. */
-  private def pqAdcTerm(cb: Seq[Seq[Seq[Double]]], m: Int): Column =
+  private[ops] def pqAdcTerm(cb: Seq[Seq[Seq[Double]]], m: Int): Column =
     call_function("graft_vec_dot_fd", pqSubVec(col("q_emb"), m),
       element_at(typedLit(cb(m)), col(s"code$m") + 1))
 
@@ -902,10 +902,27 @@ object Similarity {
     * once at the max k and each codebook is a row prefix. So the sweep
     * costs one signature pass + one cell ranking + three bounded encode
     * projections — not nine independent index builds. */
-  def annRecallEval(spark: SparkSession, dir: String): DataFrame = {
+  def annRecallEval(spark: SparkSession, dir: String): DataFrame =
+    annRecallEvalImpl(spark, dir, 50L)
+
+  /** [[annRecallEval]] with the exact-truth tier restricted to a
+    * hash-stable 1-in-1000 query sample (`vec_id % 1000 = 0` — the
+    * replica stride is a power of ten, so the sample keeps whole replica
+    * clusters and the recall operating points see the full corpus's
+    * cluster-density regime). The truth tier is the sweep's only
+    * quadratic stage (queries × corpus brute force); sampling IT while
+    * every index build stays corpus-wide keeps the artifact's cost
+    * O(corpus) end-to-end, so the recall/cost curves ship at decades
+    * where the all-queries truth (and its DuckDB twin) are intractable —
+    * the sf10+ scale-evidence variant the full-tier eval cannot give. */
+  def annRecallSampled(spark: SparkSession, dir: String): DataFrame =
+    annRecallEvalImpl(spark, dir, 1000L)
+
+  private def annRecallEvalImpl(spark: SparkSession, dir: String,
+      qmod: Long): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val em = Tables.embeddings(spark, dir)
-    val q = em.filter(pmod(col("vec_id"), lit(50L)) === 0)
+    val q = em.filter(pmod(col("vec_id"), lit(qmod)) === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val scored = em.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
@@ -930,7 +947,7 @@ object Similarity {
     val sp = sigs.crossJoin(broadcast(pcs))
       .select(col("param"), col("vec_id"),
         expr("sig % shiftleft(1L, param)").as("bkt"))
-    val lshCand = sp.filter(pmod(col("vec_id"), lit(50L)) === 0).as("a")
+    val lshCand = sp.filter(pmod(col("vec_id"), lit(qmod)) === 0).as("a")
       .join(sp.as("b"),
         col("a.param") === col("b.param") && col("a.bkt") === col("b.bkt") &&
           col("a.vec_id") =!= col("b.vec_id"))
@@ -1023,7 +1040,12 @@ object Similarity {
   /** Oracle twin of the three-family sweep: shared exact top-5, LSH
     * prefix buckets, the shared Lloyd CTEs + ranked probe prefixes, and
     * three unrolled PQ codebook widths. */
-  val annRecallEvalSql: String = {
+  val annRecallEvalSql: String = annRecallEvalSqlImpl(50L)
+
+  /** Twin of [[annRecallSampled]] — same SQL with the sampled query mod. */
+  val annRecallSampledSql: String = annRecallEvalSqlImpl(1000L)
+
+  private def annRecallEvalSqlImpl(qmod: Long): String = {
     val dotSub = (m: String, e: String, c: String) =>
       s"""list_sum(list_transform(range(1, $PqSub + 1),
          |      i -> CAST($e[$m * $PqSub + i] AS DOUBLE) * $c[i]))""".stripMargin
@@ -1084,7 +1106,7 @@ object Similarity {
       |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS sq
       |  FROM embeddings),
       |q AS (SELECT vec_id AS query_id, embedding AS q_emb, sq AS q_sq
-      |  FROM e WHERE vec_id % 50 = 0),
+      |  FROM e WHERE vec_id % $qmod = 0),
       |scored AS (
       |  SELECT q.query_id, e.vec_id,
       |    round(list_sum(list_transform(range(1, len(e.embedding)+1),
@@ -1114,7 +1136,7 @@ object Similarity {
       |  FROM pc, sigs sa JOIN sigs sb ON sa.vec_id <> sb.vec_id
       |    AND (sa.sig % (CAST(1 AS BIGINT) << pc.p))
       |      = (sb.sig % (CAST(1 AS BIGINT) << pc.p))
-      |  WHERE sa.vec_id % 50 = 0),
+      |  WHERE sa.vec_id % $qmod = 0),
       |lshcost AS (SELECT p, COUNT(*) AS cost FROM cand GROUP BY p),
       |lshbase AS (SELECT pc.p, et.query_id, et.vec_id FROM pc, et),
       |lshrec AS (

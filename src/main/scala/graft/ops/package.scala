@@ -83,16 +83,34 @@ package object ops {
     * shared counts here must too). One row per group, unrounded
     * doubles. */
   def exactPercentiles(df: org.apache.spark.sql.DataFrame, group: String,
-      specs: Seq[(String, Double, String)]): org.apache.spark.sql.DataFrame = {
+      specs: Seq[(String, Double, String)]): org.apache.spark.sql.DataFrame =
+    exactPercentilesWith(df, group, specs, Nil)
+
+  /** [[exactPercentiles]] with extra per-group aggregates FUSED into its
+    * bounds pass: the first stage is already a map-side-combined
+    * `groupBy(group)` over the value columns, so callers that also need
+    * sibling aggregates of the same input (e.g. `approxQuantiles`' KLL
+    * sketches + row count) ride that exchange instead of paying a
+    * separate scan + shuffle + join — the extras surface as trailing
+    * output columns via a group-sized broadcast join after assembly. */
+  def exactPercentilesWith(df: org.apache.spark.sql.DataFrame, group: String,
+      specs: Seq[(String, Double, String)],
+      extraAggs: Seq[(Column, String)]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vcols = specs.map(_._1).distinct
-    val base = df.select((col(group) +: vcols.map(col)): _*)
-    // (1) bounds + counts, one row per group
+    // extras may reference columns outside (group, vcols): let Catalyst
+    // prune the scan instead of projecting manually when they exist
+    val base =
+      if (extraAggs.isEmpty) df.select((col(group) +: vcols.map(col)): _*)
+      else df
+    // (1) bounds + counts (+ fused caller extras), one row per group
     val mmAggs = vcols.flatMap(v => Seq(
       min(col(v)).cast(DoubleType).as(s"__mn_$v"),
       max(col(v)).cast(DoubleType).as(s"__mx_$v"),
-      count(col(v)).as(s"__n_$v")))
-    val mm = base.groupBy(col(group)).agg(mmAggs.head, mmAggs.tail: _*)
+      count(col(v)).as(s"__n_$v"))) ++ extraAggs.map { case (c, n) => c.as(n) }
+    val mmFull = base.groupBy(col(group)).agg(mmAggs.head, mmAggs.tail: _*)
+    val mm = mmFull.select(col(group) +: vcols.flatMap(v =>
+      Seq(col(s"__mn_$v"), col(s"__mx_$v"), col(s"__n_$v"))): _*)
     // exploded (column-name, value) pairs with the bucket id; the mm join
     // is broadcast (group-sized) and the bucket expression is IDENTICAL
     // in the census and refinement passes (same deterministic fp math)
@@ -174,6 +192,10 @@ package object ops {
           (pos - lo.cast(DoubleType)) * col(s"__vhi_$out"))
         .as(out)
     }
-    agged.select((col(group) +: outs): _*)
+    val assembled = agged.select((col(group) +: outs): _*)
+    if (extraAggs.isEmpty) assembled
+    else assembled.join(
+      broadcast(mmFull.select(col(group) +: extraAggs.map(e => col(e._2)): _*)),
+      group)
   }
 }

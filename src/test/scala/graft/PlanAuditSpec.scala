@@ -37,6 +37,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "pipe_pack_sequences", "text_bigram_lm_score", "skyline_pareto",
     "join_range_band", "sim_ann_lsh_bucketed", "sim_ann_pq_adc",
     "sim_cosine_topk", "sim_mips_topk", "sim_ann_recall_eval",
+    "sim_ann_recall_sampled", // same impl as sim_ann_recall_eval (sampled truth)
+    "dedup_banding_recall_sampled", // same impl as the full eval (doc slice)
     "pipe_mixture_weights", // 1-row domain-total scalar riding a crossJoin
     "pipe_k_anonymity", // 1-row corpus-totals scalar riding a crossJoin
     "sim_knn_graph_clusters", // 8-row hyperplane matrix broadcast (LSH sig pass)

@@ -94,6 +94,12 @@ def main():
     spill = os.environ.get("DUCK_TMP", "/tmp/duck_spill")
     os.makedirs(spill, exist_ok=True)
     con.execute(f"SET temp_directory='{spill}'")
+    # DUCK_PIO=false relaxes DuckDB's insertion-order guarantee, which
+    # lets large intermediate materializations stream instead of buffer —
+    # results here always carry a total ORDER BY, so row order semantics
+    # are unaffected. Escalation knob for spill-bound twins.
+    if os.environ.get("DUCK_PIO", "") == "false":
+        con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
