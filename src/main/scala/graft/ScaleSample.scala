@@ -33,14 +33,21 @@ object ScaleSample {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def write(name: String, key: String): Unit = {
+    def write(name: String, key: String, keepPrefix: Long = 0L): Unit = {
       val df = Tables.table(spark, src, name)
-        .filter(pmod(col(key), lit(mod)) === 0)
+        .filter(pmod(col(key), lit(mod)) === 0 || col(key) < keepPrefix)
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
-      println(s"[scalesample] $name % $mod -> $out/$name.parquet")
+      println(s"[scalesample] $name % $mod (+ first $keepPrefix) -> $out/$name.parquet")
     }
     write("documents", "doc_id")
-    write("embeddings", "vec_id")
+    // The ANN tiers' determinism contract seeds quantizers from the id
+    // prefix (LSH planes = vec_id < 8, PQ codebook = vec_id < k, Lloyd
+    // seeds = vec_id < nlist ≈ √N). A pure modular slice would drop that
+    // prefix and change — or crash — the seeded index builds, so the
+    // prefix rides along unconditionally: both engines still see the
+    // identical table, and 256 covers every seed width a ≤65k-vector
+    // slice can derive (nlist = ⌈√N⌉ ≤ 256).
+    write("embeddings", "vec_id", keepPrefix = 256L)
     write("events", "user_id")
     spark.stop()
   }

@@ -36,7 +36,14 @@ object ScaleChecks {
   private def dump(spark: SparkSession, outDir: String, name: String): DataFrame =
     spark.read.parquet(s"$outDir/$name")
 
-  private val SliceMod = 20L
+  /** Doc-slice modulus for the quadratic slice-truth legs. 20 keeps the
+    * sf10 slice at ~25k docs (≈3·10⁸ brute-force hamming ops — seconds);
+    * sf100 runs set SPARK_GRAFT_SLICE_MOD=200 so the slice stays the
+    * same absolute size as the corpus decades up. Must divide the
+    * ScaleGen id stride (a power of ten ≥ 10⁴) to stay
+    * cluster-preserving. */
+  private def SliceMod: Long =
+    sys.env.get("SPARK_GRAFT_SLICE_MOD").flatMap(_.toLongOption).getOrElse(20L)
 
   type Result = (String, Boolean, Map[String, Long])
 

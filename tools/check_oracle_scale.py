@@ -101,9 +101,15 @@ def main():
     if os.environ.get("DUCK_PIO", "") == "false":
         con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{sf_dir}/{t}.parquet{suffix(t)}')")
+        try:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet{suffix(t)}')")
+        except Exception:
+            # sampled slice dirs (graft.ScaleSample) carry only the three
+            # behavioral tables; queries against missing views would fail
+            # individually, which is the right granularity
+            print(f"(no {t} in {sf_dir})", flush=True)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
     n_pass = n_fail = n_timeout = n_noracle = 0
