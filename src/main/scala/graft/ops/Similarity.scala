@@ -663,6 +663,11 @@ object Similarity {
   private[ops] val PqSub = 16     // dims per subspace (4 × 16 = 64)
   private[ops] val PqK = 8        // codes per subspace codebook
   private[ops] val PqQueryMod = 50L
+  /** Max enumerated (query × code-tuple) score rows the ADC tiers may
+    * BROADCAST; beyond it the codes⋈scores join runs shuffle-hash with
+    * the code table as build side (see [[annPqAdc]]). 4M rows ≈ 200 MB
+    * serialized — inside every default driver/executor budget. */
+  private[ops] val PqBroadcastRows = 4000000L
 
   /** Product-quantization ANN with ADC scoring (Jégou/Douze/Schmid,
     * "Product quantization for nearest neighbor search", TPAMI 2011): the
@@ -753,7 +758,22 @@ object Similarity {
       .select((col("query_id") +: col("approx_dot") +: codeCols.map(col)): _*)
     val wr = Window.partitionBy(col("query_id"))
       .orderBy(col("approx_dot").desc, col("vec_id"))
-    codes.join(broadcast(scores), codeCols)
+    // Size-dispatched join for the score table (r14, found by the sf100
+    // campaign): scores = queries × k^M rows, and queries here scale
+    // WITH the corpus (every 50th vector), so the forced broadcast that
+    // is right at spec SFs (163k rows at sf0.1 — no exchange at all)
+    // collected 163M rows through the driver at sf100 and blew
+    // spark.driver.maxResultSize. Above the cap the join flips to a
+    // shuffle-hash with the (small, fixed-width) CODE table as the build
+    // side — two extra exchanges, but every side stays distributed; the
+    // same dispatch idiom as the size-dispatched CC engine. The count is
+    // parquet-metadata cheap and the semantics are join-order-free.
+    val nQueries = em.filter(pmod(col("vec_id"), lit(PqQueryMod)) === 0).count()
+    val joined =
+      if (nQueries * base * PqK <= PqBroadcastRows)
+        codes.join(broadcast(scores), codeCols)
+      else codes.hint("shuffle_hash").join(scores, codeCols)
+    joined
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("rnk", row_number().over(wr))
       .filter(col("rnk") <= 3)
@@ -992,6 +1012,7 @@ object Similarity {
         col("cost"))
 
     // ---- PQ family: one seed collect at max k; codebook k = row prefix.
+    val nQ = q.count()
     // The per-k chains are deliberately NOT fused into one tagged
     // dataflow (the banding-eval pattern): they are INDEPENDENT subtrees
     // of one union job, so the scheduler overlaps their stages across
@@ -1018,7 +1039,10 @@ object Similarity {
         .select(col("query_id") +: col("approx_dot") +: codeCols.map(col): _*)
       val wr = Window.partitionBy(col("query_id"))
         .orderBy(col("approx_dot").desc, col("vec_id"))
-      val top5 = codes.join(broadcast(scores), codeCols)
+      // same size dispatch as annPqAdc (scores ≤ queries × k^M rows)
+      val top5 = (if (nQ * math.pow(k, PqM).toLong <= PqBroadcastRows)
+          codes.join(broadcast(scores), codeCols)
+        else codes.hint("shuffle_hash").join(scores, codeCols))
         .filter(col("vec_id") =!= col("query_id"))
         .withColumn("rnk", row_number().over(wr)).filter(col("rnk") <= 5)
         .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
