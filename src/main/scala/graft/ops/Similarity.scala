@@ -49,10 +49,19 @@ object Similarity {
     val scored = em.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+    // Bounded-heap top-k (native TopKPerGroup node) BEFORE the rank
+    // window, as in annIvf: the window formulation local-sorts the whole
+    // queries × corpus score stream — 4·10⁹ rows at sf100 spilled ~50 GB
+    // through UnsafeExternalSorter and exhausted the box's disk (r14
+    // campaign). The heap keeps 5 per query per partition (O(n log k),
+    // no sort buffer); (cos_sim desc, vec_id) is a total order within a
+    // query, so the kept rows are bit-identical and the cheap window
+    // after runs over ≤ 5 rows per query.
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
+    graft.plans.GraftOps.topKPerGroup(scored, Seq("query_id"),
+        Seq(("cos_sim", true), ("vec_id", false)), 5)
+      .withColumn("rnk", row_number().over(w))
       .orderBy(col("query_id"), col("rnk"))
   }
 
@@ -947,10 +956,12 @@ object Similarity {
     val scored = em.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-    val exactTop = scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5).select(col("query_id"), col("vec_id"))
+    // bounded-heap top-k, not a window sort: the truth tier's score
+    // stream is queries × corpus and the window spill exhausted the disk
+    // at sf100 (see cosineTopK — identical reasoning and kept rows)
+    val exactTop = graft.plans.GraftOps.topKPerGroup(scored, Seq("query_id"),
+        Seq(("cos_sim", true), ("vec_id", false)), 5)
+      .select(col("query_id"), col("vec_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- LSH family: one 8-plane signature pass; p-plane bucket = low-bit prefix
