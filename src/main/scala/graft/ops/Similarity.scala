@@ -737,6 +737,49 @@ object Similarity {
     call_function("graft_vec_dot_fd", pqSubVec(col("q_emb"), m),
       element_at(typedLit(cb(m)), col(s"code$m") + 1))
 
+
+  /** Exact ADC top-k per query WITHOUT materializing corpus × queries
+    * (r14, found by the sf100 campaign): the approximate score is a
+    * function of (query, code tuple) alone, so the per-VECTOR rank order
+    * within one query is (code score desc, vec_id) — and that factors.
+    * Per code: member count + the (k+1) smallest member ids (one bounded
+    * heap pass over the code table; +1 absorbs the self-exclusion). Per
+    * query: rank the ≤ k^M score rows, find the tie-safe score threshold
+    * where cumulative member count first reaches k+1 (codes tied at the
+    * crossing are all kept, so arbitrary tie order cannot change the
+    * keep set), and join ONLY the kept (query, code) rows to the member
+    * prefixes. Output volume is queries × (few codes) × (k+1) — linear
+    * in corpus for the code pass and in queries for the rest, vs the
+    * equi-join-to-corpus formulation whose output is corpus × queries
+    * rows (8·10¹⁰ at sf100: the join is cheap per row but the
+    * materialized stream is quadratic BY WORKLOAD since the query set
+    * here scales with the corpus). Classical ADC pays O(corpus·queries)
+    * table LOOKUPS; for top-k the factored plan does strictly less. */
+  private def pqAdcTopK(codes: DataFrame, scores: DataFrame,
+      codeCols: Seq[String], k: Int): DataFrame = {
+    val counts = codes.groupBy(codeCols.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val members = graft.plans.GraftOps.topKPerGroup(
+      codes, codeCols, Seq(("vec_id", false)), k + 1)
+    val wq = Window.partitionBy(col("query_id"))
+    val wcum = wq.orderBy(col("approx_dot").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val kept = scores.join(broadcast(counts), codeCols)
+      .withColumn("__before", coalesce(sum(col("__cnt")).over(wcum), lit(0L)))
+      .withColumn("__thr", min(when(col("__before") < k + 1,
+        col("approx_dot"))).over(wq))
+      .filter(col("approx_dot") >= col("__thr"))
+      .select((col("query_id") +: col("approx_dot") +: codeCols.map(col)): _*)
+    val cand = kept.join(broadcast(members), codeCols)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("approx_dot"))
+    val wr = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_dot").desc, col("vec_id"))
+    graft.plans.GraftOps.topKPerGroup(cand, Seq("query_id"),
+        Seq(("approx_dot", true), ("vec_id", false)), k)
+      .withColumn("rnk", row_number().over(wr))
+  }
+
   def annPqAdc(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val em = Tables.embeddings(spark, dir)
@@ -765,27 +808,7 @@ object Similarity {
     val scores = broadcast(queries).crossJoin(allCodes)
       .withColumn("approx_dot", round(dm(0) + dm(1) + dm(2) + dm(3), 6))
       .select((col("query_id") +: col("approx_dot") +: codeCols.map(col)): _*)
-    val wr = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_dot").desc, col("vec_id"))
-    // Size-dispatched join for the score table (r14, found by the sf100
-    // campaign): scores = queries × k^M rows, and queries here scale
-    // WITH the corpus (every 50th vector), so the forced broadcast that
-    // is right at spec SFs (163k rows at sf0.1 — no exchange at all)
-    // collected 163M rows through the driver at sf100 and blew
-    // spark.driver.maxResultSize. Above the cap the join flips to a
-    // shuffle-hash with the (small, fixed-width) CODE table as the build
-    // side — two extra exchanges, but every side stays distributed; the
-    // same dispatch idiom as the size-dispatched CC engine. The count is
-    // parquet-metadata cheap and the semantics are join-order-free.
-    val nQueries = em.filter(pmod(col("vec_id"), lit(PqQueryMod)) === 0).count()
-    val joined =
-      if (nQueries * base * PqK <= PqBroadcastRows)
-        codes.join(broadcast(scores), codeCols)
-      else codes.hint("shuffle_hash").join(scores, codeCols)
-    joined
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("rnk", row_number().over(wr))
-      .filter(col("rnk") <= 3)
+    pqAdcTopK(codes, scores, codeCols, 3)
       .select(col("query_id"), col("vec_id"), col("approx_dot"), col("rnk"))
       .orderBy(col("query_id"), col("rnk"))
   }
@@ -1050,12 +1073,8 @@ object Similarity {
         .select(col("query_id") +: col("approx_dot") +: codeCols.map(col): _*)
       val wr = Window.partitionBy(col("query_id"))
         .orderBy(col("approx_dot").desc, col("vec_id"))
-      // same size dispatch as annPqAdc (scores ≤ queries × k^M rows)
-      val top5 = (if (nQ * math.pow(k, PqM).toLong <= PqBroadcastRows)
-          codes.join(broadcast(scores), codeCols)
-        else codes.hint("shuffle_hash").join(scores, codeCols))
-        .filter(col("vec_id") =!= col("query_id"))
-        .withColumn("rnk", row_number().over(wr)).filter(col("rnk") <= 5)
+      // factored ADC top-k (see pqAdcTopK) — never corpus × queries
+      val top5 = pqAdcTopK(codes, scores, codeCols, 5)
         .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
       val rec = exactTop.join(top5, Seq("query_id", "vec_id"), "left_outer")
         .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hits"))
