@@ -46,6 +46,24 @@ object QBench {
       if (sys.env.get("SPARK_GRAFT_GRAPH_MEMO").contains("off"))
         graft.ops.Graph.clearEdgeMemo()
     }
+    // Per-rep job/stage/task census — the denominators of the scheduling
+    // floor analysis (BENCH_NOTES: observed ≈ jobs × job floor + stage
+    // waves × wave floor). Registered once; counters reset per rep.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          stages.incrementAndGet()
+          tasks.addAndGet(s.stageInfo.numTasks); ()
+        }
+      })
     // mirror Bench's physical-layout normalization (see Bench.relayout)
     val dir = Bench.relayout(spark, sfDir)
     val warmDir = Bench.relayout(spark, "/root/testdata/sf0.001")
@@ -57,15 +75,25 @@ object QBench {
           .write.format("noop").mode("overwrite").save()
       } catch { case e: Throwable => System.err.println(s"warm $name: $e") }
       clear()
+      var (lastJ, lastS, lastT) = (0, 0, 0)
       val ts = (1 to reps).map { _ =>
+        jobs.set(0); stages.set(0); tasks.set(0)
         val t0 = System.nanoTime()
         fn(spark, dir).write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
+        // listener events are async — poll until the counters go quiet
+        // (listenerBus.waitUntilEmpty is private[spark])
+        var prev = -1
+        while (prev != jobs.get() + stages.get() + tasks.get()) {
+          prev = jobs.get() + stages.get() + tasks.get()
+          Thread.sleep(150)
+        }
+        lastJ = jobs.get(); lastS = stages.get(); lastT = tasks.get()
         clear()
         dt
       }
       val s = ts.sorted
-      println(f"QBENCH $name%-34s min=${s.head}%.3f med=${s(s.size / 2)}%.3f all=${ts.map(t => f"$t%.3f").mkString(",")}")
+      println(f"QBENCH $name%-34s min=${s.head}%.3f med=${s(s.size / 2)}%.3f jobs=$lastJ stages=$lastS tasks=$lastT all=${ts.map(t => f"$t%.3f").mkString(",")}")
     }
     spark.stop()
   }

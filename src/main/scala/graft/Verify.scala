@@ -98,6 +98,12 @@ object Verify {
               if (th.isAlive)
                 System.err.println(s"[verify] $name worker STILL ALIVE after " +
                   "cancel loop — subsequent timings may be skewed")
+              // A timed-out query must never surface output: if outDir is
+              // reused across Verify runs, a pre-existing complete dump
+              // from a PREVIOUS run would otherwise be value-checked as
+              // current evidence. Remove the destination too.
+              val stale = new java.io.File(s"$outDir/$name")
+              if (stale.exists()) rm(stale)
               System.err.println(s"[verify] $name TIMED OUT after ${limit}s")
             } else {
               val dt = (System.nanoTime() - t0) / 1e9

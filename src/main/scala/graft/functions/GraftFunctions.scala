@@ -56,7 +56,8 @@ object GraftFunctions {
         depth = args(1).eval().asInstanceOf[Number].intValue(),
         width = args(2).eval().asInstanceOf[Number].intValue())
     },
-    "graft_cms_estimate" -> { args => CountMinEstimate(args(0), args(1)) }
+    "graft_cms_estimate" -> { args => CountMinEstimate(args(0), args(1)) },
+    "graft_sortable_bits" -> { args => SortableDoubleBits(args(0)) }
   )
 
   def register(spark: SparkSession): Unit = {

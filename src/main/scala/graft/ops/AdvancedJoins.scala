@@ -111,6 +111,7 @@ object AdvancedJoins {
     * the helper reproduces the aggregate's interpolation expression
     * bit-identically). Both value columns are non-null in lineitem. */
   def percentiles(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val li = Tables.lineitem(spark, dir)
     exactPercentiles(li, "l_returnflag", Seq(
         ("l_quantity", 0.5, "p50_qty"),

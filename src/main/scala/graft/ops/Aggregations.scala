@@ -227,6 +227,7 @@ object Aggregations {
     * (`agg_percentiles`) value-checks interpolation; this entry checks the
     * sketch path. One pass, bounded memory — the 100 TB quantile plan. */
   def approxQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val li = Tables.lineitem(spark, dir)
     // Two branches joined on the 3-row group key: the GK sketches run as
     // a normal partial→final aggregate (mergeable fixed-size buffers —
@@ -237,12 +238,10 @@ object Aggregations {
     // value-list buffers (the earlier repartition+COMPLETE-mode variant
     // serialized nothing but still single-tasked each group through the
     // list accumulation: 2.4 s for a 3-row output; this shape ~0.8 s).
-    // (r14) The sketches are FUSED into the exact plan's bounds pass
-    // (exactPercentilesWith extraAggs): the first stage of the rank
-    // plan is already a map-side-combined groupBy(l_returnflag) over
-    // the same input, so the GK buffers ride that exchange — one fewer
-    // lineitem scan, shuffle and join stage than the two-branch shape
-    // (measured 1.17 s → see BENCH_NOTES r14).
+    // (r15) The exact plan's bounds pass no longer exists (fixed
+    // sortable-bits buckets), so the GK buffers run as the sibling
+    // group aggregate extraAggs now provides — still one scan + one
+    // group-sized broadcast join on top of the rank plan.
     val fused = exactPercentilesWith(li, "l_returnflag", Seq(
       ("l_extendedprice", 0.5, "eq50"),
       ("l_extendedprice", 0.9, "eq90"),

@@ -396,13 +396,17 @@ object Graph {
     *
     * Each round is the textbook distributed BFS step (Pregel/GraphX
     * semantics): expand the current distance table along edges, union,
-    * min-combine — one broadcast hash join (the distance table is
-    * node-sized, like [[pagerankBipartite]]'s rank table; on a graph
-    * where nodes outgrow broadcast it degrades to a shuffled join, same
-    * dataflow) plus one map-side-combined min aggregate. Rounds are
-    * UNROLLED for a fixed depth cap, the same posture as the PageRank
-    * unroll (no lineage-truncation machinery needed); an unbounded-
-    * diameter frontier loop with convergence checks is
+    * min-combine. The expansion is a SHUFFLE-HASH join with the
+    * node-sized distance table as build side — the 100 TB posture
+    * directly (a node table has no business broadcasting), and locally
+    * the faster plan too: the edge set's exchange is one subtree shared
+    * by all rounds (ReusedExchange), while the per-round broadcast the
+    * earlier shape used cost one driver job per round, each re-running
+    * every PRIOR round's chain to rebuild its broadcast variable
+    * (quadratic round recompute; 6 jobs → 1, 0.97 s → see BENCH_NOTES
+    * r15). Rounds are UNROLLED for a fixed depth cap, the same posture
+    * as the PageRank unroll (no lineage-truncation machinery needed);
+    * an unbounded-diameter frontier loop with convergence checks is
     * [[Dedup.labelPropagationCC]]'s pattern. Depth 4 saturates a
     * connected bipartite graph (u→t→u→t→u covers both partitions); all
     * arithmetic is integer, so both engines agree exactly. */
@@ -418,7 +422,7 @@ object Graph {
     val d0 = ev.agg(concat(lit("u:"), min(col("user_id"))).as("node"))
       .select(col("node"), lit(0).as("dist"))
     val dFinal = (1 to BfsRounds).foldLeft(d0) { (d, _) =>
-      val nxt = edges.join(broadcast(d), col("src") === col("node"))
+      val nxt = edges.join(d.hint("shuffle_hash"), col("src") === col("node"))
         .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
       d.union(nxt).groupBy(col("node")).agg(min(col("dist")).as("dist"))
     }
@@ -561,10 +565,19 @@ object Graph {
         .select(lit(i).as("round"), col("n_nodes"), col("n_edges"),
           col("min_degree"))
       if (i < KCoreRounds) {
-        val keep = deg.filter(col("d") >= lit(k)).select(col("a"))
-        e = e.join(broadcast(keep), "a")
-          .join(broadcast(keep.withColumnRenamed("a", "b")), "b")
-          .select(col("a"), col("b"))
+        // Both endpoint filters are semi-joins against the SAME `keep`
+        // subtree. ReusedExchange would collapse them to one broadcast
+        // build — and does when the build side bottoms out in a file
+        // scan — but NOT here: canonical plan equality breaks across
+        // LogicalRDD leaves (the localCheckpoint boundary; verified
+        // empirically on Spark 4.1 — parquet-rooted twin reuses, the
+        // checkpoint-rooted one builds twice). The second build is still
+        // near-free: it re-reads the checkpointed `deg` RDD (one job at
+        // the scheduling floor), not the round chain. Ledger in
+        // BENCH_NOTES r15.
+        val keep = deg.filter(col("d") >= lit(k)).select(col("a").as("__keep"))
+        e = e.join(broadcast(keep), col("a") === col("__keep"), "left_semi")
+          .join(broadcast(keep), col("b") === col("__keep"), "left_semi")
           .localCheckpoint(false)
       }
       census

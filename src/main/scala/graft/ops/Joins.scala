@@ -145,20 +145,42 @@ object Joins {
     * hint pins the sort-merge path so the demo is bucketing, not a
     * broadcast that happens to fit. Tables are EXTERNAL (explicit scratch
     * path) so the shared session's warehouse stays untouched. */
+  // One bucketed layout per (session, dir) — the Graph.edgeMemo pattern.
+  // The write is once-per-layout in production (that is the query's own
+  // argument); re-writing both tables on every invocation made the bench
+  // entry time table maintenance, not the exchange-free join. Table names
+  // carry a dir-derived suffix so several SF dirs coexist in one session
+  // (the test suite runs sf0.001 and sf0.01 through one catalog). Dead
+  // sessions are evicted on lookup, mirroring Graph.edgeMemo's hazard (1);
+  // re-generating files under `dir` in-session requires clearBucketMemo()
+  // (hazard (2)), same as Tables.clear().
+  private val bucketMemo =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), (DataFrame, DataFrame)]
+
+  /** Drops memoized bucketed layouts (in-session testdata re-base, or
+    * between SparkSessions in one JVM). Catalog entries and files are
+    * left behind — they are scratch-dir external tables. */
+  def clearBucketMemo(): Unit = bucketMemo.clear()
+
   def bucketedColocated(spark: SparkSession, dir: String): DataFrame = {
-    val root = Sources.tempDir("graft_bucketed")
-    spark.sql("DROP TABLE IF EXISTS graft_orders_bkt")
-    spark.sql("DROP TABLE IF EXISTS graft_lineitem_bkt")
-    Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderstatus"))
-      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .option("path", s"$root/orders").mode("overwrite")
-      .saveAsTable("graft_orders_bkt")
-    Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_quantity"))
-      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .option("path", s"$root/lineitem").mode("overwrite")
-      .saveAsTable("graft_lineitem_bkt")
-    bucketedColocatedJoin(spark.table("graft_orders_bkt"),
-      spark.table("graft_lineitem_bkt"))
+    bucketMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    val (o, li) = bucketMemo.getOrElseUpdate((spark, dir), {
+      val suf = java.lang.Integer.toHexString(dir.hashCode)
+      val root = Sources.tempDir("graft_bucketed")
+      spark.sql(s"DROP TABLE IF EXISTS graft_orders_bkt_$suf")
+      spark.sql(s"DROP TABLE IF EXISTS graft_lineitem_bkt_$suf")
+      Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderstatus"))
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$root/orders").mode("overwrite")
+        .saveAsTable(s"graft_orders_bkt_$suf")
+      Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_quantity"))
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$root/lineitem").mode("overwrite")
+        .saveAsTable(s"graft_lineitem_bkt_$suf")
+      (spark.table(s"graft_orders_bkt_$suf"),
+        spark.table(s"graft_lineitem_bkt_$suf"))
+    })
+    bucketedColocatedJoin(o, li)
   }
 
   /** Split out so PlanSpec can assert the exchange-free shape. */

@@ -292,7 +292,11 @@ object ScaleChecks {
     val bc = Similarity.broadcastQuantizer(em, cents)
     val cells = Similarity.assignCellsBc(em, bc)
       .withColumn("sq", call_function("graft_vec_sqnorm", col("embedding")))
-    val qs = em.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+    // only the dump's query sample (vec_id % 50) — at large SFs an
+    // O(corpus) broadcast carrying embeddings + probe arrays would hit
+    // the driver/broadcast limits long before the checks themselves do
+    val qs = em.filter(pmod(col("vec_id"), lit(Similarity.PqQueryMod)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         call_function("graft_vec_sqnorm", col("embedding")).as("q_sq"),
         Similarity.nearestCellsCol(bc, col("embedding"), Similarity.IvfProbe)
           .as("probed"))
@@ -335,7 +339,8 @@ object ScaleChecks {
       Similarity.pqSeeds(em, Similarity.PqK), Similarity.PqK)
     val codes = em.select(col("vec_id") +: (0 until Similarity.PqM).map(m =>
       Similarity.pqCode(cb, Similarity.PqK)(col("embedding"), m).as(s"code$m")): _*)
-    val q = em.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val q = em.filter(pmod(col("vec_id"), lit(Similarity.PqQueryMod)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     def dm(m: Int): Column = Similarity.pqAdcTerm(cb, m)
     val re = d.as("d")
       .join(codes.as("c"), col("d.vec_id") === col("c.vec_id"))
@@ -391,7 +396,9 @@ object ScaleChecks {
     val r0 = d.head
     val r0Ok = r0.getLong(1) == c.getLong(0) && r0.getLong(2) == c.getLong(1) &&
       r0.getLong(3) == c.getLong(2)
-    val monoBad = d.sliding(2).count { w =>
+    // filter to full 2-windows: a single-round trajectory makes sliding(2)
+    // emit one partial 1-element window, which must count as vacuously ok
+    val monoBad = d.sliding(2).filter(_.length == 2).count { w =>
       w(1).getLong(1) > w(0).getLong(1) || w(1).getLong(2) > w(0).getLong(2)
     }
     ("kcore_check", r0Ok && monoBad == 0,

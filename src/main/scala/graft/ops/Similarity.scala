@@ -672,11 +672,6 @@ object Similarity {
   private[ops] val PqSub = 16     // dims per subspace (4 × 16 = 64)
   private[ops] val PqK = 8        // codes per subspace codebook
   private[ops] val PqQueryMod = 50L
-  /** Max enumerated (query × code-tuple) score rows the ADC tiers may
-    * BROADCAST; beyond it the codes⋈scores join runs shuffle-hash with
-    * the code table as build side (see [[annPqAdc]]). 4M rows ≈ 200 MB
-    * serialized — inside every default driver/executor budget. */
-  private[ops] val PqBroadcastRows = 4000000L
 
   /** Product-quantization ANN with ADC scoring (Jégou/Douze/Schmid,
     * "Product quantization for nearest neighbor search", TPAMI 2011): the
@@ -1046,7 +1041,6 @@ object Similarity {
         col("cost"))
 
     // ---- PQ family: one seed collect at max k; codebook k = row prefix.
-    val nQ = q.count()
     // The per-k chains are deliberately NOT fused into one tagged
     // dataflow (the banding-eval pattern): they are INDEPENDENT subtrees
     // of one union job, so the scheduler overlaps their stages across
@@ -1071,8 +1065,6 @@ object Similarity {
           round(pqAdcTerm(cb, 0) + pqAdcTerm(cb, 1) +
             pqAdcTerm(cb, 2) + pqAdcTerm(cb, 3), 6))
         .select(col("query_id") +: col("approx_dot") +: codeCols.map(col): _*)
-      val wr = Window.partitionBy(col("query_id"))
-        .orderBy(col("approx_dot").desc, col("vec_id"))
       // factored ADC top-k (see pqAdcTopK) — never corpus × queries
       val top5 = pqAdcTopK(codes, scores, codeCols, 5)
         .select(col("query_id"), col("vec_id"), lit(1).as("hit"))

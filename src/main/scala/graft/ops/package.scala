@@ -51,7 +51,12 @@ package object ops {
   /** Number of histogram cells per (group, value column) in
     * [[exactPercentiles]] — sized so a refinement cell at sf0.1 holds
     * ~75 rows; at any SF the census stays ≤ groups·vcols·cells rows. */
-  private val PctBuckets = 8192
+  /** Bucket id = `graft_sortable_bits(v) >> PctBktShift`: 2^(52−42) =
+    * 1024 mantissa slices per binade. A money/quantity domain spanning
+    * ≤8 binades occupies ≤8k buckets — the resolution the old
+    * range-linear 8192-cell histogram had — but with NO bounds pass
+    * (the function is fixed) and exponent-adaptive balance under skew. */
+  private val PctBktShift = 42
 
   /** EXACT interpolated percentiles via histogram refinement — the
     * distributed rank-selection plan (one bucket census + one targeted
@@ -61,22 +66,30 @@ package object ops {
     * group-cardinality-parallel (3 tasks here) after a pre-repartition —
     * measured 1.8–2.4 s per query at sf0.1 for 3-row outputs.
     *
-    * Plan: (1) per-(group, column) min/max/count — one map-side-combined
-    * aggregate; (2) bucket census: every value hashes to
-    * `floor((v−min)/width)` over [[PctBuckets]] cells, ONE exploded
-    * count aggregate covers all value columns (≤ groups·cols·cells rows
-    * after map-side combine); (3) the cumulative census (bucket-domain
-    * window, census-sized) locates the bucket holding each needed rank
-    * `floor/ceil(p·(n−1))+1`; (4) refinement re-scans ONLY the target
-    * buckets (broadcast semi-join; ~n/cells rows each), ranks inside the
-    * bucket (global rank = census prefix + local rank — buckets are
+    * Plan: (1) bucket census: every value maps to a FIXED value-monotone
+    * bucket ([[graft.functions.SortableDoubleBits]] >> [[PctBktShift]] —
+    * monotone by construction, so no min/max bounds pass exists at all);
+    * ONE exploded count aggregate covers all value columns (≤
+    * groups·cols·occupied-cells rows after map-side combine); (2) the
+    * cumulative census (bucket-domain window, census-sized) locates the
+    * bucket holding each needed rank `floor/ceil(p·(n−1))+1`; (3)
+    * refinement re-scans the table once more and inner-joins the
+    * BROADCAST target locator on (group, col, bucket) — only target
+    * buckets' rows survive (~n/cells each, duplicated only when two
+    * targets share a bucket), ranked inside the bucket per target
+    * (global rank = census prefix + local rank — buckets are
     * value-monotone, so this IS the global order), and assembles Spark
     * `percentile`'s interpolation expression
     * `(ceil−pos)·v_lo + (pos−floor)·v_hi` bit-identically, so oracle
     * behavior matches the aggregate exactly. Every stage is
     * row-parallel; nothing ever holds more than a census per task. At
     * 100 TB this is the textbook exact-quantile shape: two scans, tiny
-    * exchanges, no single-task sort of a group.
+    * exchanges, no single-task sort of a group. (r15: the bounds pass
+    * and the separate semi-join/locator-join pair were removed — 5 jobs
+    * / 11 stages → 2 jobs / 8 stages at sf0.1, see BENCH_NOTES r15.)
+    *
+    * Callers must have [[graft.functions.GraftFunctions.register]]ed the
+    * session (every inventory query does).
     *
     * `specs` = (valueColumn, p, outputName); value columns MUST be
     * non-null (callers filter first — `percentile` ignores nulls, the
@@ -86,47 +99,27 @@ package object ops {
       specs: Seq[(String, Double, String)]): org.apache.spark.sql.DataFrame =
     exactPercentilesWith(df, group, specs, Nil)
 
-  /** [[exactPercentiles]] with extra per-group aggregates FUSED into its
-    * bounds pass: the first stage is already a map-side-combined
-    * `groupBy(group)` over the value columns, so callers that also need
-    * sibling aggregates of the same input (e.g. `approxQuantiles`' KLL
-    * sketches + row count) ride that exchange instead of paying a
-    * separate scan + shuffle + join — the extras surface as trailing
-    * output columns via a group-sized broadcast join after assembly. */
+  /** [[exactPercentiles]] with extra per-group aggregates computed in a
+    * sibling map-side-combined `groupBy(group)` over the same input
+    * (e.g. `approxQuantiles`' KLL sketches + row count), surfaced as
+    * trailing output columns via a group-sized broadcast join after
+    * assembly. (Before r15 the extras rode the bounds pass; the fixed
+    * sortable-bits bucketing removed that pass, so they get their own
+    * group aggregate — same stage count for the caller either way.) */
   def exactPercentilesWith(df: org.apache.spark.sql.DataFrame, group: String,
       specs: Seq[(String, Double, String)],
       extraAggs: Seq[(Column, String)]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vcols = specs.map(_._1).distinct
-    // extras may reference columns outside (group, vcols): let Catalyst
-    // prune the scan instead of projecting manually when they exist
-    val base =
-      if (extraAggs.isEmpty) df.select((col(group) +: vcols.map(col)): _*)
-      else df
-    // (1) bounds + counts (+ fused caller extras), one row per group
-    val mmAggs = vcols.flatMap(v => Seq(
-      min(col(v)).cast(DoubleType).as(s"__mn_$v"),
-      max(col(v)).cast(DoubleType).as(s"__mx_$v"),
-      count(col(v)).as(s"__n_$v"))) ++ extraAggs.map { case (c, n) => c.as(n) }
-    val mmFull = base.groupBy(col(group)).agg(mmAggs.head, mmAggs.tail: _*)
-    val mm = mmFull.select(col(group) +: vcols.flatMap(v =>
-      Seq(col(s"__mn_$v"), col(s"__mx_$v"), col(s"__n_$v"))): _*)
-    // exploded (column-name, value) pairs with the bucket id; the mm join
-    // is broadcast (group-sized) and the bucket expression is IDENTICAL
-    // in the census and refinement passes (same deterministic fp math)
-    def pick(prefix: String): Column =
-      vcols.map(v => when(col("__vn") === v, col(s"$prefix$v")))
-        .reduce(_.otherwise(_))
+    val base = df.select((col(group) +: vcols.map(col)): _*)
+    // exploded (column-name, value) pairs with the FIXED monotone bucket
+    // id — identical deterministic expression in the census and
+    // refinement passes, no data-dependent state
     val pairs = base.select(col(group), explode(array(vcols.map(v =>
         struct(lit(v).as("vn"), col(v).cast(DoubleType).as("vv"))): _*)).as("__p"))
       .select(col(group), col("__p.vn").as("__vn"), col("__p.vv").as("__vv"))
-      .join(broadcast(mm), group)
       .withColumn("__bkt",
-        when(pick("__mx_") === pick("__mn_"), lit(0L)).otherwise(
-          least(lit(PctBuckets - 1L), greatest(lit(0L),
-            floor((col("__vv") - pick("__mn_")) /
-              ((pick("__mx_") - pick("__mn_")) / PctBuckets))))))
-      .select(col(group), col("__vn"), col("__vv"), col("__bkt"))
+        shiftright(call_function("graft_sortable_bits", col("__vv")), PctBktShift))
     // (2) census + (3) exclusive prefix AND total count over the bucket
     // domain — both windows share the (group, vn) exchange. The needed
     // ranks `floor/ceil(p·(n−1))+1` are derived from the census total n
@@ -162,14 +155,19 @@ package object ops {
       .select(col(group), col("__vn"), col("__t.out").as("__out"),
         col("__t.which").as("__which"), col("__t.rank").as("__rank"),
         col("__t.pos").as("__pos"), col("__bkt"), col("__below"))
-    // (4) refinement: only the target buckets' rows, ranked in-bucket
-    val wl = Window.partitionBy(col(group), col("__vn"), col("__bkt"))
+    // (4) refinement: ONE broadcast inner join against the locator keeps
+    // only target buckets' rows (a row is duplicated only when several
+    // targets share its bucket), ranked in-bucket PER TARGET — the
+    // (out, which) keys in the window partition make each target's copy
+    // rank independently, which is exactly what the old semi-join +
+    // second locator join computed with one more broadcast job (the
+    // locator's census chain was evaluated twice).
+    val wl = Window.partitionBy(col(group), col("__vn"), col("__bkt"),
+        col("__out"), col("__which"))
       .orderBy(col("__vv"))
     val vals = pairs
-      .join(broadcast(tloc.select(col(group), col("__vn"), col("__bkt")).distinct()),
-        Seq(group, "__vn", "__bkt"), "left_semi")
-      .withColumn("__lrn", row_number().over(wl))
       .join(broadcast(tloc), Seq(group, "__vn", "__bkt"))
+      .withColumn("__lrn", row_number().over(wl))
       .filter(col("__below") + col("__lrn") === col("__rank"))
     // final assembly in ONE group-keyed aggregate (conditional min/max per
     // output instead of a (group, out) rollup THEN a pivot — one exchange
@@ -194,8 +192,12 @@ package object ops {
     }
     val assembled = agged.select((col(group) +: outs): _*)
     if (extraAggs.isEmpty) assembled
-    else assembled.join(
-      broadcast(mmFull.select(col(group) +: extraAggs.map(e => col(e._2)): _*)),
-      group)
+    else {
+      // sibling group aggregate over the unprojected input (extras may
+      // reference columns outside vcols; Catalyst prunes the scan)
+      val extAggs = extraAggs.map { case (c, n) => c.as(n) }
+      val ext = df.groupBy(col(group)).agg(extAggs.head, extAggs.tail: _*)
+      assembled.join(broadcast(ext), group)
+    }
   }
 }

@@ -242,12 +242,20 @@ class PlanSpec extends AnyFunSuite {
       s"expected one hash exchange for both windows:\n$p")
   }
 
-  test("BFS rounds: distance table broadcasts every round (no edge shuffle)") {
+  test("BFS rounds: shuffle-hash expansion, distance table as build side, no sort") {
+    // r15 shape: the node-sized distance table must never broadcast (a
+    // per-round broadcast costs a driver job that re-runs every prior
+    // round's chain) and the edge side must never SORT (SMJ would re-sort
+    // the edge set each round) — shuffled hash join with the tiny
+    // distance table built per round is the 100 TB posture and the
+    // local one-job plan.
     val df = ops.Graph.bfsDistances(spark, dir)
     val p = planString(df)
-    assert(p.contains("BroadcastHashJoin"))
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
-      s"BFS expansion joins must broadcast the node-sized frontier:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"BFS expansion must be a shuffled hash join:\n$p")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
+      !p.contains("CartesianProduct"),
+      s"BFS expansion must not broadcast or sort the per-round tables:\n$p")
     org.apache.spark.sql.SparkSession.active.sharedState.cacheManager.clearCache()
   }
 

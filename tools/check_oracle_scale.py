@@ -157,6 +157,16 @@ def main():
                                  "rows": spark_tbl.num_rows}
                 n_timeout += 1
                 print(f"TIMEOUT {name}: {e}", flush=True)
+            elif "NO SPACE LEFT" in str(e).upper() or \
+                    "DISK" in type(e).__name__.upper():
+                # oracle spill exhausted the box's disk — the oracle's own
+                # resource frontier at this SF (same class as timeout/OOM),
+                # not an engine-output mismatch
+                results[name] = {"status": "oracle_enospc",
+                                 "rows": spark_tbl.num_rows}
+                n_timeout += 1
+                print(f"ENOSPC {name}: oracle spill exhausted disk "
+                      f"(engine rows={spark_tbl.num_rows})", flush=True)
             elif "OUT OF MEMORY" in str(e).upper() or \
                     "MEMORY" in type(e).__name__.upper():
                 results[name] = {"status": "oracle_oom",
