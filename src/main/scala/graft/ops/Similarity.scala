@@ -59,10 +59,18 @@ object Similarity {
     // after runs over ≤ 5 rows per query.
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
-    graft.plans.GraftOps.topKPerGroup(scored, Seq("query_id"),
-        Seq(("cos_sim", true), ("vec_id", false)), 5)
-      .withColumn("rnk", row_number().over(w))
-      .orderBy(col("query_id"), col("rnk"))
+    // SPARK_GRAFT_AB_COSINE=window is the BENCH_NOTES control arm: the
+    // pre-r14 full window-sort formulation, kept timeable so the heap
+    // node's win stays a measured number, not a remembered one.
+    if (sys.env.get("SPARK_GRAFT_AB_COSINE").contains("window"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .orderBy(col("query_id"), col("rnk"))
+    else
+      graft.plans.GraftOps.topKPerGroup(scored, Seq("query_id"),
+          Seq(("cos_sim", true), ("vec_id", false)), 5)
+        .withColumn("rnk", row_number().over(w))
+        .orderBy(col("query_id"), col("rnk"))
   }
 
   val cosineTopKSql: String =
@@ -507,13 +515,15 @@ object Similarity {
     * CTE chain (unrolled fixed-round Lloyd with identical arithmetic).
     * Callers append their own CTEs referencing `cents<rounds>`. */
   private[ops] def lloydCtesSql(k: Any, rounds: Int): String = {
+    // argmin by (distance, cid) as a grouped MIN(struct) — see
+    // lloydCellsSql's scaladoc: same tie semantics as the ROW_NUMBER
+    // window it replaces, without sorting corpus × k rows per round
     def centsCte(n: Int, prev: String): String =
       s"""assign$n AS (
-         |  SELECT vec_id, embedding, cid FROM (
-         |    SELECT e.vec_id, e.embedding, c.cid,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-         |        c.csq - 2 * ${sqlDot("e.embedding", "c.centroid")}, c.cid) AS rnk
-         |    FROM embeddings e, $prev c) t WHERE rnk = 1),
+         |  SELECT e.vec_id, ANY_VALUE(e.embedding) AS embedding,
+         |    MIN({'d': c.csq - 2 * ${sqlDot("e.embedding", "c.centroid")},
+         |         'c': c.cid}).c AS cid
+         |  FROM embeddings e, $prev c GROUP BY e.vec_id),
          |dims$n AS (
          |  SELECT cid, unnest(embedding) AS x,
          |         generate_subscripts(embedding, 1) AS pos
@@ -543,16 +553,22 @@ object Similarity {
   /** Oracle-side final cell assignment against `cents<rounds>` — the twin
     * of `nearestCid(cents)` applied to the whole corpus, carrying the
     * squared norm for downstream cosine math. */
+  /** Cell assignment as a GROUPED lexicographic-min (argmin by
+    * (distance, cid) via `MIN(struct)`) instead of a ROW_NUMBER window:
+    * the window form materializes and SORTS corpus × k rows (90 M at
+    * sf10, the oracle's spill driver); the grouped form hash-aggregates
+    * straight to one row per vector. Identical tie semantics — struct
+    * comparison is lexicographic, (d, cid) mirrors `ORDER BY d, cid`
+    * with rnk = 1. */
   private[ops] def lloydCellsSql(rounds: Int): String =
     s"""cells AS (
-       |  SELECT vec_id, embedding, cid,
-       |    list_sum(list_transform(embedding,
+       |  SELECT e.vec_id, ANY_VALUE(e.embedding) AS embedding,
+       |    MIN({'d': c.csq - 2 * ${sqlDot("e.embedding", "c.centroid")},
+       |         'c': c.cid}).c AS cid,
+       |    list_sum(list_transform(ANY_VALUE(e.embedding),
        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq
-       |  FROM (
-       |    SELECT e.vec_id, e.embedding, c.cid,
-       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
-       |        c.csq - 2 * ${sqlDot("e.embedding", "c.centroid")}, c.cid) AS rnk
-       |    FROM embeddings e, cents$rounds c) t WHERE rnk = 1)""".stripMargin
+       |  FROM embeddings e, cents$rounds c
+       |  GROUP BY e.vec_id)""".stripMargin
 
   /** IVF (inverted-file) ANN — the cell-probing scale path next to the
     * sign-bit LSH tier: a deterministic k-means coarse quantizer (cells
@@ -752,6 +768,18 @@ object Similarity {
     * table LOOKUPS; for top-k the factored plan does strictly less. */
   private def pqAdcTopK(codes: DataFrame, scores: DataFrame,
       codeCols: Seq[String], k: Int): DataFrame = {
+    // SPARK_GRAFT_AB_ADC=join is the BENCH_NOTES control arm: the r13
+    // formulation (equi-join scores back to the full code table, rank
+    // corpus × queries rows per query) kept timeable for the A/B table.
+    if (sys.env.get("SPARK_GRAFT_AB_ADC").contains("join")) {
+      val wr = Window.partitionBy(col("query_id"))
+        .orderBy(col("approx_dot").desc, col("vec_id"))
+      return codes.join(scores, codeCols)
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), col("approx_dot"))
+        .withColumn("rnk", row_number().over(wr))
+        .filter(col("rnk") <= k)
+    }
     val counts = codes.groupBy(codeCols.map(col): _*)
       .agg(count(lit(1)).as("__cnt"))
     val members = graft.plans.GraftOps.topKPerGroup(
@@ -823,11 +851,10 @@ object Similarity {
       |  SELECT m, c, cent,
       |    list_sum(list_transform(cent, x -> x * x)) AS csq FROM cb),
       |enc AS (
-      |  SELECT vec_id, m, c AS code FROM (
-      |    SELECT e.vec_id, q.m, q.c,
-      |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, q.m ORDER BY
-      |        q.csq - 2 * ${dotSub("q.m", "e.embedding", "q.cent")}, q.c) AS rnk
-      |    FROM embeddings e, cbq q) t WHERE rnk = 1),
+      |  SELECT e.vec_id, q.m,
+      |    MIN({'d': q.csq - 2 * ${dotSub("q.m", "e.embedding", "q.cent")},
+      |         'c': q.c}).c AS code
+      |  FROM embeddings e, cbq q GROUP BY e.vec_id, q.m),
       |codes AS (
       |  SELECT vec_id,
       |    MAX(CASE WHEN m = 0 THEN code END) AS code0,
@@ -849,14 +876,29 @@ object Similarity {
       |  JOIN cb c1 ON c1.m = 1 AND c1.c = d.code1
       |  JOIN cb c2 ON c2.m = 2 AND c2.c = d.code2
       |  JOIN cb c3 ON c3.m = 3 AND c3.c = d.code3),
+      |ccnt AS (
+      |  SELECT code0, code1, code2, code3, COUNT(*) AS cnt
+      |  FROM codes GROUP BY 1, 2, 3, 4),
+      |mem AS (
+      |  SELECT code0, code1, code2, code3, vec_id FROM (
+      |    SELECT codes.*, ROW_NUMBER() OVER (
+      |      PARTITION BY code0, code1, code2, code3 ORDER BY vec_id) AS rn
+      |    FROM codes) t WHERE rn <= 4),
+      |kept AS (
+      |  SELECT query_id, code0, code1, code2, code3, approx_dot FROM (
+      |    SELECT s.*, COALESCE(SUM(c.cnt) OVER (
+      |      PARTITION BY s.query_id ORDER BY s.approx_dot DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+      |    FROM scores s
+      |    JOIN ccnt c USING (code0, code1, code2, code3)) t
+      |  QUALIFY approx_dot >= MIN(CASE WHEN bef < 4 THEN approx_dot END)
+      |    OVER (PARTITION BY query_id)),
       |ranked AS (
-      |  SELECT s.query_id, k.vec_id, s.approx_dot,
-      |    ROW_NUMBER() OVER (PARTITION BY s.query_id
-      |                       ORDER BY s.approx_dot DESC, k.vec_id) AS rnk
-      |  FROM codes k
-      |  JOIN scores s ON s.code0 = k.code0 AND s.code1 = k.code1
-      |               AND s.code2 = k.code2 AND s.code3 = k.code3
-      |  WHERE k.vec_id <> s.query_id)
+      |  SELECT kept.query_id, m.vec_id, kept.approx_dot,
+      |    ROW_NUMBER() OVER (PARTITION BY kept.query_id
+      |                       ORDER BY kept.approx_dot DESC, m.vec_id) AS rnk
+      |  FROM kept JOIN mem m USING (code0, code1, code2, code3)
+      |  WHERE m.vec_id <> kept.query_id)
       |SELECT query_id, vec_id, approx_dot, rnk FROM ranked
       |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
   }
@@ -1105,11 +1147,10 @@ object Similarity {
          |  SELECT m, c, cent,
          |    list_sum(list_transform(cent, x -> x * x)) AS csq FROM cb$k),
          |enc$k AS (
-         |  SELECT vec_id, m, c AS code FROM (
-         |    SELECT e.vec_id, q.m, q.c,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, q.m ORDER BY
-         |        q.csq - 2 * ${dotSub("q.m", "e.embedding", "q.cent")}, q.c) AS rnk
-         |    FROM embeddings e, cbq$k q) t WHERE rnk = 1),
+         |  SELECT e.vec_id, q.m,
+         |    MIN({'d': q.csq - 2 * ${dotSub("q.m", "e.embedding", "q.cent")},
+         |         'c': q.c}).c AS code
+         |  FROM embeddings e, cbq$k q GROUP BY e.vec_id, q.m),
          |codes$k AS (
          |  SELECT vec_id,
          |    MAX(CASE WHEN m = 0 THEN code END) AS code0,
@@ -1129,15 +1170,30 @@ object Similarity {
          |  JOIN cb$k c1 ON c1.m = 1 AND c1.c = d.code1
          |  JOIN cb$k c2 ON c2.m = 2 AND c2.c = d.code2
          |  JOIN cb$k c3 ON c3.m = 3 AND c3.c = d.code3),
+         |ccnt$k AS (
+         |  SELECT code0, code1, code2, code3, COUNT(*) AS cnt
+         |  FROM codes$k GROUP BY 1, 2, 3, 4),
+         |mem$k AS (
+         |  SELECT code0, code1, code2, code3, vec_id FROM (
+         |    SELECT codes$k.*, ROW_NUMBER() OVER (
+         |      PARTITION BY code0, code1, code2, code3 ORDER BY vec_id) AS rn
+         |    FROM codes$k) t WHERE rn <= 6),
+         |kept$k AS (
+         |  SELECT query_id, code0, code1, code2, code3, approx_dot FROM (
+         |    SELECT s.*, COALESCE(SUM(c.cnt) OVER (
+         |      PARTITION BY s.query_id ORDER BY s.approx_dot DESC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+         |    FROM scores$k s
+         |    JOIN ccnt$k c USING (code0, code1, code2, code3)) t
+         |  QUALIFY approx_dot >= MIN(CASE WHEN bef < 6 THEN approx_dot END)
+         |    OVER (PARTITION BY query_id)),
          |top$k AS (
          |  SELECT query_id, vec_id FROM (
-         |    SELECT s.query_id, k.vec_id,
-         |      ROW_NUMBER() OVER (PARTITION BY s.query_id
-         |                         ORDER BY s.approx_dot DESC, k.vec_id) AS rnk
-         |    FROM codes$k k
-         |    JOIN scores$k s ON s.code0 = k.code0 AND s.code1 = k.code1
-         |                   AND s.code2 = k.code2 AND s.code3 = k.code3
-         |    WHERE k.vec_id <> s.query_id) t WHERE rnk <= 5),
+         |    SELECT kept$k.query_id, m.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY kept$k.query_id
+         |                         ORDER BY kept$k.approx_dot DESC, m.vec_id) AS rnk
+         |    FROM kept$k JOIN mem$k m USING (code0, code1, code2, code3)
+         |    WHERE m.vec_id <> kept$k.query_id) t WHERE rnk <= 5),
          |rec$k AS (
          |  SELECT COUNT(*) AS n_exact, COUNT(r.vec_id) AS n_hits,
          |    CAST(COUNT(r.vec_id) * 1000000 // COUNT(*) AS BIGINT) AS recall_fp
