@@ -64,10 +64,36 @@ object QBench {
           tasks.addAndGet(s.stageInfo.numTasks); ()
         }
       })
+    // `__floor` pseudo-query: calibrate THIS box's per-job and per-stage
+    // scheduling floors — the denominators every BENCH_NOTES floor
+    // decomposition (observed ≈ jobs × jobFloor + extra stage waves ×
+    // stageFloor) multiplies. Job floor: median of 40 trivial one-stage
+    // jobs. Stage floor: slope of one job whose plan chains R extra
+    // repartition stages over 64 rows (R = 12 vs 2, both measured after
+    // a warm-up, so the delta isolates the per-wave cost from job setup).
+    if (names.contains("__floor")) {
+      import org.apache.spark.sql.functions.{col => fcol}
+      def chain(r: Int): Unit = {
+        (1 to r).foldLeft(spark.range(64).toDF("id"))(
+          (d, i) => d.repartition(4, fcol("id") + i))
+          .write.format("noop").mode("overwrite").save()
+      }
+      chain(2); chain(12) // JIT + codegen warm
+      def t(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val jf = (1 to 40).map(_ => t {
+        spark.range(64).toDF("id").write.format("noop").mode("overwrite").save()
+      }).sorted.apply(20)
+      val s2 = (1 to 7).map(_ => t { chain(2) }).min
+      val s12 = (1 to 7).map(_ => t { chain(12) }).min
+      println(f"QFLOOR job=$jf%.4f stage=${(s12 - s2) / 10.0}%.4f " +
+        f"(chain2=$s2%.3f chain12=$s12%.3f)")
+    }
     // mirror Bench's physical-layout normalization (see Bench.relayout)
     val dir = Bench.relayout(spark, sfDir)
     val warmDir = Bench.relayout(spark, "/root/testdata/sf0.001")
-    names.foreach { name =>
+    names.filterNot(_ == "__floor").foreach { name =>
       val fn = SparkEntry.queries(name)
       // warm-up (JIT) at the bench's warm SF, then timed reps at sfDir
       try {
