@@ -515,15 +515,29 @@ object Similarity {
     * CTE chain (unrolled fixed-round Lloyd with identical arithmetic).
     * Callers append their own CTEs referencing `cents<rounds>`. */
   private[ops] def lloydCtesSql(k: Any, rounds: Int): String = {
-    // argmin by (distance, cid) as a grouped MIN(struct) — see
-    // lloydCellsSql's scaladoc: same tie semantics as the ROW_NUMBER
-    // window it replaces, without sorting corpus × k rows per round
+    // argmin by (distance, cid) as a TWO-PASS grouped min — MIN(d) per
+    // vector, equality-rejoin, MIN(cid) among ties: identical
+    // lexicographic (d, cid) semantics to the MIN(struct) form it
+    // replaces, but with 8-byte per-group aggregate states. DuckDB's
+    // MIN over a STRUCT allocates ~40 KB of state PER GROUP (measured:
+    // 31 GB for an 800 k-group encode at sf10 vs 188 MB two-pass, same
+    // result) — the struct form is what OOM-killed the recall twin at
+    // 125 GB. The rejoin's float equality is safe: d is a pure row-wise
+    // expression, so both branches see bit-identical values.
     def centsCte(n: Int, prev: String): String =
-      s"""assign$n AS (
-         |  SELECT e.vec_id, ANY_VALUE(e.embedding) AS embedding,
-         |    MIN({'d': c.csq - 2 * ${sqlDot("e.embedding", "c.centroid")},
-         |         'c': c.cid}).c AS cid
-         |  FROM embeddings e, $prev c GROUP BY e.vec_id),
+      s"""dist$n AS (
+         |  SELECT e.vec_id, c.cid,
+         |    c.csq - 2 * ${sqlDot("e.embedding", "c.centroid")} AS d
+         |  FROM embeddings e, $prev c),
+         |assign$n AS (
+         |  SELECT am.vec_id, e.embedding, am.cid
+         |  FROM (SELECT t.vec_id, MIN(t.cid) AS cid
+         |        FROM dist$n t
+         |        JOIN (SELECT vec_id, MIN(d) AS dmin
+         |              FROM dist$n GROUP BY vec_id) mn
+         |          ON t.vec_id = mn.vec_id AND t.d = mn.dmin
+         |        GROUP BY t.vec_id) am
+         |  JOIN embeddings e ON e.vec_id = am.vec_id),
          |dims$n AS (
          |  SELECT cid, unnest(embedding) AS x,
          |         generate_subscripts(embedding, 1) AS pos
@@ -553,22 +567,30 @@ object Similarity {
   /** Oracle-side final cell assignment against `cents<rounds>` — the twin
     * of `nearestCid(cents)` applied to the whole corpus, carrying the
     * squared norm for downstream cosine math. */
-  /** Cell assignment as a GROUPED lexicographic-min (argmin by
-    * (distance, cid) via `MIN(struct)`) instead of a ROW_NUMBER window:
-    * the window form materializes and SORTS corpus × k rows (90 M at
-    * sf10, the oracle's spill driver); the grouped form hash-aggregates
-    * straight to one row per vector. Identical tie semantics — struct
-    * comparison is lexicographic, (d, cid) mirrors `ORDER BY d, cid`
-    * with rnk = 1. */
+  /** Cell assignment as a GROUPED lexicographic-min instead of a
+    * ROW_NUMBER window: the window form materializes and SORTS
+    * corpus × k rows (90 M at sf10, the oracle's spill driver); the
+    * grouped form hash-aggregates straight to one row per vector.
+    * Identical tie semantics — (d, cid) mirrors `ORDER BY d, cid` with
+    * rnk = 1. Two-pass MIN(d) + equality-rejoin + MIN(cid), not
+    * MIN(struct): see lloydCtesSql for the measured per-group-state
+    * pathology the struct form hits in DuckDB. */
   private[ops] def lloydCellsSql(rounds: Int): String =
-    s"""cells AS (
-       |  SELECT e.vec_id, ANY_VALUE(e.embedding) AS embedding,
-       |    MIN({'d': c.csq - 2 * ${sqlDot("e.embedding", "c.centroid")},
-       |         'c': c.cid}).c AS cid,
-       |    list_sum(list_transform(ANY_VALUE(e.embedding),
+    s"""distf AS (
+       |  SELECT e.vec_id, c.cid,
+       |    c.csq - 2 * ${sqlDot("e.embedding", "c.centroid")} AS d
+       |  FROM embeddings e, cents$rounds c),
+       |cells AS (
+       |  SELECT am.vec_id, e.embedding, am.cid,
+       |    list_sum(list_transform(e.embedding,
        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq
-       |  FROM embeddings e, cents$rounds c
-       |  GROUP BY e.vec_id)""".stripMargin
+       |  FROM (SELECT t.vec_id, MIN(t.cid) AS cid
+       |        FROM distf t
+       |        JOIN (SELECT vec_id, MIN(d) AS dmin
+       |              FROM distf GROUP BY vec_id) mn
+       |          ON t.vec_id = mn.vec_id AND t.d = mn.dmin
+       |        GROUP BY t.vec_id) am
+       |  JOIN embeddings e ON e.vec_id = am.vec_id)""".stripMargin
 
   /** IVF (inverted-file) ANN — the cell-probing scale path next to the
     * sign-bit LSH tier: a deterministic k-means coarse quantizer (cells
@@ -850,11 +872,17 @@ object Similarity {
       |cbq AS (
       |  SELECT m, c, cent,
       |    list_sum(list_transform(cent, x -> x * x)) AS csq FROM cb),
+      |denc AS (
+      |  SELECT e.vec_id, q.m, q.c,
+      |    q.csq - 2 * ${dotSub("q.m", "e.embedding", "q.cent")} AS d
+      |  FROM embeddings e, cbq q),
       |enc AS (
-      |  SELECT e.vec_id, q.m,
-      |    MIN({'d': q.csq - 2 * ${dotSub("q.m", "e.embedding", "q.cent")},
-      |         'c': q.c}).c AS code
-      |  FROM embeddings e, cbq q GROUP BY e.vec_id, q.m),
+      |  SELECT t.vec_id, t.m, MIN(t.c) AS code
+      |  FROM denc t
+      |  JOIN (SELECT vec_id, m, MIN(d) AS dmin
+      |        FROM denc GROUP BY vec_id, m) mn
+      |    ON t.vec_id = mn.vec_id AND t.m = mn.m AND t.d = mn.dmin
+      |  GROUP BY t.vec_id, t.m),
       |codes AS (
       |  SELECT vec_id,
       |    MAX(CASE WHEN m = 0 THEN code END) AS code0,
@@ -1146,11 +1174,17 @@ object Similarity {
          |cbq$k AS (
          |  SELECT m, c, cent,
          |    list_sum(list_transform(cent, x -> x * x)) AS csq FROM cb$k),
+         |denc$k AS (
+         |  SELECT e.vec_id, q.m, q.c,
+         |    q.csq - 2 * ${dotSub("q.m", "e.embedding", "q.cent")} AS d
+         |  FROM embeddings e, cbq$k q),
          |enc$k AS (
-         |  SELECT e.vec_id, q.m,
-         |    MIN({'d': q.csq - 2 * ${dotSub("q.m", "e.embedding", "q.cent")},
-         |         'c': q.c}).c AS code
-         |  FROM embeddings e, cbq$k q GROUP BY e.vec_id, q.m),
+         |  SELECT t.vec_id, t.m, MIN(t.c) AS code
+         |  FROM denc$k t
+         |  JOIN (SELECT vec_id, m, MIN(d) AS dmin
+         |        FROM denc$k GROUP BY vec_id, m) mn
+         |    ON t.vec_id = mn.vec_id AND t.m = mn.m AND t.d = mn.dmin
+         |  GROUP BY t.vec_id, t.m),
          |codes$k AS (
          |  SELECT vec_id,
          |    MAX(CASE WHEN m = 0 THEN code END) AS code0,
@@ -1233,12 +1267,20 @@ object Similarity {
       |sigs AS (SELECT vec_id, CAST(SUM(bit) AS BIGINT) AS sig
       |  FROM bits GROUP BY vec_id),
       |pc AS (SELECT p FROM (VALUES (4),(6),(8)) AS v(p)),
+      |sigp AS (
+      |  -- bucket key materialized per (p, vec_id) BEFORE the self-join:
+      |  -- with `sig % (1<<pc.p)` inside the join predicate the key
+      |  -- depends on a third relation (pc), so DuckDB can only
+      |  -- nested-loop it (283 s at sf10); as a column it's a plain
+      |  -- equi-join on (p, bkey) — seconds at the same SF
+      |  SELECT pc.p, s.vec_id,
+      |    s.sig % (CAST(1 AS BIGINT) << pc.p) AS bkey
+      |  FROM pc, sigs s),
       |cand AS (
-      |  SELECT pc.p, sa.vec_id AS query_id, sb.vec_id AS vec_id, 1 AS hit
-      |  FROM pc, sigs sa JOIN sigs sb ON sa.vec_id <> sb.vec_id
-      |    AND (sa.sig % (CAST(1 AS BIGINT) << pc.p))
-      |      = (sb.sig % (CAST(1 AS BIGINT) << pc.p))
-      |  WHERE sa.vec_id % $qmod = 0),
+      |  SELECT sa.p, sa.vec_id AS query_id, sb.vec_id AS vec_id, 1 AS hit
+      |  FROM (SELECT * FROM sigp WHERE vec_id % $qmod = 0) sa
+      |  JOIN sigp sb ON sa.p = sb.p AND sa.bkey = sb.bkey
+      |    AND sa.vec_id <> sb.vec_id),
       |lshcost AS (SELECT p, COUNT(*) AS cost FROM cand GROUP BY p),
       |lshbase AS (SELECT pc.p, et.query_id, et.vec_id FROM pc, et),
       |lshrec AS (
