@@ -407,6 +407,56 @@ object ScaleChecks {
         "mono_bad" -> monoBad.toLong))
   }
 
+  /** Independent-algorithm agreement proof for the CC dump: re-cluster
+    * the DUMPED minhash pair graph with label propagation (a different
+    * algorithm than the union-find / star-contraction paths that
+    * produced the dump — `Dedup.connectedComponentsFromPairs` dispatches
+    * by edge count) and require exact output equality, plus direct edge
+    * closure (every pair's endpoints share a canonical id). Linear in
+    * pairs + dump at any SF — this query's DuckDB twin (exact-jaccard
+    * pair join + recursive transitive closure) is quadratic in
+    * replica-family width, which every cluster-preserving slice keeps
+    * by design, so it ENOSPCs >50 GB spill even at 25 k sliced docs. */
+  def ccCheck(spark: SparkSession, sfDir: String, outDir: String): Result = {
+    val cc = dump(spark, outDir, "dedup_connected_components")
+      .select(col("doc_id"), col("canonical_id"), col("cluster_size"))
+    val pairs = dump(spark, outDir, "dedup_minhash_lsh")
+      .select(col("d1"), col("d2"))
+    val lp = Dedup.labelPropagationCC(pairs)
+      .select(col("doc_id"), col("canonical_id"), col("cluster_size"))
+    val disagree = cc.exceptAll(lp).count() + lp.exceptAll(cc).count()
+    val cmap = cc.select(col("doc_id"), col("canonical_id"))
+    val closureBad = pairs
+      .join(cmap.select(col("doc_id").as("d1"), col("canonical_id").as("c1")), Seq("d1"))
+      .join(cmap.select(col("doc_id").as("d2"), col("canonical_id").as("c2")), Seq("d2"))
+      .filter(col("c1") =!= col("c2")).count()
+    ("cc_check", disagree == 0 && closureBad == 0,
+      Map("rows" -> cc.count(), "pairs" -> pairs.count(),
+        "lp_disagree" -> disagree, "closure_bad" -> closureBad))
+  }
+
+  /** Census recomputation for the dedup_apply dump: rebuild the per-lang
+    * survivor census from the corpus and the CC dump's drop list
+    * (doc_id ≠ canonical_id) and require exact equality — with
+    * [[ccCheck]] (CC vs pairs) and minhash_soundness (pairs vs shingles)
+    * this closes the linear evidence chain pairs → components → census
+    * at SFs where the quadratic twin is out of reach. */
+  def applyCheck(spark: SparkSession, sfDir: String, outDir: String): Result = {
+    val ap = dump(spark, outDir, "dedup_apply")
+      .select(col("lang"), col("n_docs"), col("total_chars"))
+    val drop = dump(spark, outDir, "dedup_connected_components")
+      .filter(col("doc_id") =!= col("canonical_id")).select(col("doc_id"))
+    val expect = Tables.documents(spark, sfDir)
+      .join(drop, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .select(col("lang"), col("n_docs"), col("total_chars"))
+    val bad = ap.exceptAll(expect).count() + expect.exceptAll(ap).count()
+    ("apply_check", bad == 0,
+      Map("langs" -> ap.count(), "mismatch" -> bad))
+  }
+
   val all: Seq[(String, (SparkSession, String, String) => Result)] = Seq(
     "skyline_proof" -> (skylineProof _),
     "bfs_proof" -> (bfsProof _),
@@ -418,5 +468,7 @@ object ScaleChecks {
     "ivf_check" -> (ivfCheck _),
     "pq_check" -> (pqCheck _),
     "cosine_sampled_truth" -> (cosineSampledTruth _),
-    "kcore_check" -> (kcoreCheck _))
+    "kcore_check" -> (kcoreCheck _),
+    "cc_check" -> (ccCheck _),
+    "apply_check" -> (applyCheck _))
 }
