@@ -29,20 +29,26 @@ if grep -rnP '\t' src --include='*.scala' | head -5 | grep .; then
   say "FAIL: tab characters found"; fail=1
 fi
 
-# 3. println outside sanctioned mains
+# 3. println outside sanctioned mains (the driver-contract mains plus the
+#    scale-campaign tool mains, whose one-JSON-line-per-result stdout IS
+#    their artifact interface)
 if grep -rn 'println' src/main/scala/graft --include='*.scala' \
-    | grep -vE 'Bench\.scala|Verify\.scala|GreenTaxiPipeline\.scala|Ingest\.scala'; then
+    | grep -vE 'Bench\.scala|Verify\.scala|GreenTaxiPipeline\.scala|Ingest\.scala|ScaleGen\.scala|ScaleCheck\.scala|ScaleSample\.scala|StreamScale\.scala|DedupProfile\.scala'; then
   say "FAIL: println in library code"; fail=1
 fi
 
-# 4. driver-side collects in the operator inventory (fenced sites excluded)
+# 4. driver-side collects in the operator inventory. Excluded files:
+#    Similarity.scala (budgeted below), ScaleChecks.scala (scale
+#    VERIFICATION tool — its collects are dump-/trajectory-bounded, never
+#    in a query hot path), DedupProfile.scala (profiling tool, bounded
+#    curve output).
 if grep -rn '\.collect()' src/main/scala/graft/ops --include='*.scala' \
-    | grep -v 'Similarity.scala'; then
+    | grep -vE 'Similarity\.scala|ScaleChecks\.scala|DedupProfile\.scala'; then
   say "FAIL: unfenced .collect() in ops/"; fail=1
 fi
 n_sim=$(grep -c '\.collect()' src/main/scala/graft/ops/Similarity.scala)
-if [ "$n_sim" -gt 3 ]; then
-  say "FAIL: Similarity.scala grew a fourth .collect() (fenced budget is 3: IVF init + per-round centroid rows + PQ codebook seed — all constant-size quantizer state)"; fail=1
+if [ "$n_sim" -gt 5 ]; then
+  say "FAIL: Similarity.scala grew a sixth .collect() (fenced budget is 5: two Lloyd trainers x (seed + per-round k*dim centroid rows) + the PQ codebook seed - all constant-size quantizer state)"; fail=1
 fi
 
 if [ "$fail" -eq 0 ]; then say "OK"; fi
