@@ -45,6 +45,13 @@ object QBench {
       // one-scalar distinct-count job) — the unmemoized per-query cost.
       if (sys.env.get("SPARK_GRAFT_GRAPH_MEMO").contains("off"))
         graft.ops.Graph.clearEdgeMemo()
+      // Same control for the similarity/dedup eval-tier index memo
+      // (IndexMemo): with SPARK_GRAFT_INDEX_MEMO=off every rep re-trains
+      // the quantizer, rebuilds the signature/code tables and re-labels
+      // the truth slices — the unmemoized per-query cost for the
+      // BENCH_NOTES control table.
+      if (sys.env.get("SPARK_GRAFT_INDEX_MEMO").contains("off"))
+        graft.ops.IndexMemo.clear()
     }
     // Per-rep job/stage/task census — the denominators of the scheduling
     // floor analysis (BENCH_NOTES: observed ≈ jobs × job floor + stage

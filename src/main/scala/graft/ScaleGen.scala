@@ -46,8 +46,30 @@ object ScaleGen {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("target/sf1")
     val xf = args.lift(2).map(_.toInt).getOrElse(10)
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+    // Bounded-replica-family mode (VERDICT r15 task 4): with a 4th arg
+    // W > 0, document replicas split into families of width W — replica
+    // k is member m = k mod W of family f = k div W. Members of one
+    // family share a family-level rewrite (token i → family-salted when
+    // (i + f) % 3 = 0, ~1/3 of tokens — cross-family shingle Jaccard
+    // lands ≈ 0.2, far below every near-dup threshold) and differ from
+    // each other only by the member-level stagger ((i + m) % 11, the
+    // legacy replica perturbation), so near-dup CLUSTERS stay ≤ W wide
+    // while the corpus still grows xf×: duplication RATE is fixed and
+    // families become more numerous, which is how a real corpus scales.
+    // Rationale: legacy mode grows family width 10× per decade, so the
+    // all-qualifying-PAIRS contracts (dedup_simhash: 97.5 M rows at
+    // sf100) and the family-width-quadratic oracle twins (CC/apply)
+    // measure the generator's width, not the plan — the bounded mode
+    // makes the dedup-tier exponents read the plan. Key shifts, FK
+    // edges, events and embeddings are IDENTICAL to legacy mode (the
+    // relational/ANN tiers see the same data either way).
+    val famW = args.lift(3).map(_.toInt).getOrElse(0)
+    // LocalScratch (RAM-backed spark.local.dir) like every other main:
+    // the xf=1000 lineitem repartition spills ~tens of GB of shuffle map
+    // output, which on this box's quota'd disk is the difference between
+    // finishing and ENOSPC-ing two tables from the end (r16).
+    val spark = LocalScratch(SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
@@ -108,16 +130,40 @@ object ScaleGen {
     write("events", tile(Tables.events(spark, src)) { (df, k) =>
       shiftCol("user_id", dUser)(shiftCol("event_id", dEvent)(df, k), k) })
     write("documents", tile(Tables.table(spark, src, "documents")) { (df, k) =>
-      shiftCol("doc_id", dDoc)(df, k)
-        .withColumn("text", when(k === 0, col("text")).otherwise(
-          // rewrite token i when (i + k) % 11 == 0: k staggers WHICH
-          // positions mutate per replica, so replica pairs differ in
-          // ~2/11 of positions (~18%), not in one shared mask
-          expr("""concat_ws(' ', transform(split(text, ' '),
-                 |  (t, i) -> IF(pmod(i + __k, 11) = 0,
-                 |              concat('rx', __k, 'p', pmod(i, 97)), t)))"""
-            .stripMargin)))
-        .withColumn("n_chars", length(col("text")))
+      val shifted = shiftCol("doc_id", dDoc)(df, k)
+      val mutated =
+        if (famW > 0)
+          // family mode: member stagger wins where both apply (members
+          // of one family then differ pairwise in ~2/11 of positions,
+          // exactly the legacy within-replica structure); the family
+          // rewrite depends only on (f, i, t), so it is SHARED by the
+          // whole family and distinct across families. Both rewrites
+          // SALT the original token rather than replacing it with a
+          // position-coded constant: a constant like 'fx0p14' is shared
+          // across every document at position i ≡ const and becomes an
+          // artificial high-df token — at famW=10/xf=10 that blew the
+          // oracle twins' shingle pair joins up (measured: the CC twin
+          // went from passing on legacy sf1 to >600 s on the first
+          // family-mode cut), i.e. the generator manufactured hot
+          // shingles no real corpus has. Salting preserves each token's
+          // natural document frequency within its rewrite class.
+          shifted.withColumn("text", expr(
+            s"""concat_ws(' ', transform(split(text, ' '),
+               |  (t, i) -> IF(pmod(i + pmod(__k, $famW), 11) = 0,
+               |              concat('rx', __k, '_', t),
+               |              IF(pmod(i + (__k div $famW), 3) = 0,
+               |                 concat('fx', (__k div $famW), '_', t),
+               |                 t))))""".stripMargin))
+        else
+          shifted.withColumn("text", when(k === 0, col("text")).otherwise(
+            // rewrite token i when (i + k) % 11 == 0: k staggers WHICH
+            // positions mutate per replica, so replica pairs differ in
+            // ~2/11 of positions (~18%), not in one shared mask
+            expr("""concat_ws(' ', transform(split(text, ' '),
+                   |  (t, i) -> IF(pmod(i + __k, 11) = 0,
+                   |              concat('rx', __k, 'p', pmod(i, 97)), t)))"""
+              .stripMargin)))
+      mutated.withColumn("n_chars", length(col("text")))
     })
     write("embeddings", tile(Tables.table(spark, src, "embeddings")) { (df, k) =>
       shiftCol("vec_id", dVec)(df, k)
