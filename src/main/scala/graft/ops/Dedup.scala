@@ -114,14 +114,21 @@ object Dedup {
     * CAP-SCALING POLICY (the r11 sf1/sf10 lesson, SCALE_r11.md): a cap
     * must scale with the corpus iff its ORACLE contract is uncapped.
     * [[simhashCap]] scales (its all-pairs oracle has no cap, so a fixed
-    * cap silently lost true pairs at sf1); MaxShingleDf and
-    * [[MaxBucketSize]] stay FIXED because both engines apply them
-    * identically (parity holds at every SF — re-verified value-identical
-    * at sf1) and because what they drop grows only with boilerplate/
-    * duplicate mass, which the production tier ordering removes upstream:
-    * exact-dedup first, near-dup on survivors (`dedup_apply`'s contract).
-    * A near-dup cluster larger than the cap on the POST-exact-dedup
-    * corpus is degenerate input, not signal. */
+    * cap silently lost true pairs at sf1); MaxShingleDf stays FIXED
+    * because both engines apply it identically (parity holds at every
+    * SF — re-verified value-identical at sf1). [[MaxBucketSize]] was
+    * wrongly grouped with MaxShingleDf until r16: the banding-eval use
+    * IS twin-mirrored (fixed is right there), but the `minhashLsh`
+    * candidate path's oracle is the BANDLESS ≥0.8 pair set — by this
+    * paragraph's own rule that cap must scale, and at replica-family
+    * width ≥ the cap it deterministically dropped true-pair buckets
+    * (measured at the sf100 mod-20 slice: engine 178 pairs vs 12,829
+    * ground truth — r16 bug, same class as r11's simhash cap). The
+    * effective candidate cap is now [[minhashCap]] (max(floor, N/5),
+    * the simhashCap policy); the "post-exact-dedup clusters wider than
+    * 100 are degenerate input" defense was empirically false for
+    * near-dup (jaccard < 1) replica families, which survive exact dedup
+    * at any width. */
   private[ops] val MaxShingleDf = 1000
 
   private[graft] def hashedShingles(docs: DataFrame, maxDf: Int): DataFrame = {
@@ -410,11 +417,27 @@ object Dedup {
     * corpus per reference is the difference between 2 and ~80 input
     * scans. Shingles go MEMORY_AND_DISK (corpus-sized, spillable);
     * candidates are tiny. */
+  /** Corpus-scaled candidate-bucket cap for the minhash banding path —
+    * the [[simhashCap]] policy applied to the tier whose oracle is the
+    * bandless uncapped pair set: keep every organic bucket (true
+    * near-dup families grow with the corpus), refuse only saturation
+    * degeneracy (one band value holding > 20% of the corpus). The
+    * count is parquet-metadata-only. Completeness cost is honest and
+    * data-dependent: on a corpus whose replica families sit just BELOW
+    * the 0.8 verify threshold (ScaleGen's legacy width-1000 regime at
+    * jaccard ≈ 0.65, where 16×4 banding passes ~96% of family pairs as
+    * candidates), recovering the ~0.03%-precision candidate stream is
+    * inherently ~width²-quadratic — an LSH property (no 16×4-grade
+    * S-curve separates 0.65 from 0.8), not a plan defect; the
+    * bounded-family generator mode measures the realistic regime. */
+  private[ops] def minhashCap(docs: DataFrame): Int =
+    math.max(MaxBucketSize, (docs.count() / 5).toInt)
+
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
     val sh = hashedShingles(docs, MaxShingleDf)
-    val cand = candidatesFromSigs(rowSigs(docs), MaxBucketSize)
+    val cand = candidatesFromSigs(rowSigs(docs), minhashCap(docs))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     verifiedPairs(sh, cand, 0.8)
   }
@@ -900,10 +923,16 @@ object Dedup {
     labelsToOutput(labels)
   }
 
+  // pairs/edges are AS MATERIALIZED: without the fence DuckDB inlines
+  // the whole shingle-join pair derivation INTO the recursive plan and
+  // re-evaluates it per closure iteration — measured at sf1-family
+  // (2,560 pairs, 50 k docs): >40 GB spill then ENOSPC unfenced vs 3 s
+  // fenced, identical rows. This, not pair volume, was the bulk of the
+  // "family-width-quadratic" oracle frontier of SCALE_r14/r15 §4.
   val connectedComponentsSql: String =
-    s"""WITH RECURSIVE pairs AS (
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (
       |  SELECT d1, d2 FROM ($nearDupPairsSql) base),
-      |edges AS (
+      |edges AS MATERIALIZED (
       |  SELECT d1, d2 FROM pairs
       |  UNION SELECT d2, d1 FROM pairs
       |  UNION SELECT d1, d1 FROM pairs
@@ -944,10 +973,11 @@ object Dedup {
       .orderBy(col("lang"))
   }
 
+  // same MATERIALIZED fence as connectedComponentsSql (see there)
   val dedupApplySql: String =
-    s"""WITH RECURSIVE pairs AS (
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (
       |  SELECT d1, d2 FROM ($nearDupPairsSql) base),
-      |edges AS (
+      |edges AS MATERIALIZED (
       |  SELECT d1, d2 FROM pairs
       |  UNION SELECT d2, d1 FROM pairs
       |  UNION SELECT d1, d1 FROM pairs

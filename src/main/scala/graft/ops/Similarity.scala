@@ -256,7 +256,11 @@ object Similarity {
   }
 
   /** Oracle twin: buckets, neighbors, mutual edges and components
-    * re-derived in SQL (recursive CTE over the mutual edge list). */
+    * re-derived in SQL (recursive CTE over the mutual edge list).
+    * mutual/edges carry the same AS MATERIALIZED fence as the CC twin
+    * (Dedup.connectedComponentsSql): unfenced, DuckDB inlines the whole
+    * bucket-join/kNN derivation into the recursive plan and re-runs it
+    * per closure iteration. */
   val knnGraphClustersSql: String =
     s"""WITH RECURSIVE e AS (SELECT vec_id, embedding,
       |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS sq
@@ -288,11 +292,11 @@ object Similarity {
       |      ROW_NUMBER() OVER (PARTITION BY src
       |                         ORDER BY cos_sim DESC, dst) AS rnk
       |    FROM pairs) t WHERE rnk <= $KnnK),
-      |mutual AS (
+      |mutual AS MATERIALIZED (
       |  SELECT x.src AS d1, x.dst AS d2 FROM knn x
       |  JOIN knn y ON x.src = y.dst AND x.dst = y.src
       |  WHERE x.src < x.dst),
-      |edges AS (
+      |edges AS MATERIALIZED (
       |  SELECT d1, d2 FROM mutual
       |  UNION SELECT d2, d1 FROM mutual
       |  UNION SELECT d1, d1 FROM mutual

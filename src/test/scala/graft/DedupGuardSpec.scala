@@ -287,4 +287,37 @@ class DedupGuardSpec extends AnyFunSuite {
       s"banding missed $missed ground-truth pair(s): gate failures on this " +
         "corpus are attributable to LSH recall, not candidate-join bugs")
   }
+
+  test("corpus-scaled minhash cap recovers near-dup families wider than the floor") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // The r16 scale bug (found by the sf100 mod-20 slice campaign, where
+    // width-1000 replica families left the engine at 178 of 12,829
+    // ground-truth pairs): minhashLsh's candidate buckets were capped at
+    // a FIXED MaxBucketSize=100 while its oracle is the bandless
+    // uncapped >=0.8 pair set, so any near-dup family wider than the cap
+    // had its band buckets NULLed and its pairs silently dropped.
+    // Synthetic regression: one 120-doc family of identical texts inside
+    // a 600-doc corpus. All 7,140 within-family pairs are ground truth
+    // (jaccard 1.0, identical signatures -> ONE bucket of 120 per band).
+    val docs = (0L until 600L).map { i =>
+      val text =
+        if (i < 120) "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        else s"unique token stream number $i with filler ${i * 7} and ${i * 13} tail"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val cap = Dedup.minhashCap(docs)
+    assert(cap >= 120,
+      s"minhashCap($cap) must cover the 120-wide family at N=600 (N/5 = 120)")
+    val fixed = Dedup.candidatesFromSigs(Dedup.rowSigs(docs), Dedup.MaxBucketSize)
+      .distinct().count()
+    val scaled = Dedup.candidatesFromSigs(Dedup.rowSigs(docs), cap)
+      .distinct().count()
+    spark.sharedState.cacheManager.clearCache()
+    assert(fixed === 0L,
+      s"fixed cap unexpectedly kept $fixed pairs - the regression premise changed")
+    assert(scaled === 120L * 119L / 2L,
+      s"scaled cap recovered $scaled of ${120 * 119 / 2} family pairs")
+  }
 }

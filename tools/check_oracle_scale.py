@@ -197,6 +197,18 @@ def main():
             problems.append(
                 f"rowcount: spark={spark_tbl.num_rows} duck={duck_tbl.num_rows}")
         if not problems:
+            # Sort BOTH sides by every column before the value walk: with
+            # preserve_insertion_order=false (the DUCK_PIO escalation
+            # knob) DuckDB does not honor a recursive-CTE query's final
+            # ORDER BY in fetch_arrow_table() (observed r16: the CC twin
+            # returned value-identical rows in arbitrary chunk order and
+            # was misread as FAIL). Every oracle carries a total ORDER
+            # BY, so a canonical re-sort of both sides preserves the
+            # value-equality semantics; the driver's own gate still
+            # checks emitted order at sf0.01.
+            skeys = [(c, "ascending") for c in s_cols]
+            spark_tbl = spark_tbl.sort_by(skeys)
+            duck_tbl = duck_tbl.sort_by(skeys)
             sd = spark_tbl.to_pydict()
             dd = duck_tbl.to_pydict()
             for c in s_cols:
