@@ -137,7 +137,13 @@ object ScaleGen {
           // of one family then differ pairwise in ~2/11 of positions,
           // exactly the legacy within-replica structure); the family
           // rewrite depends only on (f, i, t), so it is SHARED by the
-          // whole family and distinct across families. Both rewrites
+          // whole family and distinct across families. NOTE: the k=0
+          // tile is rewritten too (family-0 coherence needs its salt),
+          // so family-mode output holds NO pristine copy of the source
+          // docs — the "sf0.1 shared anchor" in family_exponents.sh is
+          // shape-level comparable (counts, cost curves), not
+          // content-level, unlike legacy mode's when(k===0) passthrough
+          // below. Both rewrites
           // SALT the original token rather than replacing it with a
           // position-coded constant: a constant like 'fx0p14' is shared
           // across every document at position i ≡ const and becomes an

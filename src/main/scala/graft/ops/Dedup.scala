@@ -431,7 +431,10 @@ object Dedup {
     * S-curve separates 0.65 from 0.8), not a plan defect; the
     * bounded-family generator mode measures the realistic regime. */
   private[ops] def minhashCap(docs: DataFrame): Int =
-    math.max(MaxBucketSize, (docs.count() / 5).toInt)
+    // clamp before toInt: count/5 over ~10.7B docs would overflow Int
+    // and a negative cap would null every bucket (drop all candidates)
+    math.max(MaxBucketSize.toLong,
+      math.min(docs.count() / 5, Int.MaxValue.toLong)).toInt
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -546,7 +549,9 @@ object Dedup {
     * are the scalable ones. The count is parquet-metadata-only (no
     * scan). */
   private[ops] def simhashCap(docs: DataFrame): Int =
-    math.max(SimHashBucketCap, (docs.count() / 5).toInt)
+    // same Int-overflow clamp as minhashCap (corpora > ~10.7B docs)
+    math.max(SimHashBucketCap.toLong,
+      math.min(docs.count() / 5, Int.MaxValue.toLong)).toInt
 
   /** SimHash near-dup: all pairs within Hamming distance 3 of the 64-bit
     * signature (graft.functions.SimHash64 — computed in one pass inside

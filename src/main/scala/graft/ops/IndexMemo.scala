@@ -42,17 +42,46 @@ object IndexMemo {
   private val dfs =
     new scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]
 
+  /** Frees a dropped entry's localCheckpoint blocks. A checkpointed
+    * Dataset is a LogicalRDD over the persisted InternalRow RDD —
+    * unpersist THAT rdd (df.unpersist only touches the cache manager,
+    * and df.rdd wraps a fresh deserializing MapPartitionsRDD whose
+    * unpersist frees nothing). Without this, the memo-off control arm
+    * strands corpus-row-sized blocks per bench rep until the
+    * ContextCleaner happens to collect the dropped reference. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    try {
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false); ()
+        case _ => ()
+      }
+    } catch { case _: Throwable => () }
+
   /** Drops all memoized index state (in-session testdata re-base, the
-    * bench memo-off control arm, or between SparkSessions in one JVM). */
-  def clear(): Unit = { vals.clear(); dfs.clear() }
+    * bench memo-off control arm, or between SparkSessions in one JVM),
+    * unpersisting every dropped checkpoint's blocks. */
+  def clear(): Unit = dfs.synchronized {
+    vals.clear()
+    dfs.values.foreach(unpersistCheckpoint)
+    dfs.clear()
+  }
 
   def value[T](spark: SparkSession, dir: String, tag: String)(build: => T): T = {
     vals.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     vals.getOrElseUpdate((spark, dir, tag), build).asInstanceOf[T]
   }
 
-  def df(spark: SparkSession, dir: String, tag: String)(build: => DataFrame): DataFrame = {
-    dfs.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    dfs.getOrElseUpdate((spark, dir, tag), build.localCheckpoint(false))
-  }
+  def df(spark: SparkSession, dir: String, tag: String)(build: => DataFrame): DataFrame =
+    // synchronized single-evaluation: TrieMap.getOrElseUpdate may
+    // double-evaluate under the 8-stream throughput mode and strand the
+    // losing localCheckpoint's blocks. `build` and localCheckpoint
+    // (eager=false) are plan construction only — no job runs under the
+    // lock — and the monitor is reentrant so nested memo calls are safe.
+    dfs.synchronized {
+      dfs.keysIterator.filter(_._1.sparkContext.isStopped).toList.foreach { k =>
+        dfs.remove(k).foreach(unpersistCheckpoint)
+      }
+      dfs.getOrElseUpdate((spark, dir, tag), build.localCheckpoint(false))
+    }
 }

@@ -1131,7 +1131,9 @@ object Similarity {
     val cents = IndexMemo.value(spark, dir, s"lloyd:$IvfCells:$IvfRounds") {
       lloydCentroids(em, IvfCells, IvfRounds)
     }
-    val cells = IndexMemo.df(spark, dir, s"ivf_cells:$IvfCells") {
+    // memo tag carries the FULL centroid identity (cells AND rounds):
+    // same-k/different-round centroids must not reuse stale assignments
+    val cells = IndexMemo.df(spark, dir, s"ivf_cells:$IvfCells:$IvfRounds") {
       em.select(col("vec_id"), nearestCid(cents)(col("embedding")).as("cid"))
     }
     val maxProbe = IvfEvalProbes.max

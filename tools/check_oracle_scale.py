@@ -196,19 +196,25 @@ def main():
         if spark_tbl.num_rows != duck_tbl.num_rows:
             problems.append(
                 f"rowcount: spark={spark_tbl.num_rows} duck={duck_tbl.num_rows}")
-        if not problems:
-            # Sort BOTH sides by every column before the value walk: with
-            # preserve_insertion_order=false (the DUCK_PIO escalation
-            # knob) DuckDB does not honor a recursive-CTE query's final
-            # ORDER BY in fetch_arrow_table() (observed r16: the CC twin
-            # returned value-identical rows in arbitrary chunk order and
-            # was misread as FAIL). Every oracle carries a total ORDER
-            # BY, so a canonical re-sort of both sides preserves the
-            # value-equality semantics; the driver's own gate still
-            # checks emitted order at sf0.01.
+        order_checked = True
+        if not problems and os.environ.get("DUCK_PIO", "") == "false":
+            # Sort BOTH sides by every column before the value walk —
+            # ONLY under the DUCK_PIO=false escalation knob: with
+            # preserve_insertion_order=false DuckDB does not honor a
+            # recursive-CTE query's final ORDER BY in
+            # fetch_arrow_table() (observed r16: the CC twin returned
+            # value-identical rows in arbitrary chunk order and was
+            # misread as FAIL). Every oracle carries a total ORDER BY,
+            # so a canonical re-sort of both sides preserves the
+            # value-equality semantics. When the knob is off the emitted
+            # order IS sound and stays part of the check (the driver's
+            # own gate also checks order at sf0.01); the per-query
+            # result records which regime graded it.
+            order_checked = False
             skeys = [(c, "ascending") for c in s_cols]
             spark_tbl = spark_tbl.sort_by(skeys)
             duck_tbl = duck_tbl.sort_by(skeys)
+        if not problems:
             sd = spark_tbl.to_pydict()
             dd = duck_tbl.to_pydict()
             for c in s_cols:
@@ -224,7 +230,8 @@ def main():
             print(f"FAIL {name}: " + "; ".join(problems[:3]), flush=True)
         else:
             results[name] = {"status": "pass", "rows": spark_tbl.num_rows,
-                             "oracle_sec": round(dt, 1)}
+                             "oracle_sec": round(dt, 1),
+                             "order_checked": order_checked}
             n_pass += 1
             print(f"PASS {name} ({spark_tbl.num_rows} rows, "
                   f"oracle {dt:.1f}s)", flush=True)

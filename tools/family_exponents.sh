@@ -5,7 +5,12 @@
 # from family-mode generation (W = 10: duplication rate fixed, families
 # more numerous), so the pair-output contracts scale with corpus size
 # instead of with the generator's family width. sf0.1 is the shared
-# anchor (the base corpus has no replicas either way).
+# anchor (the base corpus has no replicas either way). NOTE on anchor
+# comparability: family mode rewrites EVERY tile including k=0 (the
+# family-0 salt keeps family 0 internally coherent), so no family-mode
+# leg contains a pristine copy of the anchor's document texts — anchor
+# comparisons are shape-level (row counts, cost curves), not
+# content-level, unlike legacy mode's when(k=0) passthrough.
 # Usage: tools/family_exponents.sh [outfile]
 set -u
 OUT=${1:-target/scale/out/family_exponents_r16.log}
