@@ -1310,15 +1310,29 @@ object Dedup {
       .select(col("doc_id"), explode(array(bandStructsAll: _*)).as("bb"))
       .select(col("doc_id"), col("bb.bands").as("bands"),
         col("bb.band").as("band"), col("bb.key").as("key"))
-    val capped =
-      dropHotBuckets(bndAll, MaxBucketSize, col("bands"), col("band"), col("key"))
-    // shuffle_hash: bucket pairing is order-free, skip the SMJ sorts
-    val candAll = capped.as("x").join(capped.as("y").hint("shuffle_hash"),
-        col("x.bands") === col("y.bands") &&
-          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.bands").as("bands"),
-        col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+    // Bounded-collect pairing (the production minhash path's one-shuffle
+    // shape, candidatesFromSigs): each (bands, band, key) bucket gathers
+    // its members into a cap-bounded buffer — an over-cap bucket
+    // evaluates to NULL, which IS the twin's `QUALIFY COUNT(*) OVER
+    // (bucket) <= cap` drop — and pairs explode narrowly from kept
+    // lists. Replaces the r16 shape (hot-bucket census + broadcast
+    // anti-join + two-sided shuffle_hash self-join), which computed the
+    // 56×docs banding explode THREE times per rep; this computes it
+    // once into one map-side-combined aggregation (r17 A/B at sf0.1:
+    // min 2.40 → see BENCH_NOTES). Grouping is on the exact padded slot
+    // tuple (not a hash of it) so bucket identity matches the twin's
+    // slot-equality semantics collision-free.
+    val candAll = bndAll
+      .groupBy(col("bands"), col("band"), col("key"))
+      .agg(call_function("graft_bounded_collect",
+        col("doc_id"), lit(MaxBucketSize)).as("ds"))
+      .filter(col("ds").isNotNull && size(col("ds")) >= 2)
+      .select(col("bands"), explode(flatten(expr(
+        "transform(sequence(0, size(ds)-2), i -> " +
+          "transform(sequence(i+1, size(ds)-1), j -> " +
+          "struct(least(ds[i], ds[j]) as d1, greatest(ds[i], ds[j]) as d2)))")))
+        .as("p"))
+      .select(col("bands"), col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cost = candAll.groupBy(col("bands")).agg(count(lit(1)).as("cand_pairs"))
@@ -1330,8 +1344,10 @@ object Dedup {
     // the shape the twin's scalar-COUNT CTEs produce.
     val schemesDf = sigs.sparkSession.range(1)
       .select(explode(array(schemes: _*)).as("bands"))
+    // literal explode, not crossJoin(broadcast(3-row frame)): same
+    // cartesian, no broadcast-exchange job on the rep's critical path
     val rec = truth
-      .crossJoin(broadcast(schemesDf))
+      .select(col("d1"), col("d2"), explode(array(schemes: _*)).as("bands"))
       .join(candAll.withColumn("hit", lit(1)), Seq("bands", "d1", "d2"),
         "left_outer")
       .groupBy(col("bands"))

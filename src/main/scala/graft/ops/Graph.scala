@@ -421,10 +421,26 @@ object Graph {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val d0 = ev.agg(concat(lit("u:"), min(col("user_id"))).as("node"))
       .select(col("node"), lit(0).as("dist"))
+    // SPARK_GRAFT_BFS_BROADCAST=on: the A/B arm (VERDICT r16 task 5) —
+    // broadcast the distance table into a map-side join instead of the
+    // shuffle-hash exchange, with a lazy localCheckpoint per round to
+    // truncate lineage (without it, round r's broadcast variable
+    // re-executes rounds 1..r-1's whole chain — the quadratic recompute
+    // that made the r15 broadcast shape lose). Value-identical by
+    // construction (same expand/union/min-combine per round). Kept off
+    // by default: the distance table converges to ALL nodes and the
+    // user partition scales with the corpus, so broadcasting it is not
+    // the 100 TB posture — at cluster scale AQE makes the
+    // small-frontier broadcast call adaptively per round instead.
+    // Measured min-of-5 A/B at sf0.1 in BENCH_NOTES r17.
+    val bfsBroadcast = sys.env.get("SPARK_GRAFT_BFS_BROADCAST").contains("on")
     val dFinal = (1 to BfsRounds).foldLeft(d0) { (d, _) =>
-      val nxt = edges.join(d.hint("shuffle_hash"), col("src") === col("node"))
+      val dd = if (bfsBroadcast) broadcast(d) else d.hint("shuffle_hash")
+      val nxt = edges.join(dd, col("src") === col("node"))
         .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
-      d.union(nxt).groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      val merged =
+        d.union(nxt).groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      if (bfsBroadcast) merged.localCheckpoint(false) else merged
     }
     dFinal.orderBy(col("dist"), col("node"))
   }

@@ -1101,9 +1101,15 @@ object Similarity {
             expr("shiftleft(1L, cast(plane_id as int))")).otherwise(0L).as("bit"))
         .groupBy(col("vec_id")).agg(sum(col("bit")).as("sig"))
     }
-    val pcs = spark.range(1).select(
-      explode(array(lit(4), lit(6), lit(8))).as("param"))
-    val sp = sigs.crossJoin(broadcast(pcs))
+    // literal explodes, not crossJoin(broadcast(3-row frame)): the same
+    // param cartesian without a broadcast-exchange job per site — the
+    // eval entries' per-rep cost is scheduling-floor-dominated (18 jobs
+    // ≈ 0.77 s of 1.05 s quiet at r16), so each removed broadcast job
+    // is a direct ~43 ms win (BENCH_NOTES r17)
+    val lshParams = Seq(4, 6, 8)
+    def explodeParams(ps: Seq[Int]) =
+      explode(array(ps.map(lit(_)): _*)).as("param")
+    val sp = sigs.select(col("vec_id"), col("sig"), explodeParams(lshParams))
       .select(col("param"), col("vec_id"),
         expr("sig % shiftleft(1L, param)").as("bkt"))
     val lshCand = sp.filter(pmod(col("vec_id"), lit(qmod)) === 0).as("a")
@@ -1114,7 +1120,8 @@ object Similarity {
         col("b.vec_id").as("vec_id"), lit(1).as("hit"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lshCost = lshCand.groupBy(col("param")).agg(count(lit(1)).as("cost"))
-    val lsh = exactTop.crossJoin(broadcast(pcs))
+    val lsh = exactTop.select(col("query_id"), col("vec_id"),
+        explodeParams(lshParams))
       .join(lshCand, Seq("param", "query_id", "vec_id"), "left_outer")
       .groupBy(col("param"))
       .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hits"))
@@ -1144,12 +1151,11 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("pos"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ivfP = spark.range(1).select(
-      explode(array(IvfEvalProbes.map(lit(_)): _*)).as("param"))
-    val ivfCost = ivfCand.crossJoin(broadcast(ivfP))
+    val ivfCost = ivfCand.select(col("pos"), explodeParams(IvfEvalProbes))
       .filter(col("pos") < col("param"))
       .groupBy(col("param")).agg(count(lit(1)).as("cost"))
-    val ivf = exactTop.crossJoin(broadcast(ivfP))
+    val ivf = exactTop.select(col("query_id"), col("vec_id"),
+        explodeParams(IvfEvalProbes))
       .join(ivfCand, Seq("query_id", "vec_id"), "left_outer")
       .groupBy(col("param"))
       .agg(count(lit(1)).as("n_exact"),
