@@ -430,11 +430,15 @@ object Dedup {
     * inherently ~width²-quadratic — an LSH property (no 16×4-grade
     * S-curve separates 0.65 from 0.8), not a plan defect; the
     * bounded-family generator mode measures the realistic regime. */
-  private[ops] def minhashCap(docs: DataFrame): Int =
-    // clamp before toInt: count/5 over ~10.7B docs would overflow Int
-    // and a negative cap would null every bucket (drop all candidates)
+  private[ops] def minhashCap(docs: DataFrame): Int = minhashCapFor(docs.count())
+
+  /** Pure policy: corpus-scaled minhash bucket cap (N/5, floored at the
+    * eval-tier constant). Clamped before toInt: N/5 over ~10.7B docs
+    * would overflow Int and a negative cap would null every bucket
+    * (drop all candidates). Pinned by [[graft.ops.ScalePolicySpec]]. */
+  private[ops] def minhashCapFor(n: Long): Int =
     math.max(MaxBucketSize.toLong,
-      math.min(docs.count() / 5, Int.MaxValue.toLong)).toInt
+      math.min(n / 5, Int.MaxValue.toLong)).toInt
 
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
@@ -548,10 +552,14 @@ object Dedup {
     * parallelism — the semantics here (keep organic, drop saturated)
     * are the scalable ones. The count is parquet-metadata-only (no
     * scan). */
-  private[ops] def simhashCap(docs: DataFrame): Int =
-    // same Int-overflow clamp as minhashCap (corpora > ~10.7B docs)
+  private[ops] def simhashCap(docs: DataFrame): Int = simhashCapFor(docs.count())
+
+  /** Pure policy: corpus-scaled simhash block-bucket cap — same shape
+    * and Int-overflow clamp as [[minhashCapFor]], with the signature-
+    * cluster floor. Pinned by [[graft.ops.ScalePolicySpec]]. */
+  private[ops] def simhashCapFor(n: Long): Int =
     math.max(SimHashBucketCap.toLong,
-      math.min(docs.count() / 5, Int.MaxValue.toLong)).toInt
+      math.min(n / 5, Int.MaxValue.toLong)).toInt
 
   /** SimHash near-dup: all pairs within Hamming distance 3 of the 64-bit
     * signature (graft.functions.SimHash64 — computed in one pass inside
@@ -1443,7 +1451,29 @@ object Dedup {
 
   private[ops] val SemRounds = 2      // fixed Lloyd rounds — determinism over convergence
   private[ops] val SemTau = 0.3       // cosine threshold on the 6-decimal rounded value
-  private[ops] val SemClusterCap = 1000 // hot-cluster guard, mirrored in the oracle
+  private[ops] val SemClusterCap = 1000 // hot-cluster guard FLOOR, mirrored in the oracle
+
+  /** Corpus-scaled hot-cluster guard for [[semantic]] — the r17 fix for
+    * the THIRD instance of the fixed-capacity-vs-scaling-regime class
+    * (simhash cap r11, minhash bucket cap r16): with k = ⌈√N⌉ cells the
+    * MEAN cluster size is ⌈N/k⌉ ≈ √N, which crosses a fixed 1000 cap at
+    * N ≈ 10⁶ (≈ sf50) — beyond that the guard would trip on TYPICAL
+    * clusters and the operator silently stops deduplicating most of the
+    * corpus, with the twin mirroring the loss (parity green, contract
+    * broken). The guard's contract is "exclude saturation pathologies,
+    * keep organic clusters", so the cap scales as 4× the mean cluster
+    * size with the old constant as the small-corpus floor. Worst-case
+    * pairing work stays the paper's own O(N^1.5): ≤ (4√N)² per kept
+    * cluster × ≤ √N/4 clusters that big. Twin mirrors the formula in
+    * SQL ([[semanticSql]]); [[graft.ops.ScalePolicySpec]] pins Scala↔SQL
+    * formula parity across the regime. Int-clamped like
+    * [[minhashCap]]. */
+  private[ops] def semClusterCap(n: Long): Int = {
+    val k = Similarity.ivfCellsFor(n).toLong
+    val meanCeil = (n + k - 1) / k
+    math.max(SemClusterCap.toLong,
+      math.min(4L * meanCeil, Int.MaxValue.toLong)).toInt
+  }
 
   /** Semantic (embedding-cluster) dedup — SemDeDup (Abbas et al., "SemDeDup:
     * Data-efficient learning at web-scale through semantic deduplication",
@@ -1462,20 +1492,28 @@ object Dedup {
     * O(s²) in cluster size s, bounded by running SemDeDup's own sizing:
     * k = max(8, ⌈√N⌉) cells ([[Similarity.ivfCellsFor]] — the paper runs
     * k ≈ √N so E[s] ≈ √N), with the hot-cluster guard as a second fence
-    * (clusters above `SemClusterCap` members are excluded from pairing —
-    * all kept — rather than allowed to go quadratic). k was a FIXED 8
-    * until r11: at sf1 that made E[s] = 2500 > cap, so EVERY cluster
-    * tripped the guard and the operator silently stopped deduplicating —
-    * the same fixed-capacity scale-bug class as the simhash cap and the
-    * IVF nlist, caught by the same 10× run (SCALE_r11.md). Both engines
-    * derive k from the same corpus count, so parity holds at every SF.
+    * (clusters above [[semClusterCap]] — 4× the mean cluster size,
+    * floored at 1000 — are excluded from pairing — all kept — rather
+    * than allowed to go quadratic). k was a FIXED 8 until r11: at sf1
+    * that made E[s] = 2500 > cap, so EVERY cluster tripped the guard
+    * and the operator silently stopped deduplicating — the same
+    * fixed-capacity scale-bug class as the simhash cap and the IVF
+    * nlist, caught by the same 10× run (SCALE_r11.md). The cap itself
+    * was the class's THIRD instance, fixed r17: a fixed 1000 would have
+    * crossed below the MEAN cluster size √N at N ≈ 10⁶ (see
+    * [[semClusterCap]]). Both engines derive k AND the cap from the
+    * same corpus count, so parity holds at every SF.
     * The synthetic corpus has no true near-dups (max pairwise cosine
     * ≈ 0.51), so the threshold is a semantic-similarity τ = 0.3 rather
     * than SemDeDup's 0.9+; the mechanism is identical and the comparison
     * happens on the 6-decimal-rounded cosine both engines compute
     * bit-identically. */
-  def semantic(spark: SparkSession, dir: String): DataFrame =
-    semanticWithCap(spark, dir, SemClusterCap)
+  def semantic(spark: SparkSession, dir: String): DataFrame = {
+    val em = Tables.embeddings(spark, dir)
+    // same memo key as semanticWithCap's k derivation — one count total
+    val n = IndexMemo.value(spark, dir, "emb_count")(em.count())
+    semanticWithCap(spark, dir, semClusterCap(n))
+  }
 
   /** [[semantic]] with the hot-cluster cap as a parameter — the test
     * seam DegenerateOutputSpec uses to DELIBERATELY re-break the cap
@@ -1519,7 +1557,10 @@ object Dedup {
   val semanticSql: String =
     s"""WITH ${Similarity.lloydCtesSql(Similarity.ivfCellsSqlK, SemRounds)},
       |${Similarity.lloydCellsSql(SemRounds)},
-      |ok AS (SELECT cid FROM cells GROUP BY cid HAVING COUNT(*) <= $SemClusterCap),
+      |ok AS (SELECT cid FROM cells GROUP BY cid HAVING COUNT(*) <=
+      |  GREATEST($SemClusterCap,
+      |    4 * (((SELECT COUNT(*) FROM embeddings) + ${Similarity.ivfCellsSqlK} - 1)
+      |         // ${Similarity.ivfCellsSqlK}))),
       |p AS (SELECT c.* FROM cells c JOIN ok USING (cid)),
       |dups AS (
       |  SELECT a.vec_id, MIN(b.vec_id) AS dup_of

@@ -255,9 +255,22 @@ object ScaleChecks {
     graft.functions.GraftFunctions.register(spark)
     val d = dump(spark, outDir, "dedup_semantic")
     val em = Tables.embeddings(spark, sfDir)
-    val k = Similarity.ivfCellsFor(em.count())
+    val n = em.count()
+    val k = Similarity.ivfCellsFor(n)
+    val cap = Dedup.semClusterCap(n)
     val cents = Similarity.lloydCentroidsScaled(em, k, Dedup.SemRounds)
     val cells = Similarity.assignCells(em, cents)
+    // r17 cap-policy census: the corpus-scaled guard (4× mean, floor
+    // 1000) vs the old fixed 1000 — clusters in (1000, cap] are the ones
+    // the fixed cap silently excluded from pairing at this SF; over-cap
+    // clusters must contain NO dup decision (soundness of the guard).
+    val sizes = cells.groupBy(col("cid")).agg(count(lit(1)).as("csz"))
+      .persist()
+    val over1000 = sizes.filter(col("csz") > 1000).count()
+    val overCap = sizes.filter(col("csz") > cap).count()
+    val maxCluster = sizes.agg(max(col("csz"))).collect()(0).getLong(0)
+    val capBad = d.filter(col("dup_of").isNotNull)
+      .join(sizes, "cid").filter(col("csz") > cap).count()
     val keptBad = d.filter(col("kept") =!= col("dup_of").isNull).count()
     val cidBad = d.as("d").join(cells.as("c"), col("d.vec_id") === col("c.vec_id"))
       .filter(col("d.cid") =!= col("c.cid")).count()
@@ -273,9 +286,12 @@ object ScaleChecks {
           (sqrt(Similarity.sqNorm(col("x1"))) * sqrt(Similarity.sqNorm(col("x2")))),
           6) < Dedup.SemTau)
       .count()
-    ("semantic_check", keptBad == 0 && cidBad == 0 && pairBad == 0,
+    ("semantic_check",
+      keptBad == 0 && cidBad == 0 && pairBad == 0 && capBad == 0,
       Map("rows" -> d.count(), "kept_bad" -> keptBad, "cid_bad" -> cidBad,
-        "pair_bad" -> pairBad))
+        "pair_bad" -> pairBad, "cap_bad" -> capBad, "cap" -> cap.toLong,
+        "clusters_over_1000" -> over1000, "clusters_over_cap" -> overCap,
+        "max_cluster" -> maxCluster))
   }
 
   /** IVF consistency: every dumped neighbor's recomputed cell is among

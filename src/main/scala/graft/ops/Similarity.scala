@@ -122,22 +122,55 @@ object Similarity {
     * semantic is portable): buckets above this size are excluded from
     * pairing, bounding per-bucket work at O(cap²). Max bucket here is 31
     * at sf0.1; at larger corpora the plane count (bucket space 2^planes)
-    * is what scales occupancy down, the cap only guards adversarial
-    * pileup (e.g. a zero-vector flood all landing in bucket 0). */
+    * is what scales occupancy down ([[lshPlanesFor]] — r17), the cap only
+    * guards adversarial pileup (e.g. a zero-vector flood all landing in
+    * bucket 0). */
   private val AnnBucketCap = 1000
 
-  /** Approximate NN via sign-bit LSH. Hyperplanes are the first 8 corpus
-    * vectors (deterministic, data-derived — no RNG so the result is
-    * reproducible). Signature = 8 sign bits of plane dot products; only
-    * same-signature vectors are compared; top-3 neighbors per query.
-    * Oracle-checked: the bucket assignment is pure double arithmetic
-    * (left-fold dot products, proven bit-identical across engines by the
-    * `sim_cosine_topk` twin), so DuckDB reproduces the exact buckets,
-    * pairing, and ranking. */
+  /** Corpus-scaled sign-LSH plane count — r17, the FOURTH instance of the
+    * fixed-capacity-vs-scaling-regime class (simhash r11, SemDeDup k r11
+    * + cluster cap r17, minhash bucket cap r16): a fixed 8 planes gives
+    * 2^8 = 256 buckets forever, so mean occupancy N/256 crosses the
+    * 1000-member hot-bucket guard at N ≈ 256k — beyond that EVERY
+    * organic bucket trips the guard and the ANN/kNN operators silently
+    * return empty neighbor sets, with the twin mirroring the loss.
+    * Policy: enough planes that mean occupancy ≤ 500, i.e. the smallest
+    * p with 2^p ≥ ⌈N/500⌉, floored at the historical 8 (gate SFs have
+    * occupancy ≪ 500, so their outputs are byte-identical to pre-r17).
+    * The formula is INTEGER-exact in both engines — bit width of
+    * (⌈N/500⌉ − 1), no IEEE log2 near power-of-two boundaries: Scala
+    * `64 - numberOfLeadingZeros`, DuckDB `LENGTH(bin(·))`
+    * ([[lshPlanesSqlP]]). Pinned Scala↔SQL in
+    * [[graft.ops.ScalePolicySpec]]. */
+  private[ops] def lshPlanesFor(n: Long): Int = {
+    val m = (n + 499) / 500
+    val w =
+      if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    math.max(8, w)
+  }
+
+  /** Oracle-side twin of [[lshPlanesFor]] — same integer arithmetic. */
+  private[ops] val lshPlanesSqlP: String =
+    "GREATEST(8, CASE WHEN ((SELECT COUNT(*) FROM embeddings) + 499) // 500 <= 1" +
+      " THEN 0 ELSE LENGTH(bin(CAST((((SELECT COUNT(*) FROM embeddings) + 499)" +
+      " // 500) - 1 AS BIGINT))) END)"
+
+  /** Approximate NN via sign-bit LSH. Hyperplanes are the first
+    * [[lshPlanesFor]] corpus vectors (deterministic, data-derived — no
+    * RNG so the result is reproducible; 8 at the gate SFs, scaling with
+    * log₂N so bucket occupancy stays ~500). Signature = p sign bits of
+    * plane dot products; only same-signature vectors are compared; top-3
+    * neighbors per query. Oracle-checked: the bucket assignment is pure
+    * double arithmetic (left-fold dot products, proven bit-identical
+    * across engines by the `sim_cosine_topk` twin) and the plane count
+    * is integer-derived from the same corpus count, so DuckDB reproduces
+    * the exact buckets, pairing, and ranking. */
   def annLshBucketed(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val em = Tables.embeddings(spark, dir)
-    val planes = em.filter(col("vec_id") < 8)
+    val p = lshPlanesFor(
+      graft.ops.IndexMemo.value(spark, dir, "emb_count")(em.count()))
+    val planes = em.filter(col("vec_id") < p)
       .select(col("vec_id").as("plane_id"), col("embedding").as("plane"))
     // signature per vector: 8 sign bits packed into a long
     val sigs = em.crossJoin(broadcast(planes))
@@ -172,7 +205,7 @@ object Similarity {
       |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS sq
       |  FROM embeddings),
       |planes AS (SELECT vec_id AS plane_id, embedding AS plane
-      |  FROM embeddings WHERE vec_id < 8),
+      |  FROM embeddings WHERE vec_id < ($lshPlanesSqlP)),
       |bits AS (
       |  SELECT e.vec_id,
       |    CASE WHEN list_sum(list_transform(range(1, len(e.embedding)+1),
@@ -221,7 +254,11 @@ object Similarity {
   def knnGraphClusters(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val em = Tables.embeddings(spark, dir)
-    val planes = em.filter(col("vec_id") < 8)
+    // corpus-scaled plane count — see lshPlanesFor (fixed 8 planes let
+    // mean bucket occupancy cross the hot-bucket guard past N ~ 256k)
+    val p = lshPlanesFor(
+      graft.ops.IndexMemo.value(spark, dir, "emb_count")(em.count()))
+    val planes = em.filter(col("vec_id") < p)
       .select(col("vec_id").as("plane_id"), col("embedding").as("plane"))
     val sigs = em.crossJoin(broadcast(planes))
       .select(col("vec_id"), col("embedding"),
@@ -266,7 +303,7 @@ object Similarity {
       |    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS sq
       |  FROM embeddings),
       |planes AS (SELECT vec_id AS plane_id, embedding AS plane
-      |  FROM embeddings WHERE vec_id < 8),
+      |  FROM embeddings WHERE vec_id < ($lshPlanesSqlP)),
       |bits AS (
       |  SELECT e.vec_id,
       |    CASE WHEN list_sum(list_transform(range(1, len(e.embedding)+1),

@@ -121,6 +121,95 @@ class ScalePolicySpec extends AnyFunSuite {
         " / 4 — topkSketch's exact-oracle contract no longer holds")
   }
 
+  test("semClusterCap scales as 4x mean cluster size — fixed 1000 crossed below MEAN size sqrt(N) at N~1e6") {
+    // r17 fix: THIRD instance of the fixed-capacity class (simhash r11,
+    // minhash bucket cap r16). With k = ceil(sqrt(N)) cells the mean
+    // cluster is ~sqrt(N); a fixed 1000 guard would trip on TYPICAL
+    // clusters past N ~ 1e6 and SemDeDup silently stops deduplicating
+    // most of the corpus (twin-mirrored, so parity stays green — the
+    // worst kind). Pin the three regimes + monotonicity + Int clamp.
+    assert(Dedup.semClusterCap(0) === 1000)        // floor
+    assert(Dedup.semClusterCap(20000) === 1000)    // sf1: mean 142, floor rules
+    assert(Dedup.semClusterCap(200000) === 1788)   // sf10: 4*ceil(200000/448)=4*447
+    assert(Dedup.semClusterCap(2000000) === 5656)  // sf100: 4*ceil(2e6/1415)
+    val caps = Seq(1L, 20000L, 200000L, 2000000L, 200000000L, 20000000000L)
+      .map(n => Dedup.semClusterCap(n).toLong)
+    assert(caps === caps.sorted, s"semClusterCap not monotone: $caps")
+    assert(Dedup.semClusterCap(Long.MaxValue / 2) > 0, "Int clamp must hold")
+  }
+
+  test("semClusterCap matches the DuckDB twin's HAVING bound on the same counts") {
+    // the twin computes GREATEST(1000, 4 * ((N + k - 1) // k)) with
+    // k = GREATEST(8, CAST(ceil(sqrt(N)) AS BIGINT)); re-evaluate that
+    // arithmetic (DuckDB // is floor division = Long / on positives)
+    // and require agreement across the regime INCLUDING counts where
+    // the scaled branch wins — the driver's sf0.01 gate only ever
+    // exercises the floor branch, so parity there proves nothing about
+    // the formula.
+    for (n <- Seq(1L, 999L, 20000L, 62499L, 62500L, 1000000L, 1999999L,
+        2000000L, 100000000L)) {
+      val k = math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong)
+      val sqlTwin = math.max(1000L, 4L * ((n + k - 1) / k))
+      assert(Dedup.semClusterCap(n).toLong === sqlTwin, s"n=$n")
+    }
+    // drift guard: the twin SQL must actually carry the scaled formula
+    assert(Dedup.semanticSql.contains("GREATEST(1000,"),
+      "semanticSql lost the corpus-scaled cluster-cap bound")
+    assert(Dedup.semanticSql.contains("// GREATEST(8,"),
+      "semanticSql lost the mean-cluster divisor")
+  }
+
+  test("lshPlanesFor scales the sign-LSH bucket space with the corpus — fixed 8 planes emptied the ANN output past N~256k") {
+    // r17 fix, FOURTH instance of the fixed-capacity class: 2^8 = 256
+    // buckets forever meant mean occupancy N/256 crossed the 1000-member
+    // hot-bucket guard at N ~ 256k, after which every organic bucket is
+    // excluded and annLshBucketed/knnGraphClusters return empty neighbor
+    // sets (twin-mirrored, parity green). Policy: smallest p with
+    // 2^p >= ceil(N/500), floored at 8 — gate SFs unchanged.
+    assert(Similarity.lshPlanesFor(0) === 8)
+    assert(Similarity.lshPlanesFor(2000) === 8)     // sf0.1: unchanged
+    assert(Similarity.lshPlanesFor(128000) === 8)   // 2^8 = 256 >= ceil(128000/500)
+    assert(Similarity.lshPlanesFor(128001) === 9)   // first count needing 9
+    assert(Similarity.lshPlanesFor(200000) === 9)   // sf10: 512 buckets, occ ~390
+    assert(Similarity.lshPlanesFor(2000000) === 12) // sf100: 4096 buckets, occ ~490
+    val ps = Seq(1L, 2000L, 200000L, 2000000L, 200000000L, Long.MaxValue / 2)
+      .map(n => Similarity.lshPlanesFor(n).toLong)
+    assert(ps === ps.sorted, s"plane count not monotone: $ps")
+  }
+
+  test("lshPlanesFor matches the DuckDB twin's integer formula on the same counts") {
+    // twin: GREATEST(8, LENGTH(bin((N + 499) // 500 - 1))) — bit width
+    // of ceil(N/500) - 1, exact integer arithmetic in both engines (no
+    // IEEE log2 boundary risk). Re-evaluate DuckDB's semantics here:
+    // LENGTH(bin(x)) of a non-negative BIGINT is max(1, bitWidth(x)).
+    for (n <- Seq(1L, 499L, 500L, 501L, 127999L, 128000L, 128001L,
+        200000L, 1999999L, 2000000L, 2048000L, 2048001L, 100000000L)) {
+      val m = (n + 499) / 500
+      val binLen =
+        if (m - 1 <= 0) 1
+        else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+      val sqlTwin = if (m <= 1) 8L else math.max(8L, binLen.toLong)
+      assert(Similarity.lshPlanesFor(n).toLong === sqlTwin, s"n=$n")
+    }
+    // drift guards: both consuming twins must carry the scaled formula
+    assert(Similarity.annLshBucketedSql.contains("LENGTH(bin("),
+      "annLshBucketedSql lost the corpus-scaled plane count")
+    assert(Similarity.knnGraphClustersSql.contains("LENGTH(bin("),
+      "knnGraphClustersSql lost the corpus-scaled plane count")
+  }
+
+  test("minhash/simhash cap policies clamp to Int.MaxValue past ~10.7B docs") {
+    // ADVICE r16: (n/5).toInt silently overflowed negative for n > ~10.7B
+    // — a negative cap nulls EVERY bucket (zero candidates, oracle-green
+    // at any testable SF). Pin the clamp and the scaling regime.
+    assert(Dedup.minhashCapFor(100) === 100)              // eval floor
+    assert(Dedup.minhashCapFor(10000) === 2000)           // N/5 past floor
+    assert(Dedup.minhashCapFor(20000000000L) === Int.MaxValue)
+    assert(Dedup.simhashCapFor(100) === 1000)             // signature floor
+    assert(Dedup.simhashCapFor(10000) === 2000)
+    assert(Dedup.simhashCapFor(20000000000L) === Int.MaxValue)
+  }
+
   test("bloom runtime-filter bits scale with dim keys (see BloomJoinSpec for the curve)") {
     // cross-reference pin: the sizing function lives with the operator
     // and its regime tests in BloomJoinSpec; here assert only the audit
