@@ -549,7 +549,10 @@ object Multimodal {
     // simhash tier). max(1000, N/5) keeps every organic bucket while
     // still refusing saturation degeneracy, mirroring Dedup.simhashCap.
     val assets = imageAssets(spark, dir)
-    val cap = math.max(1000L, Tables.documents(spark, dir).count() / 5)
+    // Int-clamped like Dedup.minhashCapFor: N/5 past ~10.7B docs would
+    // overflow toInt negative and null every bucket
+    val cap = math.max(1000L, math.min(
+      Tables.documents(spark, dir).count() / 5, Int.MaxValue.toLong))
     val sigs = assets.mapPartitions(phashes).toDF()
     graft.ops.Dedup.hammingPairs(sigs, bucketCap = cap.toInt)
   }
