@@ -310,17 +310,22 @@ object Graph {
       .limit(20)
   }
 
+  // The edges/deg/ori/capped fences are the dedup-CC twin treatment
+  // (SCALE_r16 §3): unfenced, DuckDB re-inlines the whole co-occurrence
+  // derivation into und, ori AND both wedge-join sides — the sf100
+  // wedge-derivation ENOSPC frontier. MATERIALIZED is a no-op at the
+  // sf0.01 gate and makes the slice-scale twin tractable.
   val triangleCountSql: String =
-    s"""WITH ${coocEdgesSqlPrelude("edges")},
+    s"""WITH ${coocEdgesSqlPrelude("edges", materialized = true)},
       |und AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
-      |deg AS (SELECT a AS n, COUNT(*) AS dg FROM und GROUP BY a),
-      |ori AS (
+      |deg AS MATERIALIZED (SELECT a AS n, COUNT(*) AS dg FROM und GROUP BY a),
+      |ori AS MATERIALIZED (
       |  SELECT CASE WHEN (da.dg, e.a) < (db.dg, e.b) THEN e.a ELSE e.b END AS src,
       |         CASE WHEN (da.dg, e.a) < (db.dg, e.b) THEN e.b ELSE e.a END AS dst
       |  FROM edges e
       |  JOIN deg da ON da.n = e.a
       |  JOIN deg db ON db.n = e.b),
-      |capped AS (
+      |capped AS MATERIALIZED (
       |  SELECT src, dst FROM ori
       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst)
       |    <= $MaxWedgeDegree),

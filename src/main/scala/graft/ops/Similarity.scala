@@ -1224,7 +1224,13 @@ object Similarity {
         em.select(col("vec_id") +:
           (0 until PqM).map(m => pqCode(cb, k)(col("embedding"), m).as(s"code$m")): _*)
       }
-      val dcodes = codes.select(codeCols.map(col): _*).distinct()
+      // the observed-code census is PQ index state (the ADC scoring
+      // table's row domain, qmod-independent) — memoized like the code
+      // table it derives from, so the per-rep sweep never re-runs the
+      // distinct exchange
+      val dcodes = IndexMemo.df(spark, dir, s"pq_dcodes:$k") {
+        codes.select(codeCols.map(col): _*).distinct()
+      }
       val scores = broadcast(q).crossJoin(dcodes)
         .withColumn("approx_dot",
           round(pqAdcTerm(cb, 0) + pqAdcTerm(cb, 1) +

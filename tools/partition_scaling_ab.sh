@@ -32,8 +32,10 @@ mkdir -p "$(dirname "$OUT")"
 run_leg() {
   local sfdir=$1 tag=$2 reps=$3 shuffle=$4
   echo "== leg $tag ($sfdir) shuffle=$shuffle reps=$reps load=$(cut -d' ' -f1 /proc/loadavg)" | tee -a "$OUT"
+  # java_run.sh = the sbt runMain runtime without the project lock, so
+  # the campaign can run while interactive sbt work continues
   SPARK_GRAFT_SF_DIR=$sfdir SPARK_GRAFT_RELAYOUT=0 SPARK_GRAFT_SHUFFLE=$shuffle \
-    sbt -batch "runMain graft.QBench $QS $reps" 2>&1 \
+    tools/java_run.sh graft.QBench "$QS" "$reps" 2>&1 \
     | grep QBENCH | sed "s/^/[$tag shuf=$shuffle] /" | tee -a "$OUT"
 }
 # baseline (8, the exponent-table protocol) + scaled legs, same session count
