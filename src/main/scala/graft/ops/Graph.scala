@@ -16,9 +16,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale posture: each round is one equi-join of the edge table against
   * the (node-cardinality) rank table + one map-side-combined aggregate —
-  * the standard distributed PageRank step. The rank table broadcasts here
-  * (nodes ≪ edges, the common bipartite case); on a graph where it
-  * cannot, the same plan degrades to a shuffled join on src. Unrolling is
+  * the standard distributed PageRank step. The rank join is SHUFFLE-HASH
+  * (r17: the node-sized rank exchange is cheap, the persisted edge
+  * frame's exchange is one reused subtree across rounds, and the
+  * per-round broadcast build jobs re-executed prior rounds' chains —
+  * 40% off the entry locally AND the posture that survives a rank table
+  * too big to broadcast; `SPARK_GRAFT_PR_BROADCAST=on` re-measures the
+  * broadcast arm). Unrolling is
   * deliberate for a FIXED iteration count (no lineage growth to manage —
   * the iterative-loop machinery with localCheckpoint truncation lives in
   * [[Dedup.labelPropagationCC]]); a convergence-driven variant would add
@@ -57,8 +61,20 @@ object Graph {
     // it for free).
     val r0 = deg.select(col("src").as("node")).crossJoin(broadcast(nDf))
       .select(col("node"), expr(s"$Scale div nn").as("r"), col("nn"))
+    // Per-round rank join: DEFAULT is shuffle-hash (r17 — adopted at
+    // min-of-7 A/B 0.73 vs 1.22 s, jobs 6 → 3: each round's broadcast
+    // build job re-executed the prior rounds' chain, the same quadratic
+    // recompute the BFS rounds escaped in r15, while the shuffle-hash
+    // rank exchange is node-sized and the persisted edge frame's
+    // exchange is one reused subtree). Also the 100 TB posture: the
+    // rank table is node-cardinality and has no business broadcasting.
+    // SPARK_GRAFT_PR_BROADCAST=on keeps the broadcast arm re-measurable
+    // (value-identical — join strategy hints only).
+    val prBroadcast =
+      sys.env.get("SPARK_GRAFT_PR_BROADCAST").contains("on")
     val rFinal = (1 to Rounds).foldLeft(r0) { (r, _) =>
-      ed.join(broadcast(r), col("src") === col("node"))
+      val rr = if (prBroadcast) broadcast(r) else r.hint("shuffle_hash")
+      ed.join(rr, col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(sum(expr("r div deg")).as("inc"), max(col("nn")).as("nn"))
         .select(col("dst").as("node"),
