@@ -470,8 +470,11 @@ object Aggregations {
     * computes the exact side (test-only cross-check). */
   def hllIntersection(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
+    // Sketch table computed ONCE and persisted (type-domain rows, 16 KiB
+    // sketches): the per-pair est branches reference it 4x.
     val sks = e.groupBy(col("event_type"))
       .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ests = HllPairs.map { case (ta, tb) =>
       sks.as("a").filter(col("a.event_type") === ta)
         .crossJoin(sks.as("b").filter(col("b.event_type") === tb))
@@ -480,19 +483,38 @@ object Aggregations {
           expr("hll_sketch_estimate(b.sk)").as("est_b"),
           expr("hll_sketch_estimate(hll_union(a.sk, b.sk))").as("est_u"))
     }.reduce(_ union _)
-    val exacts = HllPairs.map { case (ta, tb) =>
-      e.filter(col("event_type").isin(ta, tb))
-        .agg(
-          countDistinct(when(col("event_type") === ta, col("user_id")))
-            .as("exact_a"),
-          countDistinct(when(col("event_type") === tb, col("user_id")))
-            .as("exact_b"),
-          countDistinct(col("user_id")).as("exact_union"))
-        .select(lit(ta).as("type_a"), lit(tb).as("type_b"),
-          col("exact_a"), col("exact_b"), col("exact_union"),
-          (col("exact_a") + col("exact_b") - col("exact_union"))
-            .as("exact_inter"))
-    }.reduce(_ union _)
+    // Exact legs in ONE scan for ALL pairs (was: one expand-scan of
+    // events per pair): explode each event row into its (pair, isA)
+    // memberships, ONE distinct exchange on (pair, user, isA) — the
+    // dedup-first rewrite approxDistinct documents — then a per-pair
+    // aggregate with a SINGLE distinct column (union users), which needs
+    // no multi-distinct EXPAND: exact_a/exact_b count the already-
+    // distinct (user, side) rows directly.
+    val memberships = HllPairs.zipWithIndex.map { case ((ta, tb), i) =>
+      when(col("event_type").isin(ta, tb),
+        struct(lit(i).as("pid"), (col("event_type") === lit(ta)).as("isA")))
+    }
+    val pm = e
+      .select(col("user_id"), explode(array(memberships: _*)).as("m"))
+      .filter(col("m").isNotNull)
+      .select(col("m.pid").as("pid"), col("m.isA").as("isA"), col("user_id"))
+      .distinct()
+    val pairNames = HllPairs.zipWithIndex.map { case ((ta, tb), i) =>
+      struct(lit(i).as("pid"), lit(ta).as("type_a"), lit(tb).as("type_b"))
+    }
+    val pairsDf = spark.range(1)
+      .select(explode(array(pairNames: _*)).as("p"))
+      .select(col("p.pid").as("pid"), col("p.type_a").as("type_a"),
+        col("p.type_b").as("type_b"))
+    val exacts = pm.groupBy(col("pid"))
+      .agg(count(when(col("isA"), 1)).as("exact_a"),
+        count(when(!col("isA"), 1)).as("exact_b"),
+        countDistinct(col("user_id")).as("exact_union"))
+      .join(broadcast(pairsDf), "pid")
+      .select(col("type_a"), col("type_b"),
+        col("exact_a"), col("exact_b"), col("exact_union"),
+        (col("exact_a") + col("exact_b") - col("exact_union"))
+          .as("exact_inter"))
     exacts.join(broadcast(ests), Seq("type_a", "type_b"))
       .select(col("type_a"), col("type_b"),
         col("exact_a"), col("exact_b"), col("exact_union"), col("exact_inter"),

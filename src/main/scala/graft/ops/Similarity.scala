@@ -131,9 +131,12 @@ object Similarity {
     * fixed-capacity-vs-scaling-regime class (simhash r11, SemDeDup k r11
     * + cluster cap r17, minhash bucket cap r16): a fixed 8 planes gives
     * 2^8 = 256 buckets forever, so mean occupancy N/256 crosses the
-    * 1000-member hot-bucket guard at N ≈ 256k — beyond that EVERY
-    * organic bucket trips the guard and the ANN/kNN operators silently
-    * return empty neighbor sets, with the twin mirroring the loss.
+    * 1000-member hot-bucket guard at N ≈ 256k — beyond that, on
+    * occupancy-typical data, EVERY organic bucket trips the guard and
+    * the ANN/kNN operators silently return empty neighbor sets, with
+    * the twin mirroring the loss (on the sign-degenerate synthetic
+    * corpus the measured effect is partial — SCALE_r17 sf100 census:
+    * 43% more vectors paired under the scaled count).
     * Policy: enough planes that mean occupancy ≤ 500, i.e. the smallest
     * p with 2^p ≥ ⌈N/500⌉, floored at the historical 8 (gate SFs have
     * occupancy ≪ 500, so their outputs are byte-identical to pre-r17).

@@ -159,13 +159,16 @@ class ScalePolicySpec extends AnyFunSuite {
       "semanticSql lost the mean-cluster divisor")
   }
 
-  test("lshPlanesFor scales the sign-LSH bucket space with the corpus — fixed 8 planes emptied the ANN output past N~256k") {
+  test("lshPlanesFor scales the sign-LSH bucket space with the corpus — fixed 8 planes starves the ANN output past N~256k") {
     // r17 fix, FOURTH instance of the fixed-capacity class: 2^8 = 256
     // buckets forever meant mean occupancy N/256 crossed the 1000-member
-    // hot-bucket guard at N ~ 256k, after which every organic bucket is
-    // excluded and annLshBucketed/knnGraphClusters return empty neighbor
-    // sets (twin-mirrored, parity green). Policy: smallest p with
-    // 2^p >= ceil(N/500), floored at 8 — gate SFs unchanged.
+    // hot-bucket guard at N ~ 256k — on occupancy-typical data every
+    // organic bucket is then excluded and annLshBucketed/knnGraphClusters
+    // return empty neighbor sets (twin-mirrored, parity green); on the
+    // sign-degenerate synthetic corpus the measured effect is partial
+    // (SCALE_r17 census: 43% more vectors paired at sf100 under the
+    // scaled count). Policy: smallest p with 2^p >= ceil(N/500),
+    // floored at 8 — gate SFs unchanged.
     assert(Similarity.lshPlanesFor(0) === 8)
     assert(Similarity.lshPlanesFor(2000) === 8)     // sf0.1: unchanged
     assert(Similarity.lshPlanesFor(128000) === 8)   // 2^8 = 256 >= ceil(128000/500)
