@@ -259,6 +259,27 @@ class PlanSpec extends AnyFunSuite {
     org.apache.spark.sql.SparkSession.active.sharedState.cacheManager.clearCache()
   }
 
+  test("pagerank rounds: shuffle-hash rank join, no per-round rank broadcast") {
+    // r17 adoption (BENCH_NOTES): each round's broadcast(rank) build job
+    // re-executed the prior rounds' chain — the BFS r15 defect one tier
+    // up. The rank join must be a shuffled hash join (node-sized rank
+    // exchange per round, persisted edge frame's exchange reused) and
+    // must never sort; the ONE allowed broadcast is the degree/node
+    // table onto the edge scan (deg is joined once, outside the rounds).
+    val df = ops.Graph.pagerankBipartite(spark, dir)
+    val p = planString(df)
+    assert(p.contains("ShuffledHashJoin"),
+      s"pagerank round join must be a shuffled hash join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"pagerank rounds must not sort or cross:\n$p")
+    // constant-count broadcasts (deg onto edges + the n/r0 scalars) are
+    // allowed; the regression this pins is ROUND-count-proportional
+    // broadcasts (3 rounds would add 3 more)
+    assert("BroadcastHashJoin".r.findAllIn(p).length <= 3,
+      s"per-round rank broadcasts crept back into the pagerank plan:\n$p")
+    org.apache.spark.sql.SparkSession.active.sharedState.cacheManager.clearCache()
+  }
+
   test("weighted sample and domain quota aggregate map-side (no pre-shuffle explode)") {
     val pw = planString(Pipeline.weightedSample(spark, dir))
     assert(pw.contains("partial_count"), "weighted sample must partial-aggregate")
