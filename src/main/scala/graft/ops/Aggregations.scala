@@ -495,6 +495,10 @@ object Aggregations {
         struct(lit(i).as("pid"), (col("event_type") === lit(ta)).as("isA")))
     }
     val pm = e
+      // NULL user_ids must drop here: the distinct (pid,isA,NULL) row
+      // would survive into count(when(isA,1)) while COUNT(DISTINCT
+      // CASE...) in the twin (and the old countDistinct legs) skips it.
+      .filter(col("user_id").isNotNull)
       .select(col("user_id"), explode(array(memberships: _*)).as("m"))
       .filter(col("m").isNotNull)
       .select(col("m.pid").as("pid"), col("m.isA").as("isA"), col("user_id"))

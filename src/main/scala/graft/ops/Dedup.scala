@@ -1519,7 +1519,8 @@ object Dedup {
     * seam DegenerateOutputSpec uses to DELIBERATELY re-break the cap
     * (cap=1 ⇒ every cluster tripped ⇒ zero dups, oracle-green) and
     * prove the liveness detector fails CI on that state instead of the
-    * next 10× scale run. Production path always passes SemClusterCap. */
+    * next 10× scale run. Production path always passes the corpus-scaled
+    * semClusterCap(n). */
   private[ops] def semanticWithCap(spark: SparkSession, dir: String,
       clusterCap: Int): DataFrame = {
     graft.functions.GraftFunctions.register(spark)

@@ -72,16 +72,27 @@ object IndexMemo {
     vals.getOrElseUpdate((spark, dir, tag), build).asInstanceOf[T]
   }
 
-  def df(spark: SparkSession, dir: String, tag: String)(build: => DataFrame): DataFrame =
-    // synchronized single-evaluation: TrieMap.getOrElseUpdate may
-    // double-evaluate under the 8-stream throughput mode and strand the
-    // losing localCheckpoint's blocks. `build` and localCheckpoint
-    // (eager=false) are plan construction only — no job runs under the
-    // lock — and the monitor is reentrant so nested memo calls are safe.
-    dfs.synchronized {
-      dfs.keysIterator.filter(_._1.sparkContext.isStopped).toList.foreach { k =>
-        dfs.remove(k).foreach(unpersistCheckpoint)
-      }
-      dfs.getOrElseUpdate((spark, dir, tag), build.localCheckpoint(false))
+  def df(spark: SparkSession, dir: String, tag: String)(build: => DataFrame): DataFrame = {
+    // `build` runs OUTSIDE the lock: even though every current build is
+    // plan construction only, a future memoized build that triggers an
+    // eager action (the emb_count value-memo pattern) must not serialize
+    // the 8 throughput streams behind one Spark job. Losers of the
+    // publish race unpersist their (never-materialized) checkpoint, so
+    // occasional double-evaluation strands nothing.
+    val key = (spark, dir, tag)
+    dfs.get(key) match {
+      case Some(hit) => hit
+      case None =>
+        val candidate = build.localCheckpoint(false)
+        dfs.synchronized {
+          dfs.keysIterator.filter(_._1.sparkContext.isStopped).toList.foreach { k =>
+            dfs.remove(k).foreach(unpersistCheckpoint)
+          }
+          dfs.get(key) match {
+            case Some(winner) => unpersistCheckpoint(candidate); winner
+            case None => dfs.put(key, candidate); candidate
+          }
+        }
     }
+  }
 }

@@ -271,6 +271,7 @@ object ScaleChecks {
     val maxCluster = sizes.agg(max(col("csz"))).collect()(0).getLong(0)
     val capBad = d.filter(col("dup_of").isNotNull)
       .join(sizes, "cid").filter(col("csz") > cap).count()
+    sizes.unpersist()
     val keptBad = d.filter(col("kept") =!= col("dup_of").isNull).count()
     val cidBad = d.as("d").join(cells.as("c"), col("d.vec_id") === col("c.vec_id"))
       .filter(col("d.cid") =!= col("c.cid")).count()

@@ -175,7 +175,7 @@ object Similarity {
       graft.ops.IndexMemo.value(spark, dir, "emb_count")(em.count()))
     val planes = em.filter(col("vec_id") < p)
       .select(col("vec_id").as("plane_id"), col("embedding").as("plane"))
-    // signature per vector: 8 sign bits packed into a long
+    // signature per vector: p = lshPlanesFor(N) sign bits packed into a long
     val sigs = em.crossJoin(broadcast(planes))
       .select(col("vec_id"), col("embedding"),
         when(dot(col("embedding"), col("plane")) >= 0,
@@ -183,7 +183,7 @@ object Similarity {
       .groupBy(col("vec_id"), col("embedding"))
       .agg(sum(col("bit")).as("bucket"))
       // persisted: the hot-bucket guard and both self-join sides read it,
-      // and the signature pass (8 broadcast dot products per vector) is
+      // and the signature pass (p broadcast dot products per vector) is
       // the expensive part worth computing exactly once
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = sigs.groupBy(col("bucket")).agg(count(lit(1)).as("_bsz"))
