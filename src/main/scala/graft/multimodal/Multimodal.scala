@@ -549,13 +549,17 @@ object Multimodal {
     // simhash tier). max(1000, N/5) keeps every organic bucket while
     // still refusing saturation degeneracy, mirroring Dedup.simhashCap.
     val assets = imageAssets(spark, dir)
-    // Int-clamped like Dedup.minhashCapFor: N/5 past ~10.7B docs would
-    // overflow toInt negative and null every bucket
-    val cap = math.max(1000L, math.min(
-      Tables.documents(spark, dir).count() / 5, Int.MaxValue.toLong))
+    val cap = phashCapFor(Tables.documents(spark, dir).count())
     val sigs = assets.mapPartitions(phashes).toDF()
-    graft.ops.Dedup.hammingPairs(sigs, bucketCap = cap.toInt)
+    graft.ops.Dedup.hammingPairs(sigs, bucketCap = cap)
   }
+
+  /** Corpus-scaled phash hot-bucket cap (class-b policy, CAP_AUDIT.md):
+    * max(1000, N/5), Int-clamped like Dedup.minhashCapFor — N/5 past
+    * ~10.7B docs would overflow toInt negative and null every bucket.
+    * Pinned in ScalePolicySpec. */
+  private[graft] def phashCapFor(n: Long): Int =
+    math.max(1000L, math.min(n / 5, Int.MaxValue.toLong)).toInt
 
   val phashDedupSql: String =
     """WITH dims AS (

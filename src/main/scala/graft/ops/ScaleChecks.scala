@@ -131,7 +131,7 @@ object ScaleChecks {
     graft.functions.GraftFunctions.register(spark)
     val p = dump(spark, outDir, "dedup_minhash_lsh")
     val docs = Tables.documents(spark, sfDir)
-    val sh = Dedup.hashedShingles(docs, 1000)
+    val sh = Dedup.hashedShingles(docs, Dedup.MaxShingleDf)
     val re = Dedup.verifiedPairs(sh, p.select(col("d1"), col("d2")), 0.8)
     val extra = p.exceptAll(re).count()
     val missing = re.exceptAll(p).count()

@@ -211,6 +211,10 @@ class ScalePolicySpec extends AnyFunSuite {
     assert(Dedup.simhashCapFor(100) === 1000)             // signature floor
     assert(Dedup.simhashCapFor(10000) === 2000)
     assert(Dedup.simhashCapFor(20000000000L) === Int.MaxValue)
+    // phash dedup shares the regime (r14 fix, named + pinned r18)
+    assert(graft.multimodal.Multimodal.phashCapFor(100) === 1000)
+    assert(graft.multimodal.Multimodal.phashCapFor(10000) === 2000)
+    assert(graft.multimodal.Multimodal.phashCapFor(20000000000L) === Int.MaxValue)
   }
 
   test("bloom runtime-filter bits scale with dim keys (see BloomJoinSpec for the curve)") {
