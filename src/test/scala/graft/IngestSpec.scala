@@ -148,4 +148,41 @@ class IngestSpec extends AnyFunSuite {
         s"expected an s3a-naming failure for $u, got: ${e.getMessage}")
     }
   }
+
+  test("ingestAny reads through a NON-file Hadoop scheme (the any-Hadoop-FS claim)") {
+    // graftfs:// is a loopback FileSystem registered only for this test —
+    // the read must traverse the foreign scheme's dispatch, globbing and
+    // open paths end-to-end, not fall back to file:
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = writeCsv(Seq(header, rowA, rowExtra))
+    conf.set("fs.graftfs.impl", classOf[LoopbackFs].getName)
+    conf.setBoolean("fs.graftfs.impl.disable.cache", true)
+    try {
+      val viaScheme = Ingest.ingestAny(spark, "graftfs://" + p)
+      val viaFile = Ingest.ingestAny(spark, p)
+      assert(viaScheme.count() === 2)
+      assert(viaScheme.exceptAll(viaFile).isEmpty &&
+        viaFile.exceptAll(viaScheme).isEmpty,
+        "foreign-scheme read differs from the file: read of the same bytes")
+    } finally {
+      conf.unset("fs.graftfs.impl")
+      conf.unset("fs.graftfs.impl.disable.cache")
+    }
+  }
+
+  test("s3:// rewrite hands a REGISTERED s3a connector real bytes") {
+    // With a connector present (here: an s3a-registered loopback), the
+    // smart-open-parity rewrite must produce a working read — the
+    // companion case to the fail-fast assertion above.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = writeCsv(Seq(header, rowA))
+    conf.set("fs.s3a.impl", classOf[FakeS3aFs].getName)
+    conf.setBoolean("fs.s3a.impl.disable.cache", true)
+    try {
+      assert(Ingest.ingestAny(spark, "s3://testbucket" + p).count() === 1)
+    } finally {
+      conf.unset("fs.s3a.impl")
+      conf.unset("fs.s3a.impl.disable.cache")
+    }
+  }
 }
