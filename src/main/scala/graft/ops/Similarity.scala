@@ -877,10 +877,23 @@ object Similarity {
       .agg(count(lit(1)).as("__cnt"))
     val members = graft.plans.GraftOps.topKPerGroup(
       codes, codeCols, Seq(("vec_id", false)), k + 1)
+    pqAdcTopKFrom(scores.join(broadcast(counts), codeCols), members,
+      codeCols, k)
+  }
+
+  /** [[pqAdcTopK]] with the per-code index state precomputed: `scored`
+    * must carry the per-code member count as `__cnt` (the observed-code
+    * census) and `members` the (k+1)-smallest member ids per code. The
+    * recall evals feed MEMOIZED census/member frames here (both are
+    * query-independent PQ index state, same side of the memo line as the
+    * code tables they derive from), so the per-rep sweep re-runs neither
+    * the census aggregate nor the member-prefix heap pass. */
+  private def pqAdcTopKFrom(scored: DataFrame, members: DataFrame,
+      codeCols: Seq[String], k: Int): DataFrame = {
     val wq = Window.partitionBy(col("query_id"))
     val wcum = wq.orderBy(col("approx_dot").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val kept = scores.join(broadcast(counts), codeCols)
+    val kept = scored
       .withColumn("__before", coalesce(sum(col("__cnt")).over(wcum), lit(0L)))
       .withColumn("__thr", min(when(col("__before") < k + 1,
         col("approx_dot"))).over(wq))
@@ -1206,19 +1219,19 @@ object Similarity {
         col("cost"))
 
     // ---- PQ family: one seed collect at max k; codebook k = row prefix.
-    // The per-k chains are deliberately NOT fused into one tagged
-    // dataflow (the banding-eval pattern): they are INDEPENDENT subtrees
-    // of one union job, so the scheduler overlaps their stages across
-    // the pool — an r11 A/B of the tagged fusion measured 3.6 → 4.4 s at
-    // sf0.1 (fewer stages, but serialized into one chain). Fusion wins
-    // when the fused stages are resource-bound (the banding case, where
-    // every scheme re-scanned a corpus-sized table); here each chain is
-    // tiny and parallelism is the scarce win.
+    // The r11 A/B left the per-k chains UNFUSED (3.6 → 4.4 s then:
+    // every fused stage was resource-bound and serialization lost).
+    // r18 re-ran the A/B after the census/member memoization (the frames
+    // the fused chain re-reads are now checkpoint-borne, so the fused
+    // stages are floor-bound, not resource-bound) — see BENCH_NOTES r18
+    // for the adoption decision; SPARK_GRAFT_PQ_FUSED re-measures the
+    // losing arm. Both arms share the same memoized index state and are
+    // value-identical (oracle-checked under both knob settings).
     val seeds = IndexMemo.value(spark, dir, s"pq_seeds:${PqEvalKs.max}") {
       pqSeeds(em, PqEvalKs.max)
     }
     val codeCols = (0 until PqM).map(m => s"code$m")
-    val pqParts = PqEvalKs.map { k =>
+    val pqState = PqEvalKs.map { k =>
       val cb = pqCodebook(seeds, k)
       // memoized (qmod-independent index state): the code table feeds
       // BOTH the distinct-code census and the score equi-join, and both
@@ -1227,34 +1240,113 @@ object Similarity {
         em.select(col("vec_id") +:
           (0 until PqM).map(m => pqCode(cb, k)(col("embedding"), m).as(s"code$m")): _*)
       }
-      // the observed-code census is PQ index state (the ADC scoring
-      // table's row domain, qmod-independent) — memoized like the code
-      // table it derives from, so the per-rep sweep never re-runs the
-      // distinct exchange
-      val dcodes = IndexMemo.df(spark, dir, s"pq_dcodes:$k") {
-        codes.select(codeCols.map(col): _*).distinct()
+      // the observed-code CENSUS (distinct codes + member counts) and the
+      // (5+1)-smallest member ids per code are PQ index state (the ADC
+      // scoring table's row domain + the factored top-k's member
+      // prefixes, both qmod-independent) — memoized like the code table
+      // they derive from, so the per-rep sweep re-runs neither the
+      // census aggregate nor the member heap pass (r18: previously only
+      // the count-less distinct was memoized and pqAdcTopK re-aggregated
+      // counts + members per rep, one census shuffle + one heap shuffle
+      // + two broadcast jobs per k per rep)
+      val counts = IndexMemo.df(spark, dir, s"pq_counts:$k") {
+        codes.groupBy(codeCols.map(col): _*).agg(count(lit(1)).as("__cnt"))
       }
-      val scores = broadcast(q).crossJoin(dcodes)
-        .withColumn("approx_dot",
-          round(pqAdcTerm(cb, 0) + pqAdcTerm(cb, 1) +
-            pqAdcTerm(cb, 2) + pqAdcTerm(cb, 3), 6))
-        .select(col("query_id") +: col("approx_dot") +: codeCols.map(col): _*)
-      // factored ADC top-k (see pqAdcTopK) — never corpus × queries
-      val top5 = pqAdcTopK(codes, scores, codeCols, 5)
-        .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
-      val rec = exactTop.join(top5, Seq("query_id", "vec_id"), "left_outer")
-        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hits"))
-      val cost = q.agg(count(lit(1)).as("nq"))
-        .crossJoin(dcodes.agg(count(lit(1)).as("nd")))
-        .select((col("nq") * col("nd")).as("cost"))
-      rec.crossJoin(cost)
-        .select(lit("pq").as("method"), lit(k).as("param"), col("n_exact"),
-          col("n_hits"), expr("n_hits * 1000000 div n_exact").as("recall_fp"),
-          col("cost"))
+      val members = IndexMemo.df(spark, dir, s"pq_members:$k") {
+        graft.plans.GraftOps.topKPerGroup(
+          codes, codeCols, Seq(("vec_id", false)), 6)
+      }
+      (k, cb, counts, members)
     }
+    val pqFamily: Seq[DataFrame] =
+      if (!sys.env.get("SPARK_GRAFT_PQ_FUSED").contains("off"))
+        Seq(pqFamilyFused(q, exactTop, codeCols, pqState))
+      else pqState.map { case (k, cb, counts, members) =>
+        // the census IS the score domain (same rows as the old distinct,
+        // plus __cnt), so the scores frame is born carrying the member
+        // counts and the per-rep counts equi-join disappears
+        val scores = broadcast(q).crossJoin(counts)
+          .withColumn("approx_dot",
+            round(pqAdcTerm(cb, 0) + pqAdcTerm(cb, 1) +
+              pqAdcTerm(cb, 2) + pqAdcTerm(cb, 3), 6))
+          .select(col("query_id") +: col("approx_dot") +: col("__cnt") +:
+            codeCols.map(col): _*)
+        // factored ADC top-k (see pqAdcTopKFrom) — never corpus × queries
+        val top5 = pqAdcTopKFrom(scores, members, codeCols, 5)
+          .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+        val rec = exactTop.join(top5, Seq("query_id", "vec_id"), "left_outer")
+          .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hits"))
+        val cost = q.agg(count(lit(1)).as("nq"))
+          .crossJoin(counts.agg(count(lit(1)).as("nd")))
+          .select((col("nq") * col("nd")).as("cost"))
+        rec.crossJoin(cost)
+          .select(lit("pq").as("method"), lit(k).as("param"), col("n_exact"),
+            col("n_hits"), expr("n_hits * 1000000 div n_exact").as("recall_fp"),
+            col("cost"))
+      }
 
-    (Seq(lsh, ivf) ++ pqParts).reduce(_ union _)
+    (Seq(lsh, ivf) ++ pqFamily).reduce(_ union _)
       .orderBy(col("method"), col("param"))
+  }
+
+  /** The three PQ operating points as ONE tagged dataflow (the
+    * banding-eval fusion pattern): union the per-k memoized census /
+    * member frames under a `param` tag, score with per-k ADC branches
+    * guarded by `when(param = k)` (CaseWhen evaluates lazily per row, so
+    * each row only pays its own codebook), run ONE threshold window and
+    * ONE member join and ONE top-k over (param, query_id), and aggregate
+    * recall per param. Value-identical to the unfused per-k chains —
+    * same memoized state, same contract — but the per-rep sweep is one
+    * subtree instead of three (one members broadcast instead of three,
+    * one window/top-k stage chain instead of three). */
+  private def pqFamilyFused(q: DataFrame, exactTop: DataFrame,
+      codeCols: Seq[String],
+      state: Seq[(Int, Seq[Seq[Seq[Double]]], DataFrame, DataFrame)]): DataFrame = {
+    val countsAll = state.map { case (k, _, counts, _) =>
+      counts.withColumn("param", lit(k))
+    }.reduce(_ unionByName _)
+    val membersAll = state.map { case (k, _, _, members) =>
+      members.withColumn("param", lit(k))
+    }.reduce(_ unionByName _)
+    val adc = state.map { case (k, cb, _, _) =>
+      (col("param") === k) -> round(pqAdcTerm(cb, 0) + pqAdcTerm(cb, 1) +
+        pqAdcTerm(cb, 2) + pqAdcTerm(cb, 3), 6)
+    }
+    val scores = broadcast(q).crossJoin(countsAll)
+      .withColumn("approx_dot",
+        adc.tail.foldLeft(when(adc.head._1, adc.head._2)) {
+          case (acc, (c, v)) => acc.when(c, v)
+        })
+      .select(col("param") +: col("query_id") +: col("approx_dot") +:
+        col("__cnt") +: codeCols.map(col): _*)
+    val gcols = Seq("param", "query_id")
+    val wq = Window.partitionBy(gcols.map(col): _*)
+    val wcum = wq.orderBy(col("approx_dot").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val kept = scores
+      .withColumn("__before", coalesce(sum(col("__cnt")).over(wcum), lit(0L)))
+      .withColumn("__thr", min(when(col("__before") < 6,
+        col("approx_dot"))).over(wq))
+      .filter(col("approx_dot") >= col("__thr"))
+      .select((gcols.map(col) :+ col("approx_dot")) ++ codeCols.map(col): _*)
+    val cand = kept.join(broadcast(membersAll), "param" +: codeCols)
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("param"), col("query_id"), col("vec_id"), col("approx_dot"))
+    val top5 = graft.plans.GraftOps.topKPerGroup(cand, gcols,
+        Seq(("approx_dot", true), ("vec_id", false)), 5)
+      .select(col("param"), col("query_id"), col("vec_id"), lit(1).as("hit"))
+    val rec = exactTop.select(col("query_id"), col("vec_id"),
+        explode(array(state.map(s => lit(s._1)): _*)).as("param"))
+      .join(top5, Seq("param", "query_id", "vec_id"), "left_outer")
+      .groupBy(col("param"))
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hits"))
+    val cost = countsAll.groupBy(col("param")).agg(count(lit(1)).as("nd"))
+      .crossJoin(q.agg(count(lit(1)).as("nq")))
+      .select(col("param"), (col("nq") * col("nd")).as("cost"))
+    rec.join(cost, Seq("param"))
+      .select(lit("pq").as("method"), col("param"), col("n_exact"),
+        col("n_hits"), expr("n_hits * 1000000 div n_exact").as("recall_fp"),
+        col("cost"))
   }
 
   /** Oracle twin of the three-family sweep: shared exact top-5, LSH
