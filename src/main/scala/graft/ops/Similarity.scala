@@ -1121,7 +1121,14 @@ object Similarity {
     annRecallEvalImpl(spark, dir, 1000L)
 
   private def annRecallEvalImpl(spark: SparkSession, dir: String,
-      qmod: Long): DataFrame = {
+      qmod: Long): DataFrame =
+    annRecallEvalImpl(spark, dir, qmod,
+      !sys.env.get("SPARK_GRAFT_PQ_FUSED").contains("off"))
+
+  /** Test seam: `fusedPq` selects the PQ-family arm explicitly so the
+    * knob-arm parity pin can compare both in one JVM. */
+  private[ops] def annRecallEvalImpl(spark: SparkSession, dir: String,
+      qmod: Long, fusedPq: Boolean): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val em = Tables.embeddings(spark, dir)
     val q = em.filter(pmod(col("vec_id"), lit(qmod)) === 0)
@@ -1259,7 +1266,7 @@ object Similarity {
       (k, cb, counts, members)
     }
     val pqFamily: Seq[DataFrame] =
-      if (!sys.env.get("SPARK_GRAFT_PQ_FUSED").contains("off"))
+      if (fusedPq)
         Seq(pqFamilyFused(q, exactTop, codeCols, pqState))
       else pqState.map { case (k, cb, counts, members) =>
         // the census IS the score domain (same rows as the old distinct,
