@@ -1180,15 +1180,6 @@ object Similarity {
         col("b.vec_id").as("vec_id"), lit(1).as("hit"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lshCost = lshCand.groupBy(col("param")).agg(count(lit(1)).as("cost"))
-    val lsh = exactTop.select(col("query_id"), col("vec_id"),
-        explodeParams(lshParams))
-      .join(lshCand, Seq("param", "query_id", "vec_id"), "left_outer")
-      .groupBy(col("param"))
-      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hits"))
-      .join(lshCost, Seq("param"))
-      .select(lit("lsh").as("method"), col("param"), col("n_exact"),
-        col("n_hits"), expr("n_hits * 1000000 div n_exact").as("recall_fp"),
-        col("cost"))
 
     // ---- IVF family: one cell ranking to max probe depth; probe = rank prefix
     // (trained quantizer + corpus cell assignment are qmod-independent:
@@ -1211,19 +1202,12 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("pos"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ivfCost = ivfCand.select(col("pos"), explodeParams(IvfEvalProbes))
+    val ivfCandP = ivfCand
+      .select(explodeParams(IvfEvalProbes), col("query_id"), col("vec_id"),
+        col("pos"))
       .filter(col("pos") < col("param"))
-      .groupBy(col("param")).agg(count(lit(1)).as("cost"))
-    val ivf = exactTop.select(col("query_id"), col("vec_id"),
-        explodeParams(IvfEvalProbes))
-      .join(ivfCand, Seq("query_id", "vec_id"), "left_outer")
-      .groupBy(col("param"))
-      .agg(count(lit(1)).as("n_exact"),
-        count(when(col("pos") < col("param"), 1)).as("n_hits"))
-      .join(ivfCost, Seq("param"))
-      .select(lit("ivf").as("method"), col("param"), col("n_exact"),
-        col("n_hits"), expr("n_hits * 1000000 div n_exact").as("recall_fp"),
-        col("cost"))
+      .select(col("param"), col("query_id"), col("vec_id"))
+    val ivfCost = ivfCandP.groupBy(col("param")).agg(count(lit(1)).as("cost"))
 
     // ---- PQ family: one seed collect at max k; codebook k = row prefix.
     // The r11 A/B left the per-k chains UNFUSED (3.6 → 4.4 s then:
@@ -1265,10 +1249,68 @@ object Similarity {
       }
       (k, cb, counts, members)
     }
-    val pqFamily: Seq[DataFrame] =
-      if (fusedPq)
-        Seq(pqFamilyFused(q, exactTop, codeCols, pqState))
-      else pqState.map { case (k, cb, counts, members) =>
+    if (fusedPq) {
+      // ---- fused tail (adopted r18): ALL NINE operating points settle in
+      // one tagged recall join + one tagged cost union. Candidates
+      // normalize to (method, param, query_id, vec_id) — lsh/ivf pairs
+      // are unique per key by construction (one bucket per (param, vec),
+      // one cell per vec), pq's are a top-k — so the single left join
+      // cannot duplicate truth rows.
+      val (pqCand, pqCost) = pqFamilyFused(q, codeCols, pqState)
+      val candAll = lshCand
+        .select(lit("lsh").as("method"), col("param"), col("query_id"),
+          col("vec_id"))
+        .unionByName(ivfCandP.select(lit("ivf").as("method"), col("param"),
+          col("query_id"), col("vec_id")))
+        .unionByName(pqCand.select(lit("pq").as("method"), col("param"),
+          col("query_id"), col("vec_id")))
+        .withColumn("hit", lit(1))
+      val opPoints = Seq("lsh" -> lshParams, "ivf" -> IvfEvalProbes,
+        "pq" -> PqEvalKs).flatMap { case (m, ps) =>
+        ps.map(p => struct(lit(m).as("method"), lit(p).as("param")))
+      }
+      val rec = exactTop.select(col("query_id"), col("vec_id"),
+          explode(array(opPoints: _*)).as("mp"))
+        .select(col("mp.method").as("method"), col("mp.param").as("param"),
+          col("query_id"), col("vec_id"))
+        .join(candAll, Seq("method", "param", "query_id", "vec_id"),
+          "left_outer")
+        .groupBy(col("method"), col("param"))
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hits"))
+      val costAll = lshCost.select(lit("lsh").as("method"), col("param"),
+          col("cost"))
+        .unionByName(ivfCost.select(lit("ivf").as("method"), col("param"),
+          col("cost")))
+        .unionByName(pqCost.select(lit("pq").as("method"), col("param"),
+          col("cost")))
+      rec.join(costAll, Seq("method", "param"))
+        .select(col("method"), col("param"), col("n_exact"), col("n_hits"),
+          expr("n_hits * 1000000 div n_exact").as("recall_fp"), col("cost"))
+        .orderBy(col("method"), col("param"))
+    } else {
+      // ---- unfused control arm (the r11 shape, re-measurable behind
+      // SPARK_GRAFT_PQ_FUSED=off): per-family recall joins + per-k PQ
+      // subtrees, value-identical by AnnRecallEvalSpec's parity pin.
+      val lsh = exactTop.select(col("query_id"), col("vec_id"),
+          explodeParams(lshParams))
+        .join(lshCand, Seq("param", "query_id", "vec_id"), "left_outer")
+        .groupBy(col("param"))
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hits"))
+        .join(lshCost, Seq("param"))
+        .select(lit("lsh").as("method"), col("param"), col("n_exact"),
+          col("n_hits"), expr("n_hits * 1000000 div n_exact").as("recall_fp"),
+          col("cost"))
+      val ivf = exactTop.select(col("query_id"), col("vec_id"),
+          explodeParams(IvfEvalProbes))
+        .join(ivfCandP.withColumn("hit", lit(1)),
+          Seq("param", "query_id", "vec_id"), "left_outer")
+        .groupBy(col("param"))
+        .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hits"))
+        .join(ivfCost, Seq("param"))
+        .select(lit("ivf").as("method"), col("param"), col("n_exact"),
+          col("n_hits"), expr("n_hits * 1000000 div n_exact").as("recall_fp"),
+          col("cost"))
+      val pqFamily = pqState.map { case (k, cb, counts, members) =>
         // the census IS the score domain (same rows as the old distinct,
         // plus __cnt), so the scores frame is born carrying the member
         // counts and the per-rep counts equi-join disappears
@@ -1291,9 +1333,9 @@ object Similarity {
             col("n_hits"), expr("n_hits * 1000000 div n_exact").as("recall_fp"),
             col("cost"))
       }
-
-    (Seq(lsh, ivf) ++ pqFamily).reduce(_ union _)
-      .orderBy(col("method"), col("param"))
+      (Seq(lsh, ivf) ++ pqFamily).reduce(_ union _)
+        .orderBy(col("method"), col("param"))
+    }
   }
 
   /** The three PQ operating points as ONE tagged dataflow (the
@@ -1301,14 +1343,17 @@ object Similarity {
     * member frames under a `param` tag, score with per-k ADC branches
     * guarded by `when(param = k)` (CaseWhen evaluates lazily per row, so
     * each row only pays its own codebook), run ONE threshold window and
-    * ONE member join and ONE top-k over (param, query_id), and aggregate
-    * recall per param. Value-identical to the unfused per-k chains —
-    * same memoized state, same contract — but the per-rep sweep is one
-    * subtree instead of three (one members broadcast instead of three,
-    * one window/top-k stage chain instead of three). */
-  private def pqFamilyFused(q: DataFrame, exactTop: DataFrame,
+    * ONE member join and ONE top-k over (param, query_id). Returns the
+    * tagged top-5 candidates and per-param costs; the caller settles
+    * recall in the all-family tagged join. Value-identical to the
+    * unfused per-k chains — same memoized state, same contract — but
+    * the per-rep sweep is one subtree instead of three (one members
+    * broadcast instead of three, one window/top-k stage chain instead
+    * of three). */
+  private def pqFamilyFused(q: DataFrame,
       codeCols: Seq[String],
-      state: Seq[(Int, Seq[Seq[Seq[Double]]], DataFrame, DataFrame)]): DataFrame = {
+      state: Seq[(Int, Seq[Seq[Seq[Double]]], DataFrame, DataFrame)])
+      : (DataFrame, DataFrame) = {
     val countsAll = state.map { case (k, _, counts, _) =>
       counts.withColumn("param", lit(k))
     }.reduce(_ unionByName _)
@@ -1341,19 +1386,11 @@ object Similarity {
       .select(col("param"), col("query_id"), col("vec_id"), col("approx_dot"))
     val top5 = graft.plans.GraftOps.topKPerGroup(cand, gcols,
         Seq(("approx_dot", true), ("vec_id", false)), 5)
-      .select(col("param"), col("query_id"), col("vec_id"), lit(1).as("hit"))
-    val rec = exactTop.select(col("query_id"), col("vec_id"),
-        explode(array(state.map(s => lit(s._1)): _*)).as("param"))
-      .join(top5, Seq("param", "query_id", "vec_id"), "left_outer")
-      .groupBy(col("param"))
-      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hits"))
+      .select(col("param"), col("query_id"), col("vec_id"))
     val cost = countsAll.groupBy(col("param")).agg(count(lit(1)).as("nd"))
       .crossJoin(q.agg(count(lit(1)).as("nq")))
       .select(col("param"), (col("nq") * col("nd")).as("cost"))
-    rec.join(cost, Seq("param"))
-      .select(lit("pq").as("method"), col("param"), col("n_exact"),
-        col("n_hits"), expr("n_hits * 1000000 div n_exact").as("recall_fp"),
-        col("cost"))
+    (top5, cost)
   }
 
   /** Oracle twin of the three-family sweep: shared exact top-5, LSH
