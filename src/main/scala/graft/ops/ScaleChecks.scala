@@ -397,6 +397,34 @@ object ScaleChecks {
         "mismatch" -> bad))
   }
 
+  /** LPA dump invariants, linear in nodes + edges (r18 — the mod-2 slice
+    * twin is oracle-OOM, so this is the engine-side leg): the
+    * community_size census column must equal the actual per-community
+    * row count, the dump's node set must equal the co-occurrence graph's
+    * node set recounted from the corpus, and every community id must be
+    * a graph node (labels originate as node ids; a non-node label would
+    * mean the vote invented one). The vote trajectory itself is
+    * oracle-checked at every SF the twin can reach (sf0.01 gate, sf10s,
+    * sf100s, sf100s5). */
+  def lpaCheck(spark: SparkSession, sfDir: String, outDir: String): Result = {
+    val d = dump(spark, outDir, "graph_label_propagation")
+    val e0 = Graph.cooccurrenceEdges(spark, sfDir)
+    val nodes = e0.select(col("a").as("node"))
+      .union(e0.select(col("b").as("node"))).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizeBad = d.groupBy(col("community"), col("community_size"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") =!= col("community_size")).count()
+    val dn = d.select(col("node"))
+    val nodesBad = dn.exceptAll(nodes).count() + nodes.exceptAll(dn).count()
+    val lblBad = d.select(col("community").as("node")).distinct()
+      .join(nodes, Seq("node"), "left_anti").count()
+    nodes.unpersist()
+    ("lpa_check", sizeBad == 0 && nodesBad == 0 && lblBad == 0,
+      Map("rows" -> d.count(), "size_bad" -> sizeBad,
+        "node_set_bad" -> nodesBad, "label_not_node" -> lblBad))
+  }
+
   /** k-core trajectory invariants: round-0 census equals an independent
     * recount of the undirected co-occurrence edge set (nodes, edges, min
     * degree), and the trajectory is monotone non-increasing in nodes and
@@ -486,6 +514,7 @@ object ScaleChecks {
     "pq_check" -> (pqCheck _),
     "cosine_sampled_truth" -> (cosineSampledTruth _),
     "kcore_check" -> (kcoreCheck _),
+    "lpa_check" -> (lpaCheck _),
     "cc_check" -> (ccCheck _),
     "apply_check" -> (applyCheck _))
 }
