@@ -1222,15 +1222,27 @@ object Similarity {
       pqSeeds(em, PqEvalKs.max)
     }
     val codeCols = (0 until PqM).map(m => s"code$m")
+    // ONE corpus scan encodes ALL THREE codebook widths (r18: the per-k
+    // code tables were three separate em scans + checkpoints, and that
+    // build is the dominant term of the eval pair's first driver-basis
+    // run). The per-k argmin encodes are independent column expressions,
+    // so stacking them in one projection is the same work minus two
+    // scans; the per-k frames below are column slices of this memo.
+    val codesAll = IndexMemo.df(spark, dir,
+        s"pq_codes_all:${PqEvalKs.mkString("_")}") {
+      em.select(col("vec_id") +: PqEvalKs.flatMap { k =>
+        val cb = pqCodebook(seeds, k)
+        (0 until PqM).map(m =>
+          pqCode(cb, k)(col("embedding"), m).as(s"k${k}_code$m"))
+      }: _*)
+    }
     val pqState = PqEvalKs.map { k =>
       val cb = pqCodebook(seeds, k)
-      // memoized (qmod-independent index state): the code table feeds
-      // BOTH the distinct-code census and the score equi-join, and both
-      // eval variants encode against the identical codebooks
-      val codes = IndexMemo.df(spark, dir, s"pq_codes:$k") {
-        em.select(col("vec_id") +:
-          (0 until PqM).map(m => pqCode(cb, k)(col("embedding"), m).as(s"code$m")): _*)
-      }
+      // qmod-independent index state: the code table feeds BOTH the
+      // census and the member prefixes, and both eval variants encode
+      // against the identical codebooks
+      val codes = codesAll.select(col("vec_id") +:
+        (0 until PqM).map(m => col(s"k${k}_code$m").as(s"code$m")): _*)
       // the observed-code CENSUS (distinct codes + member counts) and the
       // (5+1)-smallest member ids per code are PQ index state (the ADC
       // scoring table's row domain + the factored top-k's member
