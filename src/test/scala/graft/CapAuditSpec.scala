@@ -32,7 +32,9 @@ class CapAuditSpec extends AnyFunSuite {
 
   test("every graft_bounded_collect capacity argument is a classified token") {
     val capRe = """(?s)"graft_bounded_collect"\s*,\s*[\s\S]{0,80}?lit\(([A-Za-z0-9_.]+)\)""".r
-    for ((file, src) <- mainSources if file.startsWith("ops")) {
+    for ((file, src) <- mainSources if !file.startsWith("functions")) {
+      // functions/ holds the expression's own definition/registration —
+      // every CALL site (ops, multimodal, plans, streaming, …) is audited
       val calls = "call_function\\(\"graft_bounded_collect\"".r
         .findAllMatchIn(src).size
       val caps = capRe.findAllMatchIn(src).map(_.group(1)).toList
