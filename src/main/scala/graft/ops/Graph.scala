@@ -294,7 +294,16 @@ object Graph {
     * so both engines compute the same truncation. */
   private[ops] val MaxWedgeDegree = 64
 
-  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+  /** The degree-ordered orientation + per-src wedge cap shared by
+    * [[triangleCount]] and [[ScaleChecks.triangleCheck]] (the latter
+    * recounts the SAME truncated triangle census with an independent
+    * array-intersection dataflow — sharing the derivation keeps the
+    * truncation set identical by construction; the counting algorithm is
+    * what differs). Both frames are persisted; callers unpersist via the
+    * returned handles when done (the query path leaves them to the
+    * protocol's clearCache, matching the pre-r19 behavior). */
+  private[ops] def orientedCapped(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val edges = cooccurrenceEdges(spark, dir)
     val deg = edges.select(col("a").as("n"))
       .union(edges.select(col("b").as("n")))
@@ -313,6 +322,11 @@ object Graph {
         Window.partitionBy(col("src")).orderBy(col("dst"))))
       .filter(col("rk") <= MaxWedgeDegree).drop("rk")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (oriented, capped)
+  }
+
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val (oriented, capped) = orientedCapped(spark, dir)
     val tri = capped.as("e1")
       .join(capped.as("e2"), col("e2.src") === col("e1.dst"))
       .join(oriented.as("e3"),
@@ -373,14 +387,22 @@ object Graph {
   // lexicographically-smallest neighbors bounds every node's fan-out at
   // C(D,2) deterministically in both engines — the same hot-key posture
   // as MaxBucketUsers, applied at the node tier.
-  private val MaxNeighbors = 30
+  private[ops] val MaxNeighbors = 30
 
-  def linkPrediction(spark: SparkSession, dir: String): DataFrame = {
+  /** The capped undirected adjacency shared by [[linkPrediction]] and
+    * [[ScaleChecks.linkpredCheck]] (which regenerates the SAME wedge
+    * census via array pair-expansion instead of the self-join). */
+  private[ops] def cappedAdjacency(spark: SparkSession, dir: String): DataFrame = {
     val edges = cooccurrenceEdges(spark, dir)
     val adjAll = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
     val nw = Window.partitionBy(col("a")).orderBy(col("b"))
-    val adj = adjAll.withColumn("nr", row_number().over(nw))
+    adjAll.withColumn("nr", row_number().over(nw))
       .filter(col("nr") <= MaxNeighbors).drop("nr")
+  }
+
+  def linkPrediction(spark: SparkSession, dir: String): DataFrame = {
+    val edges = cooccurrenceEdges(spark, dir)
+    val adj = cappedAdjacency(spark, dir)
     val wedges = adj.as("l").join(adj.as("r"), col("l.a") === col("r.a"))
       .filter(col("l.b") < col("r.b"))
       .groupBy(col("l.b").as("u"), col("r.b").as("v"))

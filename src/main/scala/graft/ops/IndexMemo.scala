@@ -58,10 +58,19 @@ object IndexMemo {
       }
     } catch { case _: Throwable => () }
 
+  /** Generation counter for the clear()-vs-concurrent-df() race (r18
+    * ADVICE): a builder that misses, builds against the OLD files, and
+    * then loses a clear() must NOT publish its pre-rebase candidate
+    * after the clear — the epoch read before the build is re-checked
+    * inside the publish lock and a stale candidate is discarded
+    * (unpersisted) and rebuilt against the post-clear files. */
+  @volatile private var epoch = 0L
+
   /** Drops all memoized index state (in-session testdata re-base, the
     * bench memo-off control arm, or between SparkSessions in one JVM),
     * unpersisting every dropped checkpoint's blocks. */
   def clear(): Unit = dfs.synchronized {
+    epoch += 1
     vals.clear()
     dfs.values.foreach(unpersistCheckpoint)
     dfs.clear()
@@ -69,7 +78,18 @@ object IndexMemo {
 
   def value[T](spark: SparkSession, dir: String, tag: String)(build: => T): T = {
     vals.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
-    vals.getOrElseUpdate((spark, dir, tag), build).asInstanceOf[T]
+    val key = (spark, dir, tag)
+    vals.get(key) match {
+      case Some(v) => v.asInstanceOf[T]
+      case None =>
+        val started = epoch
+        val v = build // outside the lock, same posture as df()
+        val published = dfs.synchronized {
+          if (epoch != started) None
+          else Some(vals.getOrElseUpdate(key, v).asInstanceOf[T])
+        }
+        published.getOrElse(value(spark, dir, tag)(build))
+    }
   }
 
   def df(spark: SparkSession, dir: String, tag: String)(build: => DataFrame): DataFrame = {
@@ -80,18 +100,29 @@ object IndexMemo {
     // publish race unpersist their (never-materialized) checkpoint, so
     // occasional double-evaluation strands nothing.
     val key = (spark, dir, tag)
+    // dead-session eviction runs on EVERY lookup (hit or miss — r18
+    // ADVICE: the miss-only variant let a hit-only long-lived session
+    // pin dead sessions' checkpoints forever); lock-free TrieMap removal
+    // + unpersist of the removed entry is safe outside the publish lock.
+    dfs.keysIterator.filter(_._1.sparkContext.isStopped).toList.foreach { k =>
+      dfs.remove(k).foreach(unpersistCheckpoint)
+    }
     dfs.get(key) match {
       case Some(hit) => hit
       case None =>
+        val started = epoch
         val candidate = build.localCheckpoint(false)
-        dfs.synchronized {
-          dfs.keysIterator.filter(_._1.sparkContext.isStopped).toList.foreach { k =>
-            dfs.remove(k).foreach(unpersistCheckpoint)
-          }
-          dfs.get(key) match {
-            case Some(winner) => unpersistCheckpoint(candidate); winner
-            case None => dfs.put(key, candidate); candidate
-          }
+        val published = dfs.synchronized {
+          if (epoch != started) None // clear() raced the build: candidate
+          else                       // may predate a testdata re-base
+            dfs.get(key) match {
+              case Some(winner) => unpersistCheckpoint(candidate); Some(winner)
+              case None => dfs.put(key, candidate); Some(candidate)
+            }
+        }
+        published.getOrElse {
+          unpersistCheckpoint(candidate)
+          df(spark, dir, tag)(build) // rebuild against the post-clear files
         }
     }
   }

@@ -502,6 +502,100 @@ object ScaleChecks {
       Map("langs" -> ap.count(), "mismatch" -> bad))
   }
 
+  /** Independent-algorithm recount for the triangle dump (r19 — the only
+    * graph member besides link prediction with no engine-side leg; its
+    * wedge TWIN is the documented pre-cap frontier above mod-20). The
+    * query counts the capped-truncated triangle census by a two-join
+    * wedge expansion (e1,e2 capped, closing e3 uncapped); this check
+    * recounts the SAME census with a different dataflow — per-node
+    * adjacency ARRAYS and per-edge `array_intersect` (the node-iterator
+    * formulation: for each capped edge a→b, the closing vertices are
+    * cappedOut(b) ∩ orientedOut(a)) — and requires the re-derived top-20
+    * (n_triangles DESC, user_id — the dump's own total order) to EQUAL
+    * the dump. Linear in edges × cap: array sizes are bounded by the
+    * wedge cap (capped side) and the degree-ordered O(√E) out-degree
+    * bound (oriented side), so the recount runs at the slice decades
+    * where the twin exhausts spill. Detail carries the recounted wedge
+    * census and triangle total. */
+  def triangleCheck(spark: SparkSession, sfDir: String, outDir: String): Result = {
+    val d = dump(spark, outDir, "graph_triangle_count")
+      .select(col("user_id"), col("n_triangles"))
+    val (oriented, capped) = Graph.orientedCapped(spark, sfDir)
+    val cOut = capped.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("cnbrs"))
+    val oOut = oriented.groupBy(col("src"))
+      .agg(collect_list(col("dst")).as("onbrs"))
+    // every (a → b) capped edge joined to b's capped out-array and a's
+    // oriented out-array — two node-keyed shuffles, never a cartesian
+    val perEdge = capped
+      .join(cOut.select(col("src").as("dst"), col("cnbrs")), "dst")
+      .join(oOut.select(col("src"), col("onbrs")), "src")
+      .select(col("src"), col("dst"), size(col("cnbrs")).as("n_wedges"),
+        array_intersect(col("cnbrs"), col("onbrs")).as("closing"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wedges = perEdge.agg(coalesce(sum(col("n_wedges")), lit(0L)))
+      .head().getLong(0)
+    val nTri = perEdge.agg(coalesce(sum(size(col("closing"))), lit(0L)))
+      .head().getLong(0)
+    // participation census: each triangle (a, b, c) credits all three
+    // members once — c's come from exploding the closing array, a/b are
+    // weighted by the edge's triangle count instead of exploding per
+    // triangle (same census, |closing| + 2 credit rows per edge)
+    val census = perEdge
+      .select(explode(col("closing")).as("user_id"), lit(1L).as("n"))
+      .unionByName(perEdge.select(col("src").as("user_id"),
+        size(col("closing")).cast("long").as("n")))
+      .unionByName(perEdge.select(col("dst").as("user_id"),
+        size(col("closing")).cast("long").as("n")))
+      .groupBy(col("user_id"))
+      .agg(sum(col("n")).as("n_triangles"))
+      .filter(col("n_triangles") > 0)
+    val top = census.orderBy(col("n_triangles").desc, col("user_id")).limit(20)
+    val extra = d.exceptAll(top).count()
+    val missing = top.exceptAll(d).count()
+    perEdge.unpersist()
+    oriented.unpersist(); capped.unpersist()
+    ("triangle_check", extra == 0 && missing == 0,
+      Map("dump_rows" -> d.count(), "wedges" -> wedges, "triangles" -> nTri,
+        "dump_not_rederived" -> extra, "rederived_not_dumped" -> missing))
+  }
+
+  /** Common-neighbor recount for the link-prediction dump (r19): the
+    * query derives wedge counts by a capped-adjacency SELF-JOIN; this
+    * check regenerates the identical census with array pair-expansion —
+    * each node's ≤[[Graph.MaxNeighbors]] sorted neighbor array expands
+    * to its C(n,2) ordered pairs inside ONE codegen'd projection
+    * (`transform` × `slice` × `flatten`, no join at all), bounding the
+    * expansion at N·C(30,2) rows at any SF. The re-derived top-20
+    * non-adjacent pairs (common_neighbors DESC, u, v) must EQUAL the
+    * dump, and every dumped pair must be non-adjacent in the recounted
+    * edge set (explicit soundness leg, though equality subsumes it). */
+  def linkpredCheck(spark: SparkSession, sfDir: String, outDir: String): Result = {
+    val d = dump(spark, outDir, "graph_link_prediction")
+      .select(col("u"), col("v"), col("common_neighbors"))
+    val edges = Graph.cooccurrenceEdges(spark, sfDir)
+    val adjacentDumped = d.join(edges,
+      d("u") === edges("a") && d("v") === edges("b"), "left_semi").count()
+    val nbrArr = Graph.cappedAdjacency(spark, sfDir)
+      .groupBy(col("a")).agg(sort_array(collect_list(col("b"))).as("nbrs"))
+    val pairs = nbrArr.select(explode(expr(
+      """flatten(transform(nbrs, (x, i) ->
+        |  transform(slice(nbrs, i + 2, size(nbrs) - i - 1),
+        |    y -> struct(x AS u, y AS v))))""".stripMargin)).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+    val census = pairs.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common_neighbors"))
+      .join(edges, col("u") === col("a") && col("v") === col("b"), "left_anti")
+    val top = census
+      .orderBy(col("common_neighbors").desc, col("u"), col("v")).limit(20)
+    val extra = d.exceptAll(top).count()
+    val missing = top.exceptAll(d).count()
+    ("linkpred_check",
+      adjacentDumped == 0 && extra == 0 && missing == 0,
+      Map("dump_rows" -> d.count(), "adjacent_dumped" -> adjacentDumped,
+        "dump_not_rederived" -> extra, "rederived_not_dumped" -> missing))
+  }
+
   val all: Seq[(String, (SparkSession, String, String) => Result)] = Seq(
     "skyline_proof" -> (skylineProof _),
     "bfs_proof" -> (bfsProof _),
@@ -515,6 +609,8 @@ object ScaleChecks {
     "cosine_sampled_truth" -> (cosineSampledTruth _),
     "kcore_check" -> (kcoreCheck _),
     "lpa_check" -> (lpaCheck _),
+    "triangle_check" -> (triangleCheck _),
+    "linkpred_check" -> (linkpredCheck _),
     "cc_check" -> (ccCheck _),
     "apply_check" -> (applyCheck _))
 }

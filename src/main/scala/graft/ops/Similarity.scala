@@ -1087,6 +1087,13 @@ object Similarity {
     * ×10⁶ — so both engines hash-match exactly. */
   private val IvfEvalProbes = Seq(1, 2, 4) // probed cells per operating point
   private val PqEvalKs = Seq(4, 8, 16)     // codes per subspace per operating point
+  // Recall@k of the eval tier: the exact-truth prefix, the PQ candidate
+  // top-k, the factored threshold window's k+1 cutoff and the memoized
+  // (k+1)-member prefixes ALL derive from this one constant (r18 ADVICE:
+  // the literals 5/6 were coupled across three call sites and the
+  // pq_members memo tag did not encode the prefix length, so a caller
+  // wanting a different k would have silently reused the 6-row prefix).
+  private[ops] val AnnEvalTopK = 5
 
   /** The full ANN operating-point artifact: recall@5 vs candidate/scoring
     * cost for ALL THREE approximate tiers, each swept across its tuning
@@ -1143,9 +1150,9 @@ object Similarity {
     // session-level eval infrastructure (IndexMemo), NOT shared across
     // qmods — the sampled variant must never inherit the full variant's
     // quadratic truth plan at decades where only the sample is tractable.
-    val exactTop = IndexMemo.df(spark, dir, s"ann_truth:$qmod") {
+    val exactTop = IndexMemo.df(spark, dir, s"ann_truth:$qmod:$AnnEvalTopK") {
       graft.plans.GraftOps.topKPerGroup(scored, Seq("query_id"),
-          Seq(("cos_sim", true), ("vec_id", false)), 5)
+          Seq(("cos_sim", true), ("vec_id", false)), AnnEvalTopK)
         .select(col("query_id"), col("vec_id"))
     }
 
@@ -1255,9 +1262,10 @@ object Similarity {
       val counts = IndexMemo.df(spark, dir, s"pq_counts:$k") {
         codes.groupBy(codeCols.map(col): _*).agg(count(lit(1)).as("__cnt"))
       }
-      val members = IndexMemo.df(spark, dir, s"pq_members:$k") {
+      val members = IndexMemo.df(spark, dir,
+          s"pq_members:$k:${AnnEvalTopK + 1}") {
         graft.plans.GraftOps.topKPerGroup(
-          codes, codeCols, Seq(("vec_id", false)), 6)
+          codes, codeCols, Seq(("vec_id", false)), AnnEvalTopK + 1)
       }
       (k, cb, counts, members)
     }
@@ -1333,7 +1341,7 @@ object Similarity {
           .select(col("query_id") +: col("approx_dot") +: col("__cnt") +:
             codeCols.map(col): _*)
         // factored ADC top-k (see pqAdcTopKFrom) — never corpus × queries
-        val top5 = pqAdcTopKFrom(scores, members, codeCols, 5)
+        val top5 = pqAdcTopKFrom(scores, members, codeCols, AnnEvalTopK)
           .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
         val rec = exactTop.join(top5, Seq("query_id", "vec_id"), "left_outer")
           .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hits"))
@@ -1372,6 +1380,21 @@ object Similarity {
     val membersAll = state.map { case (k, _, _, members) =>
       members.withColumn("param", lit(k))
     }.reduce(_ unionByName _)
+    // Broadcast fence (r18 ADVICE): the fused members frame is the UNION
+    // of all per-k member prefixes — up to Σ_k min(corpus, k^PqM) ×
+    // (AnnEvalTopK+1) rows, ~3× the largest per-k broadcast the unfused
+    // arm ships. The code-space term is a STATIC bound (no count job):
+    // with the current eval widths it is ≤ (4⁴+8⁴+16⁴)·6 ≈ 420k rows
+    // (~tens of MB, well inside a broadcast); a future k=64 family
+    // (64⁴·6 ≈ 10⁸ rows) crosses the fence and the member join degrades
+    // to a plain shuffle join instead — the kept side is
+    // threshold-filtered and code-keyed, so that shuffle is
+    // candidate-sized, never corpus-sized.
+    val memberRowBound = state.map { case (k, _, _, _) =>
+      math.pow(k.toDouble, PqM.toDouble) * (AnnEvalTopK + 1)
+    }.sum
+    def membersJoin(m: DataFrame): DataFrame =
+      if (memberRowBound <= 4e6) broadcast(m) else m
     val adc = state.map { case (k, cb, _, _) =>
       (col("param") === k) -> round(pqAdcTerm(cb, 0) + pqAdcTerm(cb, 1) +
         pqAdcTerm(cb, 2) + pqAdcTerm(cb, 3), 6)
@@ -1389,15 +1412,15 @@ object Similarity {
       .rowsBetween(Window.unboundedPreceding, -1)
     val kept = scores
       .withColumn("__before", coalesce(sum(col("__cnt")).over(wcum), lit(0L)))
-      .withColumn("__thr", min(when(col("__before") < 6,
+      .withColumn("__thr", min(when(col("__before") < AnnEvalTopK + 1,
         col("approx_dot"))).over(wq))
       .filter(col("approx_dot") >= col("__thr"))
       .select((gcols.map(col) :+ col("approx_dot")) ++ codeCols.map(col): _*)
-    val cand = kept.join(broadcast(membersAll), "param" +: codeCols)
+    val cand = kept.join(membersJoin(membersAll), "param" +: codeCols)
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("param"), col("query_id"), col("vec_id"), col("approx_dot"))
     val top5 = graft.plans.GraftOps.topKPerGroup(cand, gcols,
-        Seq(("approx_dot", true), ("vec_id", false)), 5)
+        Seq(("approx_dot", true), ("vec_id", false)), AnnEvalTopK)
       .select(col("param"), col("query_id"), col("vec_id"))
     val cost = countsAll.groupBy(col("param")).agg(count(lit(1)).as("nd"))
       .crossJoin(q.agg(count(lit(1)).as("nq")))

@@ -15,8 +15,8 @@ class HllNullSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   test("hll_intersection exact legs ignore NULL user_id") {
-    val base = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    val tmp = java.nio.file.Files.createTempDirectory("hllnull").toString
+    val base = spark.read.parquet(s"${TestSpark.sfDir("0.001")}/events.parquet")
+    val tmp = TestSpark.tempDir("hllnull")
     base.write.mode("overwrite").parquet(s"$tmp/clean/events.parquet")
     // one NULL-user row per event type that participates in a pair —
     // each would shift exact_a or exact_b by exactly 1 if counted
