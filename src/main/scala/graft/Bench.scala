@@ -167,6 +167,11 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       .config("spark.ui.enabled", "false")
+      // the per-query job counts (jobsFor) are read from the status store
+      // AFTER all passes; the 1000-job default retention would evict the
+      // early groups under a ~5k-job suite (a few MB of driver memory
+      // buys exact attribution)
+      .config("spark.ui.retainedJobs", "100000")
       // Pin the session timezone like Verify does: queries that bin naive
       // timestamps (e.g. join_interval_binned's hour bucket) must not
       // drift with the host TZ across DST transitions.
@@ -296,17 +301,34 @@ object Bench {
     // time to stderr so a pass-1-vs-pass-2 asymmetry (JIT, codegen cache,
     // GC debt left by a neighbor) is observable without re-instrumenting.
     val trace = sys.env.getOrElse("SPARK_GRAFT_TRACE", "0") == "1"
+    // Sequential power passes run under a per-(query, pass) JOB GROUP so
+    // the winning rep's JOB COUNT ships beside its seconds (r18 VERDICT
+    // task 2: the eval tier's committed ratios needed BENCH_NOTES' floor
+    // decomposition to pass the 2× gate — with jobs in the artifact the
+    // floor-adjusted ratio is computable from the committed files alone).
+    // Group attribution is exact (thread-local at submit); counts are
+    // read AFTER all passes so the async listener bus has drained.
     def tracedPass(tag: String) = selected.map { case (name, fn) =>
-      val t = timeOne(name, fn)
+      spark.sparkContext.setJobGroup(s"$name#$tag", name)
+      val t = try timeOne(name, fn)
+      finally spark.sparkContext.clearJobGroup()
       if (trace) System.err.println(f"[bench $tag] $name%-34s $t%7.3f")
       name -> t
     }
     val pass1 = tracedPass("p1")
     val pass2 = tracedPass("p2").toMap
+    // winning pass tag per query, kept in lockstep with the min-selection
+    // below so the job count always belongs to the rep whose seconds ship
+    val winTag = scala.collection.mutable.Map[String, String]()
     val firstPass = pass1.map { case (name, t1) =>
       val t2 = pass2.getOrElse(name, -1.0)
       // a FAILED rep never overwrites a valid one
-      name -> (if (t1 < 0) t2 else if (t2 < 0) t1 else math.min(t1, t2))
+      val (t, tag) =
+        if (t1 < 0) (t2, "p2")
+        else if (t2 < 0) (t1, "p1")
+        else if (t2 <= t1) (t2, "p2") else (t1, "p1")
+      winTag(name) = tag
+      name -> t
     }
     // Transient-stall re-run: a query whose time is wildly out of family
     // (t > max(2.5 s, 5× suite median)) gets ONE re-run, min taken. Capped
@@ -323,11 +345,21 @@ object Bench {
           // A FAILED re-run must not overwrite a valid first-pass time
           // with -1 (a transient error would then masquerade as a query
           // error); keep the slower-but-real measurement instead.
-          val r = timeOne(name, SparkEntry.queries(name))
+          spark.sparkContext.setJobGroup(s"$name#rr", name)
+          val r = try timeOne(name, SparkEntry.queries(name))
+          finally spark.sparkContext.clearJobGroup()
+          if (r >= 0 && r < t) winTag(name) = "rr"
           name -> (if (r < 0) t else math.min(t, r))
         }.toMap
         firstPass.map { case (name, t) => name -> reruns.getOrElse(name, t) }
       } else firstPass).toMap
+    // job count of each query's WINNING rep (bus has drained by now —
+    // the throughput pass below runs minutes of work before the side
+    // file is written, and statusTracker reads are cheap)
+    def jobsFor(name: String): Option[Int] =
+      winTag.get(name).map { tag =>
+        spark.sparkContext.statusTracker.getJobIdsForGroup(s"$name#$tag").length
+      }.filter(_ > 0)
     // Throughput pass (see scaladoc): same suite, K streams, wall-clock.
     // STALL-PROOFED like the power phase: the r8 artifact shipped a
     // tput_wall of 99.5 s against a true ~18 s because one ambient host
@@ -417,17 +449,42 @@ object Bench {
       val w = new java.io.PrintWriter(sidePath)
       val stalledJson =
         tputStalled.map(s => s""","tput_wall_stalled":${f"$s%.3f"}""").getOrElse("")
+      // Per-pair scheduling floor (tools/bench_pair.sh stamps QBench's
+      // same-window calibration into pair_meta.json). With it and the
+      // winning rep's job count, each ratio entry also carries `fadj` —
+      // the floor-adjusted ratio max(0, engine − jobs×floor)/duckdb — so
+      // the committed artifact certifies the gate without BENCH_NOTES'
+      // hand decomposition (r18 VERDICT task 2). The floor models
+      // LOCAL-MODE job scheduling idle (stage-wave setup + noop-commit
+      // bookkeeping a cluster amortizes), which is also what the
+      // throughput pass measures empirically.
+      val floorJob: Option[Double] =
+        try {
+          val meta = scala.io.Source.fromFile(
+            sys.env.getOrElse("SPARK_GRAFT_PAIR_META", "pair_meta.json")).mkString
+          "job=([0-9.]+)".r.findFirstMatchIn(meta).map(_.group(1).toDouble)
+        } catch { case _: Throwable => None }
       val ratioJson =
         if (duckTimes.isEmpty) ""
         else {
           val pairs = results.toSeq.sortBy(_._1).flatMap { case (k, v) =>
             duckTimes.get(k).collect { case d if d > 0 && v >= 0 =>
+              val jn = jobsFor(k)
+              val extra = (jn, floorJob) match {
+                case (Some(j), Some(f)) =>
+                  val adj = math.max(0.0, v - j * f)
+                  f""","jobs":$j,"fadj":${adj / d}%.2f"""
+                case (Some(j), None) => s""","jobs":$j"""
+                case _ => ""
+              }
               s"\"" + k + "\":{\"engine\":" + f"$v%.3f" +
                 ",\"duckdb\":" + f"$d%.4f" +
-                ",\"ratio\":" + f"${v / d}%.2f" + "}"
+                ",\"ratio\":" + f"${v / d}%.2f" + extra + "}"
             }
           }
-          s""","ratios":${pairs.mkString("{", ",", "}")}"""
+          val floorMeta = floorJob.map(f =>
+            s""","floor_job_sec":$f""").getOrElse("")
+          s"""$floorMeta,"ratios":${pairs.mkString("{", ",", "}")}"""
         }
       val pairJson = {
         val total = duckTimesRaw.values.filter(_ >= 0).sum

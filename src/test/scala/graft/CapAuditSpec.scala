@@ -24,7 +24,7 @@ class CapAuditSpec extends AnyFunSuite {
   }
   private lazy val audit = read(Paths.get("CAP_AUDIT.md"))
   private lazy val auditTokens: Set[String] =
-    """\|\s*`([A-Za-z0-9_.:]+)`\s*\|""".r
+    """\|\s*`([A-Za-z0-9_.:/()]+)`\s*\|""".r
       .findAllMatchIn(audit).map(_.group(1)).toSet
   private lazy val auditPolicies: Set[String] =
     """- `([A-Za-z0-9_]+)` —""".r
@@ -56,7 +56,7 @@ class CapAuditSpec extends AnyFunSuite {
 
   test("every cap-named integer constant is classified (and no stale rows)") {
     val constRe =
-      """\bval\s+([A-Za-z0-9_]*(?:Max|Cap|Capacity|Guard|Floor)[A-Za-z0-9_]*)\s*=\s*([0-9][0-9_]*)(?![.\deExX])""".r
+      """\bval\s+([A-Za-z0-9_]*(?:Max|Cap|Capacity|Guard|Floor|Top[Kk])[A-Za-z0-9_]*)\s*=\s*([0-9][0-9_]*)(?![.\deExX])""".r
     val found = (for ((file, src) <- mainSources;
                       m <- constRe.findAllMatchIn(src)) yield m.group(1)).toSet
     val missing = found.diff(auditTokens)
@@ -84,6 +84,47 @@ class CapAuditSpec extends AnyFunSuite {
     }
   }
 
+  /** r18 VERDICT task 6: the extractor for output-size literals —
+    * `.limit(n)` and `topKPerGroup(..., k)` with a raw numeric k — each
+    * must be classified in CAP_AUDIT.md as `<file>:limit(n)` /
+    * `<file>:topk(n)`. Factored out so the canary test below can prove
+    * an unclassified literal actually fails. */
+  private def unclassifiedOutputLiterals(
+      sources: Seq[(String, String)]): Seq[String] = {
+    val limitRe = """\.limit\((\d+)\)""".r
+    // k is the LAST argument; tolerate 3 paren-nesting levels in the
+    // preceding args (Seq(("col", true)) nests two)
+    val topkRe =
+      """topKPerGroup\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*?,\s*(?:k\s*=\s*)?(\d+)\s*\)""".r
+    sources.flatMap { case (file, src) =>
+      val lims = limitRe.findAllMatchIn(src)
+        .map(m => s"$file:limit(${m.group(1)})")
+      val topks = topkRe.findAllMatchIn(src)
+        .map(m => s"$file:topk(${m.group(1)})")
+      (lims ++ topks).toSeq.distinct.filterNot(auditTokens.contains)
+    }
+  }
+
+  test("every raw limit/top-k output literal is classified") {
+    val missing = unclassifiedOutputLiterals(mainSources)
+    assert(missing.isEmpty,
+      s"unclassified output-size literals: $missing — add '<file>:limit(n)'" +
+        " / '<file>:topk(n)' rows to CAP_AUDIT.md (class a if the twin" +
+        " mirrors the LIMIT) or derive the literal from a named constant")
+  }
+
+  test("canary: an unclassified limit literal in a new operator fails") {
+    val canary = Seq(("ops/Canary.scala",
+      """def topUsers(df: DataFrame) = df.orderBy(col("n").desc).limit(37)
+        |val t = graft.plans.GraftOps.topKPerGroup(df, Seq("g"),
+        |  Seq(("n", true)), 41)""".stripMargin))
+    val missing = unclassifiedOutputLiterals(canary)
+    assert(missing.contains("ops/Canary.scala:limit(37)"),
+      s"extractor missed the canary limit literal: $missing")
+    assert(missing.contains("ops/Canary.scala:topk(41)"),
+      s"extractor missed the canary topk literal: $missing")
+  }
+
   test("every class-b policy function exists in source and is pinned in ScalePolicySpec") {
     val allSrc = mainSources.map(_._2).mkString("\n")
     val pinSrc = read(Paths.get("src/test/scala/graft/ScalePolicySpec.scala"))
@@ -99,7 +140,7 @@ class CapAuditSpec extends AnyFunSuite {
   }
 
   test("every classified row carries a known class tag") {
-    val rowRe = """\|\s*`[A-Za-z0-9_.:]+`\s*\|\s*([a-z+]+)\s*\|""".r
+    val rowRe = """\|\s*`[A-Za-z0-9_.:/()]+`\s*\|\s*([a-z+]+)\s*\|""".r
     val classes = rowRe.findAllMatchIn(audit).map(_.group(1)).toSet
     val allowed = Set("a", "b", "a+b", "param", "strategy")
     assert(classes.nonEmpty && classes.subsetOf(allowed),

@@ -30,4 +30,25 @@ class DocsSyncSpec extends AnyFunSuite {
   test("every query has an oracle twin and vice versa (doc-level claim)") {
     assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
   }
+
+  test("SURVEY.md cites the newest CORRECTNESS_r*.json present") {
+    // r18 VERDICT task 5: the correctness claim went three rounds stale
+    // (SURVEY still cited r15 while r16-r18 artifacts existed). The doc
+    // must track the newest record in the repo root so a stale citation
+    // fails CI instead of surviving to review.
+    val rounds = new java.io.File(".").listFiles()
+      .map(_.getName)
+      .collect { case s if s.matches("CORRECTNESS_r\\d+\\.json") =>
+        s.stripPrefix("CORRECTNESS_r").stripSuffix(".json").toInt }
+    assert(rounds.nonEmpty, "no CORRECTNESS_r*.json artifacts in repo root")
+    val newest = rounds.max
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val cited = """CORRECTNESS_r(\d+) passed all""".r
+      .findFirstMatchIn(text)
+      .getOrElse(fail("SURVEY.md no longer contains the correctness claim"))
+      .group(1).toInt
+    assert(cited === newest,
+      s"SURVEY.md cites CORRECTNESS_r$cited but the newest artifact is r$newest")
+  }
 }

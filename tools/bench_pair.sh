@@ -69,8 +69,10 @@ echo "${QFLOOR:-QFLOOR unavailable}"
 settle
 python3 tools/time_duckdb.py "$OUT" "$SF" 32 --json duckdb_times.json | tail -3
 settle
-SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"'
-echo "loadavg after: $(cat /proc/loadavg)"
+# pair_meta.json is written BEFORE the bench leg: graft.Bench reads this
+# window's floor from it to stamp per-entry floor-adjusted ratios (fadj)
+# into bench_queries.json — writing it after would hand Bench the
+# PREVIOUS pair's floor.
 python3 - "$GATE" "$QFLOOR" "${LOADS[@]}" <<'EOF'
 import json, sys, datetime
 gate, qfloor, loads = sys.argv[1], sys.argv[2], sys.argv[3:]
@@ -79,5 +81,42 @@ json.dump({
     "gate": gate, "settle_loads": [float(x) for x in loads],
     "qfloor": qfloor,
 }, open("pair_meta.json", "w"), indent=1)
+EOF
+# committed snapshot for the regression diff, captured before the bench
+# leg overwrites the working-tree side file
+git show HEAD:bench_queries.json > /tmp/bench_committed_pair.json 2>/dev/null || \
+  echo '{}' > /tmp/bench_committed_pair.json
+SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS=32 sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"'
+echo "loadavg after: $(cat /proc/loadavg)"
+# Per-entry regression adjudication (r18 VERDICT task 3: tpch_q5 moved
+# +0.27 s above the round's own +0.15 s threshold and went unrecorded
+# because the round-close diff was by hand). Every >threshold mover in
+# either direction lands in pair_meta.json; BENCH_NOTES' round-close
+# section adjudicates FROM this list, so no mover can land unrecorded.
+python3 - <<'EOF'
+import json
+THRESH = 0.15
+new = json.load(open("bench_queries.json"))["queries"]
+try:
+    old = json.load(open("/tmp/bench_committed_pair.json"))["queries"]
+except Exception:
+    old = {}
+movers = sorted(
+    ({"query": q, "old": old[q], "new": t, "delta": round(t - old[q], 3)}
+     for q, t in new.items()
+     if q in old and old[q] >= 0 and t >= 0 and abs(t - old[q]) > THRESH),
+    key=lambda m: -abs(m["delta"]))
+meta = json.load(open("pair_meta.json"))
+meta["regression_threshold_sec"] = THRESH
+meta["regressions"] = [m for m in movers if m["delta"] > 0]
+meta["improvements"] = [m for m in movers if m["delta"] < 0]
+json.dump(meta, open("pair_meta.json", "w"), indent=1)
+if meta["regressions"]:
+    print(f"REGRESSIONS vs committed snapshot (>{THRESH}s):")
+    for m in meta["regressions"]:
+        print(f"  {m['query']}: {m['old']:.3f} -> {m['new']:.3f} (+{m['delta']:.3f})")
+else:
+    print(f"no regressions > {THRESH}s vs committed snapshot")
+print(f"improvements > {THRESH}s: {len(meta['improvements'])}")
 EOF
 echo "pair_meta.json written (gate=$GATE)"
