@@ -596,6 +596,87 @@ object ScaleChecks {
         "dump_not_rederived" -> extra, "rederived_not_dumped" -> missing))
   }
 
+  /** Cross-artifact recomputation for the modularity dump (r19 task 7
+    * fallback where the mod-2 twin dies in the shared co-occurrence
+    * derivation): rebuild every per-community census — n_nodes, deg_sum,
+    * e_intra — from the corpus edge list and the LPA DUMP's labels (the
+    * label table already carries lpa_check + its own twin evidence one
+    * decade down), re-assemble the contribution with the query's exact
+    * double-op order, and require full-row equality. Global invariants
+    * Σ deg_sum = 2m and Σ n_nodes = |nodes| pin the censuses to the
+    * graph. Linear: two label joins onto the edge list + key-grouped
+    * aggregation. */
+  def modularityCheck(spark: SparkSession, sfDir: String, outDir: String): Result = {
+    val d = dump(spark, outDir, "graph_modularity")
+    val labels = dump(spark, outDir, "graph_label_propagation")
+      .select(col("node"), col("community").as("lbl"))
+    val edges = Graph.cooccurrenceEdges(spark, sfDir)
+    val m = edges.count()
+    val deg = edges.select(col("a").as("node"))
+      .union(edges.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val la = labels.select(col("node").as("a"), col("lbl").as("la"))
+    val lb = labels.select(col("node").as("b"), col("lbl").as("lb"))
+    val intra = edges.join(la, "a").join(lb, "b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("e_intra"))
+    val degsum = deg.join(labels, "node")
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).cast("long").as("deg_sum"))
+    val t = col("deg_sum").cast("double") / lit(2.0 * m)
+    val expect = degsum.join(intra, Seq("lbl"), "left")
+      .na.fill(0L, Seq("e_intra"))
+      .select(col("lbl").as("community"), col("n_nodes"),
+        col("e_intra"), col("deg_sum"),
+        round(col("e_intra").cast("double") / lit(m.toDouble) - t * t, 9)
+          .as("contribution"))
+    val mismatch = d.exceptAll(expect).count() + expect.exceptAll(d).count()
+    val sums = d.agg(sum(col("deg_sum")), sum(col("n_nodes"))).head()
+    val nNodes = labels.count()
+    val degOk = sums.getLong(0) == 2 * m && sums.getLong(1) == nNodes
+    ("modularity_check", mismatch == 0 && degOk,
+      Map("communities" -> d.count(), "m" -> m, "nodes" -> nNodes,
+        "mismatch" -> mismatch,
+        "deg_sum_total" -> sums.getLong(0), "n_nodes_total" -> sums.getLong(1)))
+  }
+
+  /** Independent-formulation recomputation for the assortativity scalar:
+    * the query accumulates (m2, Σx, Σx², Σxy) by broadcasting the degree
+    * table onto BOTH edge endpoints; this check derives the same exact
+    * integer moments from the degree DISTRIBUTION alone — over the
+    * symmetrized list, m2 = Σ deg, Σx = Σ deg², Σx² = Σ deg³, and Σxy =
+    * Σ_a deg(a)·S(a) with S(a) the neighbor-degree sum (one join + one
+    * aggregate, a different dataflow) — then assembles r with the
+    * query's exact double-op order and requires row equality. Exact:
+    * decimal(38,0) accumulators; equal integers cast to equal doubles. */
+  def assortativityCheck(spark: SparkSession, sfDir: String, outDir: String): Result = {
+    val d = dump(spark, outDir, "graph_assortativity")
+    val edges = Graph.cooccurrenceEdges(spark, sfDir)
+    val und = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+    val deg = und.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val s = und.join(deg.select(col("a").as("b"), col("deg").as("db")), "b")
+      .groupBy(col("a")).agg(sum(col("db").cast("decimal(38,0)")).as("snbr"))
+    val mom = deg.join(s, "a")
+      .agg(sum(col("deg").cast("decimal(38,0)")).as("m2d"),
+        sum((col("deg") * col("deg")).cast("decimal(38,0)")).as("sx"),
+        sum((col("deg") * col("deg")).cast("decimal(38,0)") * col("deg")).as("sxx"),
+        sum(col("deg").cast("decimal(38,0)") * col("snbr")).as("sxy"))
+    val n = col("m2d").cast("double")
+    val num = n * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val den = n * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val expect = mom.select(
+      expr("m2d div 2").cast("long").as("n_edges"),
+      when(den > 0.0, round(num / den, 6)).as("assortativity"))
+    deg.unpersist()
+    val bad = d.exceptAll(expect).count() + expect.exceptAll(d).count()
+    ("assortativity_check", bad == 0,
+      Map("mismatch" -> bad, "dump_rows" -> d.count()))
+  }
+
   val all: Seq[(String, (SparkSession, String, String) => Result)] = Seq(
     "skyline_proof" -> (skylineProof _),
     "bfs_proof" -> (bfsProof _),
@@ -611,6 +692,8 @@ object ScaleChecks {
     "lpa_check" -> (lpaCheck _),
     "triangle_check" -> (triangleCheck _),
     "linkpred_check" -> (linkpredCheck _),
+    "modularity_check" -> (modularityCheck _),
+    "assortativity_check" -> (assortativityCheck _),
     "cc_check" -> (ccCheck _),
     "apply_check" -> (applyCheck _))
 }

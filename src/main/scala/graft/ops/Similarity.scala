@@ -881,6 +881,38 @@ object Similarity {
       codeCols, k)
   }
 
+  /** Factored ADC top-k fed from MEMOIZED census/member index state —
+    * the r19 re-run of the r14 factored-vs-score-join A/B under the r18
+    * memo regime: the per-code census and the member prefixes are PQ
+    * index state (qmod-independent, the same side of the memo line as
+    * the code tables), so the per-rep query cost is the queries×4096
+    * score broadcast + the threshold window + one member join — the
+    * corpus is not scanned at all once the index is built. The memo TAGS
+    * are the eval tier's: pqSeeds is prefix-consistent (first-k corpus
+    * vectors), so the k=[[PqK]] codebook — and therefore the census and
+    * prefixes — are byte-identical whichever path builds them first, and
+    * the ADC query and the recall evals share one checkpoint. The
+    * eval-length (AnnEvalTopK+1)-row prefix is a SUPERSET of the k+1
+    * this query needs: members of one code share approx_dot, so rows
+    * past the (k+1)-smallest ids are dominated within their code and
+    * can never enter the top-k (oracle-checked — same output). */
+  private def pqAdcTopKMemo(spark: SparkSession, dir: String,
+      codes: => DataFrame, scores: DataFrame,
+      codeCols: Seq[String], k: Int): DataFrame = {
+    require(k + 1 <= AnnEvalTopK + 1,
+      s"memoized member prefixes carry ${AnnEvalTopK + 1} rows; top-$k needs ${k + 1}")
+    val counts = IndexMemo.df(spark, dir, s"pq_counts:$PqK") {
+      codes.groupBy(codeCols.map(col): _*).agg(count(lit(1)).as("__cnt"))
+    }
+    val members = IndexMemo.df(spark, dir,
+        s"pq_members:$PqK:${AnnEvalTopK + 1}") {
+      graft.plans.GraftOps.topKPerGroup(
+        codes, codeCols, Seq(("vec_id", false)), AnnEvalTopK + 1)
+    }
+    pqAdcTopKFrom(scores.join(broadcast(counts), codeCols), members,
+      codeCols, k)
+  }
+
   /** [[pqAdcTopK]] with the per-code index state precomputed: `scored`
     * must carry the per-code member count as `__cnt` (the observed-code
     * census) and `members` the (k+1)-smallest member ids per code. The
@@ -938,7 +970,14 @@ object Similarity {
     val scores = broadcast(queries).crossJoin(allCodes)
       .withColumn("approx_dot", round(dm(0) + dm(1) + dm(2) + dm(3), 6))
       .select((col("query_id") +: col("approx_dot") +: codeCols.map(col)): _*)
-    pqAdcTopK(codes, scores, codeCols, 3)
+    // default arm: memoized index state (pqAdcTopKMemo); the two control
+    // arms (score-join, unmemoized factored) stay re-measurable for the
+    // BENCH_NOTES A/B tables
+    val top = if (sys.env.get("SPARK_GRAFT_AB_ADC").exists(
+        v => v == "join" || v == "nomemo"))
+      pqAdcTopK(codes, scores, codeCols, 3)
+    else pqAdcTopKMemo(spark, dir, codes, scores, codeCols, 3)
+    top
       .select(col("query_id"), col("vec_id"), col("approx_dot"), col("rnk"))
       .orderBy(col("query_id"), col("rnk"))
   }

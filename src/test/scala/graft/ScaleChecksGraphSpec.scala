@@ -23,6 +23,12 @@ class ScaleChecksGraphSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$d/graph_triangle_count")
     Graph.linkPrediction(spark, sfDir).coalesce(1)
       .write.mode("overwrite").parquet(s"$d/graph_link_prediction")
+    Graph.labelPropagation(spark, sfDir).coalesce(1)
+      .write.mode("overwrite").parquet(s"$d/graph_label_propagation")
+    Graph.modularity(spark, sfDir).coalesce(1)
+      .write.mode("overwrite").parquet(s"$d/graph_modularity")
+    Graph.assortativity(spark, sfDir).coalesce(1)
+      .write.mode("overwrite").parquet(s"$d/graph_assortativity")
     d
   }
 
@@ -45,6 +51,36 @@ class ScaleChecksGraphSpec extends AnyFunSuite {
       .withColumn("n_triangles", col("n_triangles") + 1)
       .write.mode("overwrite").parquet(s"$bad/graph_triangle_count")
     val (_, pass, _) = ScaleChecks.triangleCheck(spark, sfDir, bad)
+    assert(!pass)
+  }
+
+  test("modularity_check passes on a faithful dump") {
+    val (_, pass, detail) = ScaleChecks.modularityCheck(spark, sfDir, outDir)
+    assert(pass, detail.toString)
+  }
+
+  test("assortativity_check passes on a faithful dump") {
+    val (_, pass, detail) = ScaleChecks.assortativityCheck(spark, sfDir, outDir)
+    assert(pass, detail.toString)
+  }
+
+  test("modularity_check canary: a shifted census must fail") {
+    val bad = TestSpark.tempDir("scalechecks-mod-bad")
+    spark.read.parquet(s"$outDir/graph_label_propagation")
+      .write.mode("overwrite").parquet(s"$bad/graph_label_propagation")
+    spark.read.parquet(s"$outDir/graph_modularity")
+      .withColumn("e_intra", col("e_intra") + 1)
+      .write.mode("overwrite").parquet(s"$bad/graph_modularity")
+    val (_, pass, _) = ScaleChecks.modularityCheck(spark, sfDir, bad)
+    assert(!pass)
+  }
+
+  test("assortativity_check canary: a perturbed scalar must fail") {
+    val bad = TestSpark.tempDir("scalechecks-ast-bad")
+    spark.read.parquet(s"$outDir/graph_assortativity")
+      .withColumn("assortativity", col("assortativity") + 0.001)
+      .write.mode("overwrite").parquet(s"$bad/graph_assortativity")
+    val (_, pass, _) = ScaleChecks.assortativityCheck(spark, sfDir, bad)
     assert(!pass)
   }
 
