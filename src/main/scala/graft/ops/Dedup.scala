@@ -1342,32 +1342,47 @@ object Dedup {
         .as("p"))
       .select(col("bands"), col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cost = candAll.groupBy(col("bands")).agg(count(lit(1)).as("cand_pairs"))
-    val schemes = BandSchemes.map(_._1).map(b => lit(b))
-    // Anchor the output on the 3-row schemes frame (LEFT joins +
-    // coalesce), not on the truth aggregation: an empty truth tier (the
-    // sampled variant at tiny SFs can legitimately have no ≥0.8 pairs in
-    // its slice) must still emit one row per scheme with zero counts —
-    // the shape the twin's scalar-COUNT CTEs produce.
-    val schemesDf = sigs.sparkSession.range(1)
-      .select(explode(array(schemes: _*)).as("bands"))
-    // literal explode, not crossJoin(broadcast(3-row frame)): same
-    // cartesian, no broadcast-exchange job on the rep's critical path
-    val rec = truth
-      .select(col("d1"), col("d2"), explode(array(schemes: _*)).as("bands"))
-      .join(candAll.withColumn("hit", lit(1)), Seq("bands", "d1", "d2"),
+    // ONE aggregation settles cost AND recall (r19): n_truth is
+    // scheme-INDEPENDENT (the truth label set is the same for every
+    // banding scheme — the old per-scheme count was |truth| three
+    // times), so the truth×schemes explode + its (bands, d1, d2)
+    // shuffle join and the separate cost aggregation collapse into a
+    // single pass over the candidate pairs: LEFT-join the broadcast
+    // truth labels on (d1, d2), then per-bands count(*) = cand_pairs
+    // and count(hit) = n_recalled (both sides are distinct pair sets,
+    // so the candidate-side count of matched pairs equals the old
+    // truth-side hit count). This also drops candAll's persist — the
+    // frame now has exactly one consumer. Truth is pair-sized
+    // (near-dup-bounded; the SAMPLED variant is the scale path and its
+    // truth is slice-bounded by design), hence the broadcast; past a
+    // broadcastable truth this degrades to the same-key shuffle join.
+    val n_truth_scalar = truth.agg(count(lit(1)).as("n_truth"))
+    val rec = candAll
+      .join(broadcast(truth.withColumn("hit", lit(1))), Seq("d1", "d2"),
         "left_outer")
       .groupBy(col("bands"))
-      .agg(count(lit(1)).as("n_truth"), count(col("hit")).as("n_recalled"))
+      .agg(count(lit(1)).as("cand_pairs"), count(col("hit")).as("n_recalled"))
+    val schemes = BandSchemes.map(_._1).map(b => lit(b))
+    // Anchor the output on the 3-row schemes frame (LEFT joins +
+    // coalesce), not on the candidate aggregation: an empty truth tier
+    // or a candidate-less scheme (the sampled variant at tiny SFs) must
+    // still emit one row per scheme with zero counts — the shape the
+    // twin's scalar-COUNT CTEs produce.
+    val schemesDf = sigs.sparkSession.range(1)
+      .select(explode(array(schemes: _*)).as("bands"))
     broadcast(schemesDf)
       .join(rec, Seq("bands"), "left_outer")
-      .join(broadcast(cost), Seq("bands"), "left_outer")
+      .crossJoin(broadcast(n_truth_scalar))
       .select(col("bands"),
         expr(s"$NumHashes div bands").cast("int").as("rows_per_band"),
-        coalesce(col("n_truth"), lit(0L)).as("n_truth"),
+        col("n_truth"),
         coalesce(col("n_recalled"), lit(0L)).as("n_recalled"),
-        expr("coalesce(n_recalled, 0L) * 1000000 div n_truth").as("recall_fp"),
+        // guard the 0-truth slice explicitly: the old truth-anchored join
+        // yielded NULL n_truth there (NULL div → NULL); the scalar count
+        // is 0 instead, and 0 div 0 must stay NULL, not an ANSI error
+        expr("CASE WHEN n_truth = 0 THEN NULL " +
+          "ELSE coalesce(n_recalled, 0L) * 1000000 div n_truth END")
+          .as("recall_fp"),
         coalesce(col("cand_pairs"), lit(0L)).as("cand_pairs"))
       .orderBy(col("bands"))
   }
