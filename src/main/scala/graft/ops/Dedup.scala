@@ -1356,7 +1356,12 @@ object Dedup {
     // (near-dup-bounded; the SAMPLED variant is the scale path and its
     // truth is slice-bounded by design), hence the broadcast; past a
     // broadcastable truth this degrades to the same-key shuffle join.
-    val n_truth_scalar = truth.agg(count(lit(1)).as("n_truth"))
+    // the truth COUNT is itself index state (a scalar of the memoized
+    // label set) — memoized like the frame, so the per-rep plan carries
+    // it as a literal instead of paying a count job + 1-row broadcast
+    val nTruth: Long = IndexMemo.value(spark, dir, s"band_truth_n:$sliceTag") {
+      truth.count()
+    }
     val rec = candAll
       .join(broadcast(truth.withColumn("hit", lit(1))), Seq("d1", "d2"),
         "left_outer")
@@ -1372,7 +1377,7 @@ object Dedup {
       .select(explode(array(schemes: _*)).as("bands"))
     broadcast(schemesDf)
       .join(rec, Seq("bands"), "left_outer")
-      .crossJoin(broadcast(n_truth_scalar))
+      .withColumn("n_truth", lit(nTruth))
       .select(col("bands"),
         expr(s"$NumHashes div bands").cast("int").as("rows_per_band"),
         col("n_truth"),
