@@ -444,6 +444,52 @@ object Bench {
       pairAgeSec >= 0 && pairAgeSec <= maxPairAge
     val duckTimes: Map[String, Double] =
       if (pairMatched) duckTimesRaw else Map.empty
+    // FLOOR FRESHNESS GUARD (r19 ADVICE, medium): floor_job_sec/fadj come
+    // from pair_meta.json, which tools/bench_pair.sh stamps with
+    // generated_utc in the SAME settled window as duckdb_times.json (and
+    // strictly after it — the floor calibration and oracle leg bracket
+    // the bench leg). A standalone Bench run outside the pair script
+    // would otherwise silently stamp whatever calibration is lying
+    // around — the r12 unmatched-pair failure mode, reintroduced for the
+    // floor term. The floor is REFUSED (omitted from both the side file
+    // and stdout) when its generated_utc is missing, older than the pair
+    // age limit, or EARLIER than the DuckDB basis' own stamp (a floor
+    // measured before the oracle leg belongs to a previous pair's
+    // window). `gate` (settled/forced) rides along so BENCH_rN.json is
+    // self-explaining without BENCH_NOTES (r19 VERDICT task 3).
+    val (floorJob, pairGate, settleMax): (Option[Double], String, Option[Double]) =
+      try {
+        val meta = scala.io.Source.fromFile(
+          sys.env.getOrElse("SPARK_GRAFT_PAIR_META", "pair_meta.json")).mkString
+        def inst(s: Option[String]) = s.flatMap { ts =>
+          try Some(java.time.Instant.parse(ts)) catch { case _: Throwable => None }
+        }
+        val gen = inst("\"generated_utc\"\\s*:\\s*\"([^\"]+)\"".r
+          .findFirstMatchIn(meta).map(_.group(1)))
+        val ageOk = gen.exists { i =>
+          val a = java.time.Duration.between(i, java.time.Instant.now()).getSeconds
+          a >= 0 && a <= maxPairAge
+        }
+        val windowOk = (gen, inst(duckMeta.get("generated_utc"))) match {
+          case (Some(g), Some(d)) => !g.isBefore(d)
+          case _                  => false
+        }
+        val gate = "\"gate\"\\s*:\\s*\"([^\"]+)\"".r
+          .findFirstMatchIn(meta).map(_.group(1)).getOrElse("none")
+        val sMax = "\"settle_loads\"\\s*:\\s*\\[([^\\]]*)\\]".r
+          .findFirstMatchIn(meta).map(_.group(1))
+          .flatMap(b => "[0-9.]+".r.findAllIn(b).map(_.toDouble)
+            .toSeq.reduceOption(_ max _))
+        if (ageOk && windowOk)
+          ("job=([0-9.]+)".r.findFirstMatchIn(meta).map(_.group(1).toDouble),
+            gate, sMax)
+        else {
+          System.err.println(
+            s"[bench] pair_meta floor refused (ageOk=$ageOk windowOk=$windowOk)" +
+              " — omitting floor_job_sec/fadj")
+          (None, "stale", sMax)
+        }
+      } catch { case _: Throwable => (None, "none", None) }
     try {
       val sidePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json")
       val w = new java.io.PrintWriter(sidePath)
@@ -457,13 +503,8 @@ object Bench {
       // hand decomposition (r18 VERDICT task 2). The floor models
       // LOCAL-MODE job scheduling idle (stage-wave setup + noop-commit
       // bookkeeping a cluster amortizes), which is also what the
-      // throughput pass measures empirically.
-      val floorJob: Option[Double] =
-        try {
-          val meta = scala.io.Source.fromFile(
-            sys.env.getOrElse("SPARK_GRAFT_PAIR_META", "pair_meta.json")).mkString
-          "job=([0-9.]+)".r.findFirstMatchIn(meta).map(_.group(1).toDouble)
-        } catch { case _: Throwable => None }
+      // throughput pass measures empirically. (floorJob itself is parsed
+      // above, behind the freshness guard.)
       val ratioJson =
         if (duckTimes.isEmpty) ""
         else {
@@ -506,7 +547,21 @@ object Bench {
     // same-window engine/DuckDB pair from a stale basis without the side
     // file; pm is 1/0 (matched/unmatched) to keep the line compact.
     val pm = if (pairMatched) 1 else 0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":$sfJson%s,"errors":$errors%d,"tput_wall":$tputWall%.3f,"tput_errors":$tputErrors%d$stalledStdout%s,"streams":$streams%d,"load0":$load0%.2f,"load1":$load1%.2f,"pm":$pm%d,"pair_age_sec":$pairAgeSec%d}""")
+    // Floor-normalized total beside the raw one (r19 VERDICT task 3):
+    // value_fadj = Σ max(0, wall − jobs×floor) — what the run would read
+    // with the measured per-job scheduling idle removed. Queries whose
+    // job count the status store missed subtract nothing (conservative).
+    // gate/floor/settle_max make BENCH_rN.json self-adjudicating: a
+    // window-inflated driver leg (r19: 54.09 s at load1 11.5 vs the same
+    // day's settled 41.74 s) is readable as such from the artifact alone.
+    val fadjStdout = floorJob.map { f =>
+      val adj = results.toSeq.collect { case (k, v) if v >= 0 =>
+        math.max(0.0, v - jobsFor(k).getOrElse(0) * f)
+      }.sum
+      f""","floor":$f%s,"value_fadj":$adj%.3f"""
+    }.getOrElse("")
+    val settleStdout = settleMax.map(s => f""","settle_max":$s%.2f""").getOrElse("")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":$sfJson%s,"errors":$errors%d,"tput_wall":$tputWall%.3f,"tput_errors":$tputErrors%d$stalledStdout%s,"streams":$streams%d,"load0":$load0%.2f,"load1":$load1%.2f,"pm":$pm%d,"pair_age_sec":$pairAgeSec%d,"gate":"$pairGate%s"$fadjStdout%s$settleStdout%s}""")
     spark.stop()
   }
 }

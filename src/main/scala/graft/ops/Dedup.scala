@@ -1354,16 +1354,24 @@ object Dedup {
     // truth-side hit count). This also drops candAll's persist — the
     // frame now has exactly one consumer. Truth is pair-sized
     // (near-dup-bounded; the SAMPLED variant is the scale path and its
-    // truth is slice-bounded by design), hence the broadcast; past a
-    // broadcastable truth this degrades to the same-key shuffle join.
+    // truth is slice-bounded by design), hence the broadcast — but an
+    // explicit broadcast hint is NOT size-gated by Spark (an over-size
+    // truth fails the job at the broadcast hard limit rather than
+    // degrading), so the hint is fenced on nTruth (r19 ADVICE, the
+    // membersJoin pattern from Similarity): the count is already free —
+    // memoized index state, a literal in the per-rep plan, no count job
+    // — and past the fence the join becomes a plain (d1,d2)-keyed
+    // shuffle join, candidate-sized on both sides.
     // the truth COUNT is itself index state (a scalar of the memoized
     // label set) — memoized like the frame, so the per-rep plan carries
     // it as a literal instead of paying a count job + 1-row broadcast
     val nTruth: Long = IndexMemo.value(spark, dir, s"band_truth_n:$sliceTag") {
       truth.count()
     }
+    def truthJoin(t: DataFrame): DataFrame =
+      if (nTruth <= 4000000L) broadcast(t) else t
     val rec = candAll
-      .join(broadcast(truth.withColumn("hit", lit(1))), Seq("d1", "d2"),
+      .join(truthJoin(truth.withColumn("hit", lit(1))), Seq("d1", "d2"),
         "left_outer")
       .groupBy(col("bands"))
       .agg(count(lit(1)).as("cand_pairs"), count(col("hit")).as("n_recalled"))

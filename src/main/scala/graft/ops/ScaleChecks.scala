@@ -555,8 +555,12 @@ object ScaleChecks {
     val missing = top.exceptAll(d).count()
     perEdge.unpersist()
     oriented.unpersist(); capped.unpersist()
-    ("triangle_check", extra == 0 && missing == 0,
-      Map("dump_rows" -> d.count(), "wedges" -> wedges, "triangles" -> nTri,
+    // r19 ADVICE: the check ran only on slices known to contain
+    // triangles, so an empty dump meeting an empty recount is evidence
+    // of a broken dump path, not agreement — require dump_rows > 0.
+    val dumpRows = d.count()
+    ("triangle_check", dumpRows > 0 && extra == 0 && missing == 0,
+      Map("dump_rows" -> dumpRows, "wedges" -> wedges, "triangles" -> nTri,
         "dump_not_rederived" -> extra, "rederived_not_dumped" -> missing))
   }
 
@@ -590,9 +594,13 @@ object ScaleChecks {
       .orderBy(col("common_neighbors").desc, col("u"), col("v")).limit(20)
     val extra = d.exceptAll(top).count()
     val missing = top.exceptAll(d).count()
+    // non-vacuity: the top-20 dump is nonempty on every slice this check
+    // targets, so empty-vs-empty agreement must fail (r19 ADVICE, same
+    // guard as triangle_check)
+    val dumpRows = d.count()
     ("linkpred_check",
-      adjacentDumped == 0 && extra == 0 && missing == 0,
-      Map("dump_rows" -> d.count(), "adjacent_dumped" -> adjacentDumped,
+      dumpRows > 0 && adjacentDumped == 0 && extra == 0 && missing == 0,
+      Map("dump_rows" -> dumpRows, "adjacent_dumped" -> adjacentDumped,
         "dump_not_rederived" -> extra, "rederived_not_dumped" -> missing))
   }
 
@@ -633,11 +641,16 @@ object ScaleChecks {
     val mismatch = d.exceptAll(expect).count() + expect.exceptAll(d).count()
     val sums = d.agg(sum(col("deg_sum")), sum(col("n_nodes"))).head()
     val nNodes = labels.count()
-    val degOk = sums.getLong(0) == 2 * m && sums.getLong(1) == nNodes
+    // r19 ADVICE: an empty/degenerate dump makes both sums NULL — that
+    // must be a clean FAIL row, not an NPE out of getLong. (-1 sentinels
+    // in the detail map mark the null case.)
+    val degOk = !sums.isNullAt(0) && !sums.isNullAt(1) &&
+      sums.getLong(0) == 2 * m && sums.getLong(1) == nNodes
     ("modularity_check", mismatch == 0 && degOk,
       Map("communities" -> d.count(), "m" -> m, "nodes" -> nNodes,
         "mismatch" -> mismatch,
-        "deg_sum_total" -> sums.getLong(0), "n_nodes_total" -> sums.getLong(1)))
+        "deg_sum_total" -> (if (sums.isNullAt(0)) -1L else sums.getLong(0)),
+        "n_nodes_total" -> (if (sums.isNullAt(1)) -1L else sums.getLong(1))))
   }
 
   /** Independent-formulation recomputation for the assortativity scalar:
