@@ -113,10 +113,25 @@ object AdvancedJoins {
   def percentiles(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val li = Tables.lineitem(spark, dir)
-    exactPercentiles(li, "l_returnflag", Seq(
-        ("l_quantity", 0.5, "p50_qty"),
-        ("l_quantity", 0.9, "p90_qty"),
-        ("l_extendedprice", 0.5, "p50_price")))
+    // Default arm: narrow per-column chains (graft.ops
+    // .gridBucketPercentiles — l_quantity is a 50-value grid, resolved
+    // census-only; l_extendedprice is effectively continuous, bucket
+    // census + refinement). SPARK_GRAFT_AB_PCT=sorted is the BENCH_NOTES
+    // control arm: the r15 unified-explode sorted-rank plan, kept
+    // re-measurable for the r20 A/B (0.95 → 0.62 s in-shell min-of-5).
+    val arm =
+      if (sys.env.get("SPARK_GRAFT_AB_PCT").contains("sorted"))
+        exactPercentiles(li, "l_returnflag", Seq(
+          ("l_quantity", 0.5, "p50_qty"),
+          ("l_quantity", 0.9, "p90_qty"),
+          ("l_extendedprice", 0.5, "p50_price")))
+      else
+        gridBucketPercentiles(li, "l_returnflag",
+          gridSpecs = Seq(
+            ("l_quantity", 0.5, "p50_qty"),
+            ("l_quantity", 0.9, "p90_qty")),
+          contSpecs = Seq(("l_extendedprice", 0.5, "p50_price")))
+    arm
       .select(col("l_returnflag"),
         round(col("p50_qty"), 6).as("p50_qty"),
         round(col("p90_qty"), 6).as("p90_qty"),

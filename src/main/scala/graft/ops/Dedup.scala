@@ -1368,8 +1368,18 @@ object Dedup {
     val nTruth: Long = IndexMemo.value(spark, dir, s"band_truth_n:$sliceTag") {
       truth.count()
     }
+    // Join strategy splits by variant (r20, VERDICT task 4): the SLICED
+    // variant's candidate and truth sides are both slice-bounded, so the
+    // broadcast-exchange JOB the hint spawns (one per rep, pure floor at
+    // the slice's size) costs more than just shuffling both tiny sides
+    // inside the main job — shuffle_hash there, and the sweep collapses
+    // into a single job. The full variant keeps the broadcast, fenced on
+    // the memoized truth count (an unfenced hint would hard-fail past
+    // the broadcast limit rather than degrade).
     def truthJoin(t: DataFrame): DataFrame =
-      if (nTruth <= 4000000L) broadcast(t) else t
+      if (docMod.isDefined) t.hint("shuffle_hash")
+      else if (nTruth <= 4000000L) broadcast(t)
+      else t
     val rec = candAll
       .join(truthJoin(truth.withColumn("hit", lit(1))), Seq("d1", "d2"),
         "left_outer")
@@ -1381,10 +1391,18 @@ object Dedup {
     // or a candidate-less scheme (the sampled variant at tiny SFs) must
     // still emit one row per scheme with zero counts — the shape the
     // twin's scalar-COUNT CTEs produce.
+    // JOIN-FREE anchoring (r20): the old broadcast(schemes) left join
+    // paid a broadcast-exchange job for a 3-row frame every rep; a
+    // zero-count schemes union folded through the same bands aggregate
+    // is plan-equivalent (rec's bands ⊆ schemes, so sum = rec + 0) and
+    // rides the existing exchange.
     val schemesDf = sigs.sparkSession.range(1)
-      .select(explode(array(schemes: _*)).as("bands"))
-    broadcast(schemesDf)
-      .join(rec, Seq("bands"), "left_outer")
+      .select(explode(array(schemes: _*)).as("bands"),
+        lit(0L).as("cand_pairs"), lit(0L).as("n_recalled"))
+    rec.unionByName(schemesDf)
+      .groupBy(col("bands"))
+      .agg(sum(col("cand_pairs")).as("cand_pairs"),
+        sum(col("n_recalled")).as("n_recalled"))
       .withColumn("n_truth", lit(nTruth))
       .select(col("bands"),
         expr(s"$NumHashes div bands").cast("int").as("rows_per_band"),

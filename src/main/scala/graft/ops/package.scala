@@ -200,4 +200,135 @@ package object ops {
       assembled.join(broadcast(ext), group)
     }
   }
+
+  /** Spark `percentile`'s interpolation, bit-identical:
+    * `(ceil−pos)·v_lo + (pos−floor)·v_hi` (the exact-hit branch returns
+    * v_lo untouched). Shared by [[exactPercentilesWith]] and
+    * [[gridBucketPercentiles]] so every arm assembles the same double. */
+  private def pctInterp(out: String): Column = {
+    val pos = col(s"__pos_$out"); val lo = floor(pos); val hi = ceil(pos)
+    when(lo === hi, col(s"__vlo_$out")).otherwise(
+      (hi.cast(DoubleType) - pos) * col(s"__vlo_$out") +
+        (pos - lo.cast(DoubleType)) * col(s"__vhi_$out"))
+      .as(out)
+  }
+
+  /** Exact interpolated percentiles, the NARROW-CHAIN shape (r19 VERDICT
+    * task 2a): value-identical to [[exactPercentiles]] but restructured
+    * around the measured cost model of the r19 pair — at bench SFs every
+    * subtree execution costs ~0.1 s of scheduling/scan overhead
+    * regardless of row count (a 60 M-row `range` sum and a 600 k-row
+    * parquet scan both clock ~0.11 s warm), so the win is FEWER SUBTREE
+    * EXECUTIONS, not fewer rows:
+    *
+    *   - NO generator: the unified (vn, value)-exploded census paid 2×
+    *     struct-explode passes; here each value column gets its own
+    *     narrow column-pruned chain (A/B'd 0.95 → 0.66 s in-shell).
+    *   - `gridCols` (small-domain grids — l_quantity is a 50-value
+    *     integer grid at every SF) census at FULL value granularity:
+    *     the census row IS the boundary value, so the refinement pass
+    *     disappears for them entirely (the kcore histogram-median
+    *     shape, Graph.scala:520).
+    *   - continuous columns keep the two-pass bucket-census +
+    *     refinement selection ([[exactPercentilesWith]]'s mechanism —
+    *     l_extendedprice measures 594 k distinct of 600 k rows at
+    *     sf0.1, so a full-value census would be data-sized and its
+    *     single-partition census sort a 100 TB scale defect).
+    *   - assembly is JOIN-FREE: per-chain 3-row results union and
+    *     re-aggregate on the group key (max over null-padded columns)
+    *     instead of broadcast-joining — a broadcast assembly re-executes
+    *     one side's whole chain as the broadcast-exchange job (the v2
+    *     A/B arm measured 1.0 s: its shared census fed both the locator
+    *     broadcast and the main job and ran twice).
+    *
+    * At 100 TB: per-column passes are column-pruned scans with map-side
+    * combined censuses (≤ groups·cells rows each), the locator broadcast
+    * is target-sized, and nothing sorts more than a census partition.
+    * Callers must have registered [[graft.functions.GraftFunctions]]. */
+  def gridBucketPercentiles(df: org.apache.spark.sql.DataFrame, group: String,
+      gridSpecs: Seq[(String, Double, String)],
+      contSpecs: Seq[(String, Double, String)]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val allOuts = (gridSpecs ++ contSpecs).map(_._3)
+    val wBelow = Window.partitionBy(col(group), col("__vn")).orderBy(col("__k"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(col(group), col("__vn"))
+    // census rows (group, __vn, __k, __c) -> cumulative (+__below, +__n)
+    def cumulate(census: org.apache.spark.sql.DataFrame) = census
+      .withColumn("__below", coalesce(sum(col("__c")).over(wBelow), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(wTot))
+    def padded(res: org.apache.spark.sql.DataFrame, outs: Seq[String]) =
+      res.select((col(group) +: allOuts.map(o =>
+        if (outs.contains(o)) col(o) else lit(null).cast(DoubleType).as(o))): _*)
+    // ---- grid chains: census at value granularity, no refinement ----
+    val gridChains = gridSpecs.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (v, specs) =>
+        val census = df
+          .groupBy(col(group), col(v).cast(DoubleType).as("__k"))
+          .agg(count(lit(1)).as("__c"))
+          .withColumn("__vn", lit(v))
+        val cum = cumulate(census)
+        val aggCols = specs.flatMap { case (_, p, out) =>
+          val pos = lit(p) * (col("__n") - 1).cast(DoubleType)
+          val rlo = floor(pos) + 1
+          val rhi = ceil(pos) + 1
+          Seq(
+            min(when(rlo > col("__below") && rlo <= col("__below") + col("__c"),
+              col("__k"))).as(s"__vlo_$out"),
+            min(when(rhi > col("__below") && rhi <= col("__below") + col("__c"),
+              col("__k"))).as(s"__vhi_$out"),
+            max(pos).as(s"__pos_$out"))
+        }
+        val res = cum.groupBy(col(group)).agg(aggCols.head, aggCols.tail: _*)
+          .select((col(group) +: specs.map { case (_, _, out) => pctInterp(out) }): _*)
+        padded(res, specs.map(_._3))
+    }
+    // ---- continuous chains: bucket census locator + refinement ----
+    val contChains = contSpecs.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (v, specs) =>
+        val census = df
+          .select(col(group), col(v).cast(DoubleType).as("__vv"))
+          .withColumn("__k", shiftright(
+            call_function("graft_sortable_bits", col("__vv")), PctBktShift))
+          .groupBy(col(group), col("__k")).agg(count(lit(1)).as("__c"))
+          .withColumn("__vn", lit(v))
+        val specArr = array(specs.flatMap { case (_, p, out) =>
+          val pos = lit(p) * (col("__n") - 1).cast(DoubleType)
+          Seq(
+            struct(lit(out).as("out"), lit("lo").as("which"),
+              (floor(pos) + 1).as("rank"), pos.as("pos")),
+            struct(lit(out).as("out"), lit("hi").as("which"),
+              (ceil(pos) + 1).as("rank"), pos.as("pos")))
+        }: _*)
+        val tloc = cumulate(census).withColumn("__t", explode(specArr))
+          .filter(col("__t.rank") > col("__below") &&
+            col("__t.rank") <= col("__below") + col("__c"))
+          .select(col(group), col("__k"), col("__t.out").as("__out"),
+            col("__t.which").as("__which"), col("__t.rank").as("__rank"),
+            col("__t.pos").as("__pos"), col("__below"))
+        val pp = df.select(col(group), col(v).cast(DoubleType).as("__vv"))
+          .withColumn("__k", shiftright(
+            call_function("graft_sortable_bits", col("__vv")), PctBktShift))
+        val wl = Window.partitionBy(col(group), col("__k"), col("__out"),
+          col("__which")).orderBy(col("__vv"))
+        val vals = pp.join(broadcast(tloc), Seq(group, "__k"))
+          .withColumn("__lrn", row_number().over(wl))
+          .filter(col("__below") + col("__lrn") === col("__rank"))
+        val aggCols = specs.flatMap { case (_, _, out) =>
+          Seq(
+            min(when(col("__out") === out && col("__which") === "lo",
+              col("__vv"))).as(s"__vlo_$out"),
+            min(when(col("__out") === out && col("__which") === "hi",
+              col("__vv"))).as(s"__vhi_$out"),
+            max(when(col("__out") === out, col("__pos"))).as(s"__pos_$out"))
+        }
+        val res = vals.groupBy(col(group)).agg(aggCols.head, aggCols.tail: _*)
+          .select((col(group) +: specs.map { case (_, _, out) => pctInterp(out) }): _*)
+        padded(res, specs.map(_._3))
+    }
+    // ---- join-free assembly: union the null-padded chains, fold by max
+    val unioned = (gridChains ++ contChains).reduce(_ unionByName _)
+    val folded = allOuts.map(o => max(col(o)).as(o))
+    unioned.groupBy(col(group)).agg(folded.head, folded.tail: _*)
+  }
 }

@@ -79,4 +79,53 @@ class PercentileRefinementPropSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("gridBucketPercentiles equals Spark's percentile aggregate (both chain kinds)") {
+    // The r20 narrow-chain arm (graft.ops.gridBucketPercentiles) must be
+    // value-identical to the aggregate on BOTH paths: a grid column
+    // resolved census-only AND a continuous column through the bucket
+    // census + refinement chain — same adversarial regimes as above.
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(4000) { i =>
+      val g = s"g${i % 7}"
+      val cont = (i % 7) match {
+        case 0 => rnd.nextDouble() * 1e6 - 5e5
+        case 1 => -1000.0 - rnd.nextDouble()
+        case 2 => 42.0
+        case 3 => rnd.nextDouble() * 1e-8
+        case 4 => rnd.nextInt(3).toDouble
+        case 5 => math.pow(10, rnd.nextInt(12) - 6) * rnd.nextDouble()
+        case _ => rnd.nextGaussian()
+      }
+      // grid regime: small integer domain with heavy ties (the
+      // l_quantity shape), including negatives
+      val grid = (rnd.nextInt(50) - 10).toDouble
+      (g, grid, cont)
+    } :+ (("solo", 17.0, 17.5))
+    val df = rows.toDF("g", "gv", "cv")
+    val got = graft.ops.gridBucketPercentiles(df, "g",
+        gridSpecs = Seq(("gv", 0.5, "g50"), ("gv", 0.9, "g90")),
+        contSpecs = Seq(("cv", 0.5, "c50"), ("cv", 0.99, "c99")))
+      .orderBy(col("g")).collect()
+    val want = df.groupBy(col("g"))
+      .agg(expr("percentile(gv, 0.5)").as("g50"),
+        expr("percentile(gv, 0.9)").as("g90"),
+        expr("percentile(cv, 0.5)").as("c50"),
+        expr("percentile(cv, 0.99)").as("c99"))
+      .select(col("g"), col("g50"), col("g90"), col("c50"), col("c99"))
+      .orderBy(col("g")).collect()
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (a, b) =>
+      assert(a.getString(0) === b.getString(0))
+      // result column order: allOuts = grid outs then cont outs
+      val names = Seq("g50", "g90", "c50", "c99")
+      names.zipWithIndex.foreach { case (n, k) =>
+        val x = a.getDouble(a.fieldIndex(n))
+        val y = b.getDouble(k + 1)
+        assert(x === y, s"group ${a.getString(0)} $n: got $x want $y")
+      }
+    }
+  }
 }
