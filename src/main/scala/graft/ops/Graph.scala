@@ -42,6 +42,12 @@ object Graph {
     // in- and out-degree ≥ 1 (no dangling-mass handling needed)
     val edges = e0.select(col("a").as("src"), col("b").as("dst"))
       .union(e0.select(col("b").as("src"), col("a").as("dst")))
+      // Persisted so the events-scan + distinct + union chain runs ONCE
+      // (r20): the broadcast(deg) build job evaluates it for the degree
+      // aggregate and populates this cache lazily in passing; the main
+      // job's `ed` build then reads the cache instead of re-deriving the
+      // chain. Min-of-7 A/B at sf0.1: 0.93 → 0.56 s, identical rows.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // The degree table IS the node table (unique per src, node-sized):
     // nodes, N, and r0 all derive from this one cached aggregate — no
     // separate distinct pass. Persisted node-sized; the edge table joins
@@ -81,6 +87,14 @@ object Graph {
           expr(s"(15 * ($Scale div nn)) div 100 + (85 * inc) div 100").as("r"),
           col("nn"))
     }
+    // Remaining jobs audit (r19 VERDICT task 6): listener-traced at
+    // sf0.1 — the 3 jobs are the two broadcast-exchange builds (deg:
+    // node-sized degree/node table; nDf: the 1-row N) plus the main
+    // unrolled-rounds job (top-20 plans as TakeOrderedAndProject — no
+    // sort-sampling job). Both broadcasts are semantically forced by the
+    // broadcast-join strategy, which is itself the measured winner for a
+    // node-sized build side; the rank-join side stays shuffle-hash (the
+    // 100 TB posture — see the r17 A/B above).
     rFinal.select(col("node"), col("r"))
       .orderBy(col("r").desc, col("node")).limit(20)
   }
@@ -483,8 +497,24 @@ object Graph {
         .select(col("dst").as("node"), (col("dist") + 1).as("dist"))
       val merged =
         d.union(nxt).groupBy(col("node")).agg(min(col("dist")).as("dist"))
-      if (bfsBroadcast) merged.localCheckpoint(false) else merged
+      // LAZY per-round persist (r20, the kcore shape): round r's frame
+      // has TWO consumers in round r+1 (the frontier-expand join AND the
+      // union), and exchange reuse does not cover both — the un-persisted
+      // fold re-evaluated each prior round's chain down both arms, rounds
+      // × floor in recompute. The persist stays lazy (no eager barrier,
+      // still ONE job); round r+1 reads the round-r cache instead of its
+      // lineage. Min-of-5 A/B at sf0.1: 1.13 → 0.73 s, identical rows.
+      if (bfsBroadcast) merged.localCheckpoint(false)
+      else merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
+    // Remaining jobs audit (r19 VERDICT task 6): listener-traced at
+    // sf0.1 — job 1 is the events parquet footer/schema read (the nanos
+    // vs micros branch in Tables.events must inspect the file schema),
+    // job 2 is the range-partitioner SAMPLING pass of this global
+    // orderBy, job 3 the sorted output. Both extra jobs are semantically
+    // forced: the schema branch by the shipped testdata generations, the
+    // sampling by the full-table total-order contract (the result is
+    // node-sized, so a single-partition sort is not the 100 TB shape).
     dFinal.orderBy(col("dist"), col("node"))
   }
 
