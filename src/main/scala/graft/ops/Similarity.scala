@@ -577,7 +577,12 @@ object Similarity {
   /** Oracle-side twin of [[lloydCentroids]]: the `cents0 … cents<rounds>`
     * CTE chain (unrolled fixed-round Lloyd with identical arithmetic).
     * Callers append their own CTEs referencing `cents<rounds>`. */
-  private[ops] def lloydCtesSql(k: Any, rounds: Int): String = {
+  private[ops] def lloydCtesSql(k: Any, rounds: Int): String =
+    lloydCtesSql(k, rounds, "embeddings")
+
+  /** [[lloydCtesSql]] trained on an arbitrary source CTE/table `src` —
+    * the upsert tier trains on the pre-batch base corpus. */
+  private[ops] def lloydCtesSql(k: Any, rounds: Int, src: String): String = {
     // argmin by (distance, cid) as a TWO-PASS grouped min — MIN(d) per
     // vector, equality-rejoin, MIN(cid) among ties: identical
     // lexicographic (d, cid) semantics to the MIN(struct) form it
@@ -591,7 +596,7 @@ object Similarity {
       s"""dist$n AS (
          |  SELECT e.vec_id, c.cid,
          |    c.csq - 2 * ${sqlDot("e.embedding", "c.centroid")} AS d
-         |  FROM embeddings e, $prev c),
+         |  FROM $src e, $prev c),
          |assign$n AS (
          |  SELECT am.vec_id, e.embedding, am.cid
          |  FROM (SELECT t.vec_id, MIN(t.cid) AS cid
@@ -600,7 +605,7 @@ object Similarity {
          |              FROM dist$n GROUP BY vec_id) mn
          |          ON t.vec_id = mn.vec_id AND t.d = mn.dmin
          |        GROUP BY t.vec_id) am
-         |  JOIN embeddings e ON e.vec_id = am.vec_id),
+         |  JOIN $src e ON e.vec_id = am.vec_id),
          |dims$n AS (
          |  SELECT cid, unnest(embedding) AS x,
          |         generate_subscripts(embedding, 1) AS pos
@@ -623,7 +628,7 @@ object Similarity {
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid,
        |    list_sum(list_transform(embedding,
        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS csq
-       |  FROM embeddings WHERE vec_id < $k),
+       |  FROM $src WHERE vec_id < $k),
        |$roundCtes""".stripMargin
   }
 
@@ -766,6 +771,114 @@ object Similarity {
       |    WHERE m.vec_id <> p.query_id) s)
       |SELECT query_id, vec_id, cos_sim, rnk FROM reranked
       |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+  }
+
+  private[ops] val UpsertBatchMod = 10L // vec_id % 10 = 0 is "today's batch"
+
+  /** IVF index MAINTENANCE as a first-class query (r19 VERDICT task 7 —
+    * the vector-lakehouse shape): a new-vector batch (vec_id ≡ 0 mod
+    * [[UpsertBatchMod]], standing in for today's embedding run) merges
+    * into the EXISTING inverted file without retraining. The quantizer
+    * is trained on the pre-batch BASE corpus only and then FROZEN — the
+    * batch is assigned to the frozen cells (one narrow projection, no
+    * Lloyd rounds touch it), exactly how FAISS/Milvus-style stores do
+    * incremental adds between periodic re-trains. Output is the merged
+    * cell DIRECTORY: one row per quantizer cell with the pre-batch
+    * census, the batch increment, the merged total, and the batch-id
+    * sum (an exact content check on WHICH vectors landed where, not
+    * just how many). All-integer output → driver hash-checkable.
+    *
+    * 100 TB: training reads the base once (bounded driver state, k×dim);
+    * the upsert itself is ONE narrow scan of the batch + a cell-keyed
+    * census — batch-sized, not corpus-sized. The base census here stands
+    * in for the stored index's member counts (a real deployment reads
+    * them from the index metadata instead of re-deriving them; the
+    * re-derivation keeps the query self-contained and oracle-checkable).
+    * Assembly is the r20 join-free union fold. */
+  def annIndexUpsert(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val em = Tables.embeddings(spark, dir)
+    val base = em.filter(pmod(col("vec_id"), lit(UpsertBatchMod)) =!= 0)
+    val batch = em.filter(pmod(col("vec_id"), lit(UpsertBatchMod)) === 0)
+    val k = ivfCellsFor(
+      IndexMemo.value(spark, dir, "emb_base_count")(base.count()))
+    // frozen quantizer = index state (memoized like the IVF tier's)
+    val cents = IndexMemo.value(spark, dir, s"lloydScaledBase:$k:$IvfRounds") {
+      lloydCentroidsScaled(base, k, IvfRounds)
+    }
+    val bc = broadcastQuantizer(em, cents)
+    // cell directory from the driver-side quantizer state (k ints — a
+    // literal, no job): cells that receive no base or batch member must
+    // still emit their row, the lakehouse partition-listing contract
+    val dirDf = em.sparkSession.range(1)
+      .select(explode(typedLit(cents.map(_._1))).as("cid"),
+        lit(0L).as("n_base"), lit(0L).as("n_added"), lit(0L).as("added_id_sum"))
+    val baseCensus = assignCellsBc(base, bc)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_base"))
+      .select(col("cid"), col("n_base"), lit(0L).as("n_added"),
+        lit(0L).as("added_id_sum"))
+    val addCensus = assignCellsBc(batch, bc)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_added"),
+        sum(col("vec_id")).cast("long").as("added_id_sum"))
+      .select(col("cid"), lit(0L).as("n_base"), col("n_added"),
+        col("added_id_sum"))
+    dirDf.unionByName(baseCensus).unionByName(addCensus)
+      .groupBy(col("cid"))
+      .agg(sum(col("n_base")).cast("long").as("n_base"),
+        sum(col("n_added")).cast("long").as("n_added"),
+        sum(col("added_id_sum")).cast("long").as("added_id_sum"))
+      .select(col("cid"), col("n_base"), col("n_added"),
+        (col("n_base") + col("n_added")).as("n_total"), col("added_id_sum"))
+      .orderBy(col("cid"))
+  }
+
+  /** Oracle twin: identical Lloyd chain trained on the base CTE, frozen
+    * assignment of the batch, merged directory censuses. */
+  val annIndexUpsertSql: String = {
+    val fin = s"cents$IvfRounds"
+    val kSql = "GREATEST(8, CAST(ceil(sqrt(" +
+      s"(SELECT COUNT(*) FROM embeddings WHERE vec_id % $UpsertBatchMod <> 0)" +
+      ")) AS BIGINT))"
+    s"""WITH base AS (
+      |  SELECT * FROM embeddings WHERE vec_id % $UpsertBatchMod <> 0),
+      |batch AS (
+      |  SELECT * FROM embeddings WHERE vec_id % $UpsertBatchMod = 0),
+      |${lloydCtesSql(kSql, IvfRounds, "base")},
+      |distb AS (
+      |  SELECT e.vec_id, c.cid,
+      |    c.csq - 2 * ${sqlDot("e.embedding", "c.centroid")} AS d
+      |  FROM base e, $fin c),
+      |base_cells AS (
+      |  SELECT t.vec_id, MIN(t.cid) AS cid
+      |  FROM distb t
+      |  JOIN (SELECT vec_id, MIN(d) AS dmin FROM distb GROUP BY vec_id) mn
+      |    ON t.vec_id = mn.vec_id AND t.d = mn.dmin
+      |  GROUP BY t.vec_id),
+      |dista AS (
+      |  SELECT e.vec_id, c.cid,
+      |    c.csq - 2 * ${sqlDot("e.embedding", "c.centroid")} AS d
+      |  FROM batch e, $fin c),
+      |batch_cells AS (
+      |  SELECT t.vec_id, MIN(t.cid) AS cid
+      |  FROM dista t
+      |  JOIN (SELECT vec_id, MIN(d) AS dmin FROM dista GROUP BY vec_id) mn
+      |    ON t.vec_id = mn.vec_id AND t.d = mn.dmin
+      |  GROUP BY t.vec_id),
+      |bcensus AS (
+      |  SELECT cid, COUNT(*) AS n_base FROM base_cells GROUP BY cid),
+      |acensus AS (
+      |  SELECT cid, COUNT(*) AS n_added, SUM(vec_id) AS added_id_sum
+      |  FROM batch_cells GROUP BY cid)
+      |SELECT d.cid,
+      |  CAST(coalesce(b.n_base, 0) AS BIGINT) AS n_base,
+      |  CAST(coalesce(a.n_added, 0) AS BIGINT) AS n_added,
+      |  CAST(coalesce(b.n_base, 0) + coalesce(a.n_added, 0) AS BIGINT)
+      |    AS n_total,
+      |  CAST(coalesce(a.added_id_sum, 0) AS BIGINT) AS added_id_sum
+      |FROM (SELECT cid FROM $fin) d
+      |LEFT JOIN bcensus b ON b.cid = d.cid
+      |LEFT JOIN acensus a ON a.cid = d.cid
+      |ORDER BY d.cid""".stripMargin
   }
 
   // Capacity-literal audit (r13): PqK is a PRECISION/space knob, not a

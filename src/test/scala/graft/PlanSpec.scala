@@ -199,6 +199,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!corpusCartesian, s"no cartesian may touch the corpus:\n$plan")
   }
 
+  test("ann index upsert: narrow frozen-cell assignment, join-free census fold") {
+    // The upsert is batch-sized work: cell assignment must be a narrow
+    // projection against the broadcast quantizer (no join, no cartesian
+    // anywhere), and the directory/base/batch censuses must assemble via
+    // the union fold (no join operator at all in the plan).
+    val plan = planString(ops.Similarity.annIndexUpsert(spark, dir))
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"upsert must stay join-free (union-fold assembly):\n$plan")
+    assert(plan.contains("Union"), s"expected the union census fold:\n$plan")
+  }
+
   test("triangle count: every join is an equi-join, never a cartesian") {
     val plan = ops.Graph.triangleCount(spark, dir)
       .queryExecution.executedPlan.toString
