@@ -59,23 +59,39 @@ object GoldenParity {
     // (xxhash64 over every column, golden column order on both sides):
     // identical diff-count semantics — a row is unmatched iff its
     // fingerprint is unmatched, up to a ~n²/2⁶⁴ ≈ 1.3e-10 collision
-    // probability at 49,647 rows — while the two exceptAll shuffles
-    // carry 8-byte rows instead of 53-column ones (2.3 → ~0.9 s for the
-    // whole census). Value-level 53-column exceptAll equality stays
-    // pinned in FeaturesGoldenSpec; this census is the driver-visible
+    // probability at 49,647 rows — while the shuffles carry 8-byte rows
+    // instead of 53-column ones (2.3 → ~0.9 s for the whole census).
+    // Value-level 53-column exceptAll equality stays pinned in
+    // FeaturesGoldenSpec; this census is the driver-visible
     // reconciliation, exactly the fingerprint-compare shape a 100 TB
     // parity job uses.
+    //
+    // r20 (guide §2.4): BOTH diff directions come from ONE
+    // count-by-fingerprint full-outer join instead of two exceptAlls.
+    // |A∖B| = Σ_h max(0, cntA(h)−cntB(h)) and symmetrically — the
+    // definition of multiset difference — so the two directions share
+    // the same per-side count aggregate instead of re-evaluating each
+    // side's whole subtree per direction. The old shape executed the
+    // Features pipeline 3× and scanned the two parquet inputs 10× in
+    // total (each exceptAll re-planned both sides); this one evaluates
+    // Features 2× (census + fingerprint pass) and scans each input at
+    // most twice: 10 scans/5 exchanges → 3 scans/3 small exchanges
+    // (plans/r20/flagship_golden_parity_{before,after}.txt).
     val gcols = golden.columns.toSeq
     def fp(df: DataFrame): DataFrame =
       df.select(xxhash64(gcols.map(col): _*).as("h"))
-    val fpDerived = fp(derived)
-    val fpGolden = fp(golden)
-    val diffs = fpDerived.exceptAll(fpGolden)
-      .agg(count(lit(1)).as("value"))
-      .select(lit("diff_derived_minus_golden").as("metric"), col("value"))
-      .union(fpGolden.exceptAll(fpDerived)
-        .agg(count(lit(1)).as("value"))
-        .select(lit("diff_golden_minus_derived").as("metric"), col("value")))
+    val cd = fp(derived).groupBy(col("h")).agg(count(lit(1)).as("cd"))
+    val cg = fp(golden).groupBy(col("h")).agg(count(lit(1)).as("cg"))
+    val diffs = cd.join(cg, Seq("h"), "full_outer")
+      .select(coalesce(col("cd"), lit(0L)).as("cd"),
+        coalesce(col("cg"), lit(0L)).as("cg"))
+      .agg(
+        coalesce(sum(greatest(col("cd") - col("cg"), lit(0L))), lit(0L))
+          .as("dmg"),
+        coalesce(sum(greatest(col("cg") - col("cd"), lit(0L))), lit(0L))
+          .as("gmd"))
+      .select(expr("stack(2, 'diff_derived_minus_golden', dmg, " +
+        "'diff_golden_minus_derived', gmd) as (metric, value)"))
     census.union(diffs).orderBy(col("metric"))
   }
 

@@ -252,14 +252,51 @@ object Lakehouse {
         sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_updated"))
 
   def cdcApply(spark: SparkSession, dir: String): DataFrame = {
-    val log = cdcLog(spark, dir)
-    val w = Window.partitionBy(col("o_orderkey"))
-      .orderBy(col("version").desc)
-    val last = log.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-    val opCounts = log.groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("n_log_rows"))
-    cdcCensus(last).join(opCounts, "o_orderstatus")
+    // r20 rewrite (guide §2.3/§2.4), value-identical to the window+join
+    // shape (LakehouseSpec pins parity against cdcLog + window):
+    //
+    //  - ONE-SCAN log: the synthetic I/U/D entries are generated per
+    //    base row as an array and exploded, instead of cdcLog's 3-arm
+    //    union whose every consumer re-scanned orders 3× (and this query
+    //    had two consumers: 6 scans).
+    //  - last-writer-wins as an AGGREGATE, not a window: versions are
+    //    distinct within a key, so max(struct(version, …)) IS the
+    //    row_number()=1 row, without the window's per-partition sort and
+    //    with map-side partial aggregation (every key's log rows are
+    //    born in one input partition, so the exchange carries ~1 row per
+    //    key).
+    //  - the per-status log-row count rides the SAME aggregate (a key's
+    //    status is constant across its log rows), so the separate
+    //    opCounts aggregate + broadcast join disappears. A status whose
+    //    every key ends deleted must still vanish from the output (the
+    //    old inner join dropped it with the empty census row) — the
+    //    n_live > 0 filter keeps that contract exactly.
+    //
+    //  6 scans / 3 exchanges / window sort / join → 1 scan / 2 exchanges
+    //  (plans/r20/merge_cdc_apply_{before,after}.txt). At 100 TB a real
+    //  CDC log is an input table, and this is the one-pass compaction
+    //  census shape over it.
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    def entry(v: Column, op: Column, price: Column): Column =
+      struct(v.as("version"), op.as("op"),
+        col("o_orderstatus").as("o_orderstatus"), price.as("o_totalprice"))
+    val log = o.select(col("o_orderkey"), explode(filter(array(
+        entry(lit(1L), lit("I"), col("o_totalprice")),
+        when(pmod(col("o_orderkey"), lit(3L)) === 0,
+          entry(lit(2L), lit("U"), col("o_totalprice") + lit(10.0))),
+        when(pmod(col("o_orderkey"), lit(10L)) === 0,
+          entry(lit(3L), lit("D"), col("o_totalprice")))),
+        x => x.isNotNull)).as("e"))
+    val last = log.groupBy(col("o_orderkey"))
+      .agg(max(col("e")).as("s"), count(lit(1)).as("n_log"))
+    last.groupBy(col("s.o_orderstatus").as("o_orderstatus"))
+      .agg(
+        count(when(col("s.op") =!= "D", lit(1))).as("n_live"),
+        dsum(when(col("s.op") =!= "D", col("s.o_totalprice"))).as("sum_price"),
+        sum(when(col("s.op") === "U", 1L).otherwise(0L)).as("n_updated"),
+        sum(col("n_log")).as("n_log_rows"))
+      .filter(col("n_live") > 0)
       .orderBy(col("o_orderstatus"))
   }
 
