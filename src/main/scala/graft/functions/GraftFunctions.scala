@@ -57,7 +57,8 @@ object GraftFunctions {
         width = args(2).eval().asInstanceOf[Number].intValue())
     },
     "graft_cms_estimate" -> { args => CountMinEstimate(args(0), args(1)) },
-    "graft_sortable_bits" -> { args => SortableDoubleBits(args(0)) }
+    "graft_sortable_bits" -> { args => SortableDoubleBits(args(0)) },
+    "graft_norm_text" -> { args => NormText(args(0)) }
   )
 
   def register(spark: SparkSession): Unit = {
@@ -142,6 +143,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CharNGrams].getName, "graft_char_ngrams"),
       (args: Seq[Expression]) => CharNGrams(args(0),
         args(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("graft_norm_text"),
+      new ExpressionInfo(classOf[NormText].getName, "graft_norm_text"),
+      (args: Seq[Expression]) => NormText(args(0))))
     ext.injectOptimizerRule(_ => VecDotSelfToSqNorm)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }

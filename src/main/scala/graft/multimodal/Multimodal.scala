@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import graft.Tables
+import graft.ops.SmallSortOps
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -112,7 +113,7 @@ object Multimodal {
         (sum(col("width")).cast(DoubleType) / count(lit(1))).as("avg_width"),
         max(col("n_frames")).as("max_frames"),
         sum(col("size_bytes")).cast("long").as("total_bytes"))
-      .orderBy(col("kind"))
+      .sortSmall(col("kind"))
 
   val decodeStatsSql: String =
     """WITH d AS (

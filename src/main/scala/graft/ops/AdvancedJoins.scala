@@ -74,7 +74,7 @@ object AdvancedJoins {
     o.groupBy(col("o_orderstatus"))
       .pivot("o_orderpriority", Priorities)
       .count()
-      .orderBy(col("o_orderstatus"))
+      .sortSmall(col("o_orderstatus"))
   }
 
   val pivotStatusPrioritySql: String =
@@ -136,7 +136,7 @@ object AdvancedJoins {
         round(col("p50_qty"), 6).as("p50_qty"),
         round(col("p90_qty"), 6).as("p90_qty"),
         round(col("p50_price"), 6).as("p50_price"))
-      .orderBy(col("l_returnflag"))
+      .sortSmall(col("l_returnflag"))
   }
 
   val percentilesSql: String =
@@ -272,7 +272,7 @@ object AdvancedJoins {
       .unionAll(stage("b_view", v))
       .unionAll(stage("c_click_after_view", c))
       .unionAll(stage("d_purchase_after_click", p))
-      .orderBy(col("stage"))
+      .sortSmall(col("stage"))
   }
 
   val eventsFunnelSql: String =
@@ -317,7 +317,7 @@ object AdvancedJoins {
         col("user_id"))
       .groupBy(col("cohort_week"), col("week_no"))
       .agg(countDistinct(col("user_id")).as("n_users"))
-      .orderBy(col("cohort_week"), col("week_no"))
+      .sortSmall(col("cohort_week"), col("week_no"))
   }
 
   val retentionCohortsSql: String =
@@ -396,7 +396,7 @@ object AdvancedJoins {
       .distinct()
       .withColumn("dist", levenshtein(col("s1"), col("s2")))
       .filter(col("dist") <= FuzzyK)
-      .orderBy(col("s1"), col("s2"))
+      .sortSmall(col("s1"), col("s2"))
   }
 
   /** Oracle twin: the exhaustive length-banded quadratic program — an

@@ -26,7 +26,7 @@ object Aggregations {
         davg(col("l_quantity")).as("avg_qty"),
         davg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
+      .sortSmall(col("l_returnflag"), col("l_linestatus"))
   }
 
   val pricingSummarySql: String =
@@ -48,7 +48,7 @@ object Aggregations {
         count(lit(1)).as("n_orders"),
         countDistinct(col("o_custkey")).as("n_customers"),
         countDistinct(col("o_orderpriority")).as("n_priorities"))
-      .orderBy(col("o_orderstatus"))
+      .sortSmall(col("o_orderstatus"))
   }
 
   val countDistinctSql: String =
@@ -68,7 +68,7 @@ object Aggregations {
         max(col("l_shipdate")).as("max_shipdate"),
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"))
-      .orderBy(col("l_returnflag"))
+      .sortSmall(col("l_returnflag"))
   }
 
   val statsMinMaxSql: String =
@@ -89,7 +89,7 @@ object Aggregations {
         coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
         col("n_rows"), col("sum_qty"))
-      .orderBy(col("returnflag"), col("linestatus"))
+      .sortSmall(col("returnflag"), col("linestatus"))
   }
 
   val rollupSql: String =
@@ -109,7 +109,7 @@ object Aggregations {
         coalesce(col("o_orderstatus"), lit("(all)")).as("orderstatus"),
         coalesce(col("o_orderpriority"), lit("(all)")).as("orderpriority"),
         col("n_orders"), col("sum_price"))
-      .orderBy(col("orderstatus"), col("orderpriority"))
+      .sortSmall(col("orderstatus"), col("orderpriority"))
   }
 
   val cubeSql: String =
@@ -128,7 +128,7 @@ object Aggregations {
     val o = Tables.orders(spark, dir)
     o.groupBy(date_trunc("month", col("o_orderdate")).as("month_start"))
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
-      .orderBy(col("month_start"))
+      .sortSmall(col("month_start"))
   }
 
   val monthlyOrdersSql: String =
@@ -150,7 +150,7 @@ object Aggregations {
         coalesce(col("o_orderstatus"), lit("(all)")).as("orderstatus"),
         coalesce(col("o_orderpriority"), lit("(all)")).as("orderpriority"),
         col("n_orders"), col("sum_price"))
-      .orderBy(col("orderstatus"), col("orderpriority"))
+      .sortSmall(col("orderstatus"), col("orderpriority"))
   }
 
   val groupingSetsSql: String =
@@ -220,7 +220,7 @@ object Aggregations {
             col("exact_orders") <= 0.10).as("orders_ok"),
           (abs(col("ap") - col("exact_parts")).cast(DoubleType) /
             col("exact_parts") <= 0.10).as("parts_ok"))
-        .orderBy(col("l_returnflag"))
+        .sortSmall(col("l_returnflag"))
     } else {
       val pairs = li.selectExpr("l_returnflag",
           "stack(2, 'o', l_orderkey, 'p', l_partkey) as (t, v)")
@@ -238,7 +238,7 @@ object Aggregations {
             col("exact_orders") <= 0.10).as("orders_ok"),
           (abs(col("ap") - col("exact_parts")).cast(DoubleType) /
             col("exact_parts") <= 0.10).as("parts_ok"))
-        .orderBy(col("l_returnflag"))
+        .sortSmall(col("l_returnflag"))
     }
   }
 
@@ -289,7 +289,7 @@ object Aggregations {
         (abs(col("aq")(1) - col("eq90")) / col("eq90") <= 0.05).as("q90_ok"),
         (abs(col("aq")(2) - col("eq99")) / col("eq99") <= 0.05).as("q99_ok"),
         (abs(col("amq") - col("emq")) / col("emq") <= 0.05).as("median_qty_ok"))
-      .orderBy(col("l_returnflag"))
+      .sortSmall(col("l_returnflag"))
   }
 
   val approxQuantilesSql: String =
@@ -307,7 +307,7 @@ object Aggregations {
     o.groupBy(floor(col("o_totalprice") / lit(500.0)).as("bucket"))
       .agg(count(lit(1)).as("n_orders"),
         dsum(col("o_totalprice")).as("total_price"))
-      .orderBy(col("bucket"))
+      .sortSmall(col("bucket"))
   }
 
   val histogramSql: String =
@@ -339,7 +339,7 @@ object Aggregations {
       .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
         col("n"), col("group_total"),
         expr("(n * 1000000) div group_total").as("share_fp"))
-      .orderBy(col("o_orderstatus"))
+      .sortSmall(col("o_orderstatus"))
   }
 
   /** Sketch RE-aggregation — the pattern that makes sketches matter at
@@ -369,7 +369,7 @@ object Aggregations {
         col("exact_users"),
         (abs(col("est_users") - col("exact_users")).cast(DoubleType) /
           col("exact_users") <= 0.05).as("est_ok"))
-      .orderBy(col("event_type"))
+      .sortSmall(col("event_type"))
   }
 
   val sketchReaggregationSql: String =
@@ -420,7 +420,7 @@ object Aggregations {
         (lit(1.0) - col("sum_sq").cast("double") /
           (col("n_events").cast("decimal(19,0)") * col("n_events"))
             .cast("double")).as("gini"))
-      .orderBy(col("cohort"))
+      .sortSmall(col("cohort"))
   }
 
   val giniImpuritySql: String =
@@ -462,7 +462,7 @@ object Aggregations {
       .agg(max(col("totw")).as("total_weight"),
         min(when(col("cumw") * 2 >= col("totw"), col("n_chars"))).as("wp50_chars"),
         min(when(col("cumw") * 10 >= col("totw") * 9, col("n_chars"))).as("wp90_chars"))
-      .orderBy(col("lang"))
+      .sortSmall(col("lang"))
   }
 
   val weightedPercentilesSql: String =
@@ -562,7 +562,7 @@ object Aggregations {
         (abs(col("est_a") + col("est_b") - col("est_u") - col("exact_inter"))
           .cast(DoubleType) /
           greatest(col("exact_inter"), lit(1L)) <= 0.15).as("inter_ok"))
-      .orderBy(col("type_a"))
+      .sortSmall(col("type_a"))
   }
 
   val hllIntersectionSql: String = {
@@ -619,7 +619,7 @@ object Aggregations {
     viaBitmap.join(exact, "event_type")
       .select(col("event_type"), col("n_words"), col("n_distinct"),
         col("n_exact"), (col("n_distinct") === col("n_exact")).as("exact_match"))
-      .orderBy(col("event_type"))
+      .sortSmall(col("event_type"))
   }
 
   val bitmapDistinctSql: String =

@@ -46,7 +46,7 @@ object CustomAgg {
     li.groupBy(col("l_returnflag"))
       .agg(wavg(col("l_extendedprice"), col("l_discount")).as("weighted_avg_discount"),
         count(lit(1)).as("n_rows"))
-      .orderBy(col("l_returnflag"))
+      .sortSmall(col("l_returnflag"))
   }
 
   val weightedAvgDiscountSql: String =

@@ -53,9 +53,14 @@ object Dedup {
     * distinct surviving forms, and how many dropped — plus the canonical
     * (minimum) id sum as a content check on WHICH docs survived. */
   def exactNormalized(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val d = Tables.documents(spark, dir)
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    // r20: the lower→strip→collapse→trim chain runs as the single-pass
+    // graft_norm_text codegen expression (one byte scan, no regex engine
+    // on the ASCII corpus) — NormTextPropSpec pins equality with the
+    // regex chain, non-ASCII included. Was 26 µs/doc, the entry's
+    // dominant non-floor cost.
+    val norm = call_function("graft_norm_text", col("text"))
     d.select(col("lang"), norm.as("norm"), col("doc_id"))
       .groupBy(col("lang"), col("norm"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_forms"))
@@ -64,7 +69,7 @@ object Dedup {
         count(lit(1)).as("n_kept"),
         (sum(col("n_forms")) - count(lit(1))).cast("long").as("n_dropped"),
         sum(col("canonical_id")).cast("long").as("canonical_id_sum"))
-      .orderBy(col("lang"))
+      .sortSmall(col("lang"))
   }
 
   val exactNormalizedSql: String =
@@ -92,7 +97,7 @@ object Dedup {
     d.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("lang"), col("source"), col("doc_id"), col("n_chars"))
-      .orderBy(col("lang"), col("source"))
+      .sortSmall(col("lang"), col("source"))
   }
 
   val keepFirstSql: String =
@@ -983,7 +988,7 @@ object Dedup {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).cast("long").as("total_chars"))
-      .orderBy(col("lang"))
+      .sortSmall(col("lang"))
   }
 
   // same MATERIALIZED fence as connectedComponentsSql (see there)
@@ -1415,7 +1420,7 @@ object Dedup {
           "ELSE coalesce(n_recalled, 0L) * 1000000 div n_truth END")
           .as("recall_fp"),
         coalesce(col("cand_pairs"), lit(0L)).as("cand_pairs"))
-      .orderBy(col("bands"))
+      .sortSmall(col("bands"))
   }
 
   /** Oracle twin: identical shingles, polyhash fold, affine mins, tuple

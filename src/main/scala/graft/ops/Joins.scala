@@ -22,7 +22,7 @@ object Joins {
     o.join(c, o("o_custkey") === c("c_custkey"), "inner")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
-      .orderBy(col("c_mktsegment"))
+      .sortSmall(col("c_mktsegment"))
   }
 
   val innerCustomerOrdersSql: String =
@@ -42,7 +42,7 @@ object Joins {
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_acctbal"))
-      .orderBy(col("r_name"), col("n_name"))
+      .sortSmall(col("r_name"), col("n_name"))
   }
 
   val broadcastDimsSql: String =
@@ -118,7 +118,7 @@ object Joins {
       .agg(count(lit(1)).as("n_customers"),
         min(col("c_acctbal")).as("min_bal"),
         max(col("c_acctbal")).as("max_bal"))
-      .orderBy(col("bucket_id"))
+      .sortSmall(col("bucket_id"))
   }
 
   val rangeBandSql: String =
@@ -209,7 +209,7 @@ object Joins {
       .agg(
         count(lit(1)).as("n_lineitems"),
         dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
-      .orderBy(col("c_mktsegment"), col("o_orderstatus"))
+      .sortSmall(col("c_mktsegment"), col("o_orderstatus"))
   }
 
   val threeWaySql: String =

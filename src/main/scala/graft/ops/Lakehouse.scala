@@ -181,7 +181,7 @@ object Lakehouse {
       .agg(count(lit(1)).as("n_rows"),
         min(col("p")).as("p_min"), max(col("p")).as("p_max"),
         min(col("s")).as("s_min"), max(col("s")).as("s_max"))
-      .orderBy(col("zbin"))
+      .sortSmall(col("zbin"))
   }
 
   val zorderBinsSql: String = {
@@ -297,7 +297,7 @@ object Lakehouse {
         sum(when(col("s.op") === "U", 1L).otherwise(0L)).as("n_updated"),
         sum(col("n_log")).as("n_log_rows"))
       .filter(col("n_live") > 0)
-      .orderBy(col("o_orderstatus"))
+      .sortSmall(col("o_orderstatus"))
   }
 
   /** Oracle twin: identical synthetic log (UNION ALL), last-writer-wins

@@ -43,7 +43,7 @@ object Pipeline {
           .otherwise(lit("test")))
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
-      .orderBy(col("lang"), col("split"))
+      .sortSmall(col("lang"), col("split"))
   }
 
   // (x % 10 + 10) % 10 == Spark's pmod for negative x too — the twin must
@@ -99,18 +99,21 @@ object Pipeline {
     * (the "how much does normalization collapse" signal that decides
     * whether normalized exact-dedup is worth a pass). Pure per-row
     * regexp work inside codegen; one map-side-combined aggregate. */
-  def normalizeStats(spark: SparkSession, dir: String): DataFrame =
+  def normalizeStats(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     normalizeStatsDf(Tables.documents(spark, dir))
+  }
 
   private[ops] def normalizeStatsDf(d: DataFrame): DataFrame = {
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    // r20: single-pass graft_norm_text instead of the 2-regex chain (see
+    // Dedup.exactNormalized — same expression, same equivalence pin)
+    val norm = call_function("graft_norm_text", col("text"))
     d.select(col("lang"), norm.as("norm"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("norm")).as("n_distinct_norm"),
         round(sum(length(col("norm"))) / count(lit(1)), 6).as("avg_norm_len"))
-      .orderBy(col("lang"))
+      .sortSmall(col("lang"))
   }
 
   val normalizeStatsSql: String =
@@ -236,7 +239,7 @@ object Pipeline {
         count(when(p2, 1)).as("c2"), count(when(p3, 1)).as("c3"))
       .select(expr("stack(4, 's0_total', c0, 's1_chars', c1, " +
         "'s2_tokens', c2, 's3_avg_word_len', c3) AS (stage, n_docs)"))
-      .orderBy(col("stage"))
+      .sortSmall(col("stage"))
   }
 
   val qualityFunnelSql: String =
@@ -282,7 +285,7 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"),
         (sum(col("kept")).cast("double") / count(lit(1)).cast("double"))
           .as("achieved_rate"))
-      .orderBy(col("lang"))
+      .sortSmall(col("lang"))
   }
 
   /** End-to-end composite: exact dedup (keep the minimum doc id per
@@ -304,7 +307,7 @@ object Pipeline {
           .otherwise(lit("test")))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
-      .orderBy(col("split"))
+      .sortSmall(col("split"))
   }
 
   val dedupFilterSplitSql: String =
@@ -349,7 +352,7 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).cast("long").as("total_tokens"),
         max(col("n_tokens")).as("max_tokens"))
-      .orderBy(col("bucket_lo"))
+      .sortSmall(col("bucket_lo"))
   }
 
   val lengthBucketsSql: String =
@@ -386,49 +389,64 @@ object Pipeline {
         count(lit(1)).as("n_sample"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
         sum(col("n_chars")).cast("long").as("sample_chars"))
-      .orderBy(col("lang"))
+      .sortSmall(col("lang"))
   }
 
   /** Data-quality constraint report (the Deequ-style validation gate a
     * pipeline runs before consuming a drop): completeness, key
     * uniqueness, value bounds, domain membership, and referential
     * integrity — emitted as one (constraint, metric, passed) row each.
-    * All scalar metrics come from ONE pass over the fact table (a single
-    * aggregate; the distinct-key count rides the same shuffle); the
+    * All scalar metrics but uniqueness come from one FLAT pass over the
+    * fact table (map-side partials, no data-sized exchange); the
+    * distinct-key count runs as its own keys-only subtree; the
     * referential check is a key-only anti-join against orders. The
     * uniqueness constraint genuinely FAILS on this corpus
     * ((l_orderkey, l_linenumber) repeats) — a report that can only say
     * "passed" tests nothing. */
   def qualityConstraints(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    // ONE scan of the fact table for every metric. countDistinct must not
-    // ride a flat aggregate (a distinct aggregate next to plain ones makes
-    // Catalyst Expand every input row 2× — measured ~2× the query), so the
-    // plan is: broadcast-join the orders key set into the scan (orphan
-    // flag, no fact shuffle), group once by the KEY PAIR (the one shuffle,
-    // map-side combined), then fold the tiny grouped table globally —
-    // n_pk is a plain count of groups, everything else sums/mins through.
-    val grouped = li
+    // r20 split (guide §2.3 — shuffle fewer bytes): the key-pair grouped
+    // shape shipped EVERY fact row through the exchange carrying six agg
+    // buffers (the PK is unique, so map-side combine compressed nothing)
+    // and then folded the data-sized grouped table again. Split instead:
+    // every metric except uniqueness rides a FLAT aggregate (map-side
+    // partials → ~1 row per input partition, no data-sized exchange at
+    // all), and the uniqueness count alone pays a keys-only distinct
+    // (16 B/row vs ~60 B/row grouped). Second scan of the fact table
+    // < the fat exchange both here (0.714 → 0.479 s min-of-5, sf0.1)
+    // and at 100 TB (scan is embarrassingly parallel; the exchange is
+    // the scale chokepoint, §2.2). The countDistinct-next-to-plain-aggs
+    // EXPAND trap (2× input rows) is still designed out — the distinct
+    // runs in its own subtree.
+    val flat = li
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("l_quantity"), col("l_discount"))
       .join(broadcast(Tables.orders(spark, dir).select(col("o_orderkey"))),
         col("l_orderkey") === col("o_orderkey"), "left_outer")
-      .groupBy(col("l_orderkey"), col("l_linenumber"))
-      .agg(count(lit(1)).as("cnt"),
-        sum(when(col("l_returnflag").isNotNull, 1L).otherwise(0L)).as("nn"),
-        min(col("l_quantity")).as("mq"),
-        max(col("l_discount")).as("md"),
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_returnflag").isNotNull, 1L).otherwise(0L)).as("nn_flag"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_discount")).as("max_disc"),
         sum(when(col("l_returnflag").isin("A", "N", "R"), 1L).otherwise(0L))
-          .as("dom"),
-        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("orph"))
-    grouped.agg(
-        sum(col("cnt")).as("n"),
-        sum(col("nn")).as("nn_flag"),
-        count(lit(1)).as("n_pk"),
-        min(col("mq")).as("min_qty"),
-        max(col("md")).as("max_disc"),
-        sum(col("dom")).as("n_dom"),
-        sum(col("orph")).as("n_orphans"))
+          .as("n_dom"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("n_orphans"))
+    val npk = li.select(col("l_orderkey"), col("l_linenumber"))
+      .distinct().agg(count(lit(1)).as("n_pk"))
+    // join-free 1-row ⊕ 1-row assembly (the r20 union fold — a crossJoin
+    // here plans as BroadcastNestedLoopJoin, which PlanAuditSpec forbids
+    // inventory-wide)
+    val cols = Seq("n", "nn_flag", "min_qty", "max_disc", "n_dom",
+      "n_orphans", "n_pk")
+    def pad(df: DataFrame, own: Seq[String]) =
+      df.select(cols.map(c =>
+        if (own.contains(c)) col(c) else lit(null).as(c)): _*)
+    pad(flat, cols.filterNot(_ == "n_pk"))
+      .unionByName(pad(npk, Seq("n_pk")))
+      .agg(max(col("n")).as("n"), max(col("nn_flag")).as("nn_flag"),
+        max(col("min_qty")).as("min_qty"), max(col("max_disc")).as("max_disc"),
+        max(col("n_dom")).as("n_dom"), max(col("n_orphans")).as("n_orphans"),
+        max(col("n_pk")).as("n_pk"))
       .select(expr(
         """stack(6,
           |'completeness_returnflag', cast(nn_flag as double) / n, nn_flag = n,
@@ -438,7 +456,7 @@ object Pipeline {
           |'returnflag_in_domain', cast(n_dom as double) / n, n_dom = n,
           |'ref_integrity_orders', cast(n_orphans as double), n_orphans = 0
           |) as (constraint_name, metric, passed)""".stripMargin))
-      .orderBy(col("constraint_name"))
+      .sortSmall(col("constraint_name"))
   }
 
   val qualityConstraintsSql: String =
@@ -513,7 +531,7 @@ object Pipeline {
         count(when(col("keep"), lit(1))).as("n_sampled"),
         sum(when(col("keep"), col("n_chars"))).as("sampled_chars"),
         max(col("w")).as("target_w"))
-      .orderBy(col("lang"), col("tier"))
+      .sortSmall(col("lang"), col("tier"))
   }
 
   // Sign-safe pmod twin, like hashSplitSql.
@@ -567,7 +585,7 @@ object Pipeline {
         count(when(col("rk") <= DomainQuota, 1)).as("n_kept"),
         sum(when(col("rk") <= DomainQuota, col("n_chars"))).as("kept_chars"),
         min(when(col("rk") <= DomainQuota, col("doc_id"))).as("min_kept_doc"))
-      .orderBy(col("source"))
+      .sortSmall(col("source"))
   }
 
   val domainQuotaSql: String =
@@ -668,7 +686,7 @@ object Pipeline {
       .select(col("source"), col("lang"), col("n_docs"), col("n_chars"),
         expr("n_docs * 1000000 div n_tot").as("raw_share_fp"),
         expr("s * 1000000 div s_tot").as("weight_fp"))
-      .orderBy(col("source"), col("lang"))
+      .sortSmall(col("source"), col("lang"))
   }
 
   val mixtureWeightsSql: String =
@@ -837,7 +855,7 @@ object Pipeline {
         // integer div, not `/`: Column./ is always DOUBLE division
         expr("risky_total * 1000000 div total").cast("long")
           .as("risk_share_fp"))
-      .orderBy(col("lang"), col("source"), col("len_bucket"))
+      .sortSmall(col("lang"), col("source"), col("len_bucket"))
   }
 
   /** Oracle twin: same census; the corpus-wide shares come from a 1-row

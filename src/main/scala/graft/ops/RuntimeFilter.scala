@@ -93,7 +93,7 @@ object RuntimeFilter {
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_rows"),
         dsum(col("l_extendedprice")).as("sum_price"))
-      .orderBy(col("p_brand"))
+      .sortSmall(col("p_brand"))
 
   val bloomPrefilteredJoinSql: String =
     """SELECT p_brand, COUNT(*) AS n_rows,

@@ -292,7 +292,7 @@ object Similarity {
       .agg(count(lit(1)).as("n_docs"))
       .select(col("cluster_size"),
         expr("n_docs div cluster_size").as("n_clusters"), col("n_docs"))
-      .orderBy(col("cluster_size"))
+      .sortSmall(col("cluster_size"))
   }
 
   /** Oracle twin: buckets, neighbors, mutual edges and components
@@ -829,7 +829,7 @@ object Similarity {
         sum(col("added_id_sum")).cast("long").as("added_id_sum"))
       .select(col("cid"), col("n_base"), col("n_added"),
         (col("n_base") + col("n_added")).as("n_total"), col("added_id_sum"))
-      .orderBy(col("cid"))
+      .sortSmall(col("cid"))
   }
 
   /** Oracle twin: identical Lloyd chain trained on the base CTE, frozen
@@ -1458,7 +1458,7 @@ object Similarity {
       rec.join(costAll, Seq("method", "param"))
         .select(col("method"), col("param"), col("n_exact"), col("n_hits"),
           expr("n_hits * 1000000 div n_exact").as("recall_fp"), col("cost"))
-        .orderBy(col("method"), col("param"))
+        .sortSmall(col("method"), col("param"))
     } else {
       // ---- unfused control arm (the r11 shape, re-measurable behind
       // SPARK_GRAFT_PQ_FUSED=off): per-family recall joins + per-k PQ
@@ -1506,7 +1506,7 @@ object Similarity {
             col("cost"))
       }
       (Seq(lsh, ivf) ++ pqFamily).reduce(_ union _)
-        .orderBy(col("method"), col("param"))
+        .sortSmall(col("method"), col("param"))
     }
   }
 
@@ -1790,7 +1790,7 @@ object Similarity {
           sum(col("d2")).cast("long").as("inertia_fp"))
         .select(lit(r).as("round"), col("n_vectors"), col("inertia_fp"))
     }
-    parts.reduce(_ union _).orderBy(col("round"))
+    parts.reduce(_ union _).sortSmall(col("round"))
   }
 
   /** Oracle twin: ONE unrolled Lloyd CTE chain to the deepest round,

@@ -46,7 +46,7 @@ object Sources {
       .agg(count(lit(1)).as("n_rows"),
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_price"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
+      .sortSmall(col("l_returnflag"), col("l_linestatus"))
 
   /** Shared by both round-trips: the same census computed straight off the
     * parquet table — what the round-tripped census must equal. */
@@ -211,7 +211,7 @@ object Sources {
       .groupBy(col("o_orderstatus"), col("status_class"))
       .agg(count(lit(1)).as("n_orders"),
         dsum(col("o_totalprice")).as("sum_price"))
-      .orderBy(col("o_orderstatus"))
+      .sortSmall(col("o_orderstatus"))
 
   val dppPrunedJoinSql: String =
     """WITH dim AS (
@@ -232,7 +232,7 @@ object Sources {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).cast("long").as("total_chars"))
-      .orderBy(col("lang"))
+      .sortSmall(col("lang"))
 
   val partitionedPrunedSql: String =
     """SELECT lang, COUNT(*) AS n_docs,
@@ -258,9 +258,14 @@ object Sources {
     val out = tempDir("graft_nested_rt")
     nestedWrite(spark, dir, out)
     val back = spark.read.parquet(out)
+    // r20: fold over the EXTRACTED l_quantity array (`items.l_quantity`
+    // is one vectorized field projection) instead of dragging the whole
+    // struct through the lambda and field-accessing per element —
+    // value-identical decimal fold, 0.235 → 0.148 s for the read+census
+    // side (min-of-5, sf0.1).
     back.select(size(col("items")).as("c"),
-        expr("""aggregate(items, cast(0 as decimal(18,4)),
-          |  (a, x) -> cast(a + cast(x.l_quantity as decimal(18,4)) as decimal(18,4)))""".stripMargin)
+        expr("""aggregate(items.l_quantity, cast(0 as decimal(18,4)),
+          |  (a, x) -> cast(a + cast(x as decimal(18,4)) as decimal(18,4)))""".stripMargin)
           .as("qty"))
       .agg(count(lit(1)).as("n_orders"),
         sum(col("c")).cast("long").as("n_items"),

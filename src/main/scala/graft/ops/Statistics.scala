@@ -42,7 +42,7 @@ object Statistics {
           .as("var_price"),
         round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 6)
           .as("stddev_price"))
-      .orderBy(col("o_orderstatus"))
+      .sortSmall(col("o_orderstatus"))
   }
 
   val corrStddevSql: String =
@@ -102,7 +102,7 @@ object Statistics {
           (col("n") * col("sxy") - col("sx") * col("sy"))) /
           ((col("n") * col("sxx") - col("sx") * col("sx")) *
             (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
-      .orderBy(col("o_orderstatus"))
+      .sortSmall(col("o_orderstatus"))
   }
 
   val linregByGroupSql: String =

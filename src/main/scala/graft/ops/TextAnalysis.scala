@@ -169,7 +169,7 @@ object TextAnalysis {
       .agg(expr(s"graft_topk_sketch(token, $TopkSketchCapacity, 20)").as("top"))
       .select(explode(col("top")).as("s"))
       .select(col("s.token").as("token"), col("s.n").as("n"))
-      .orderBy(col("n").desc, col("token"))
+      .sortSmall(col("n").desc, col("token"))
   }
 
   val topkSketchSql: String =
@@ -189,7 +189,7 @@ object TextAnalysis {
         max(col("n_chars")).as("max_chars"),
         (sum(col("n_chars")).cast(DoubleType) / count(lit(1)).cast(DoubleType))
           .as("avg_chars"))
-      .orderBy(col("lang"))
+      .sortSmall(col("lang"))
   }
 
   val langProfileSql: String =
@@ -216,7 +216,7 @@ object TextAnalysis {
         sum(col("rt")).as("regex_tokens"),
         sum(col("wt")).as("ws_tokens"),
         max(col("rt")).as("max_regex_tokens"))
-      .orderBy(col("lang"))
+      .sortSmall(col("lang"))
   }
 
   val regexTokensSql: String =
@@ -408,7 +408,7 @@ object TextAnalysis {
       .select(col("token"), col("exact_n"),
         (col("est") >= col("exact_n")).as("est_ge_exact"),
         (col("est") - col("exact_n") <= bound).as("est_within_bound"))
-      .orderBy(col("exact_n").desc, col("token"))
+      .sortSmall(col("exact_n").desc, col("token"))
   }
 
   val cmsTokenCountsSql: String =
@@ -632,7 +632,7 @@ object TextAnalysis {
       out
     }
     outs.reduce(_ union _)
-      .orderBy(col("merge_round"), col("pair_count").desc,
+      .sortSmall(col("merge_round"), col("pair_count").desc,
         col("left_sym"), col("right_sym"))
   }
 
@@ -665,7 +665,7 @@ object TextAnalysis {
       .select(col("lang"), col("n_words"), col("n_subwords"), col("n_chars"),
         expr("n_subwords * 1000000 div n_words").as("fertility_fp"),
         expr("n_chars * 1000000 div n_subwords").as("sub_len_fp"))
-      .orderBy(col("lang"))
+      .sortSmall(col("lang"))
   }
 
   /** Oracle twin: identical unrolled rounds; SUM over BIGINT is cast back

@@ -44,7 +44,7 @@ object TimeSeries {
         max(when(col("rnd") === 1, col("value"))).as("close"),
         count(lit(1)).as("n_events"),
         dsum(col("value")).as("sum_value"))
-      .orderBy(col("event_type"), col("bar"))
+      .sortSmall(col("event_type"), col("bar"))
   }
 
   // Spark's window(ts, 15m) is epoch-aligned; mirrored with integer
@@ -98,7 +98,7 @@ object TimeSeries {
       .withColumn("row_total", sum(col("n")).over(bySrc))
       .withColumn("p_fp", expr("(n * 1000000) div row_total"))
       .select(col("src"), col("dst"), col("n"), col("row_total"), col("p_fp"))
-      .orderBy(col("src"), col("dst"))
+      .sortSmall(col("src"), col("dst"))
   }
 
   val markovTransitionsSql: String =
@@ -148,7 +148,7 @@ object TimeSeries {
     tier(hours, "hour", col("hour_id"))
       .unionAll(tier(days, "day", col("day_id")))
       .unionAll(tier(months, "month", col("month_id")))
-      .orderBy(col("grain"), col("event_type"), col("bucket_id"))
+      .sortSmall(col("grain"), col("event_type"), col("bucket_id"))
   }
 
   val rollupLatticeSql: String =
@@ -206,7 +206,7 @@ object TimeSeries {
       .select(col("event_type"), col("day"), col("v"),
         expr("aggregate(slice(vs, 2, size(vs) - 1), vs[0]," +
           " (a, x) -> 0.5 * x + 0.5 * a)").as("ewma"))
-      .orderBy(col("event_type"), col("day"))
+      .sortSmall(col("event_type"), col("day"))
   }
 
   val ewmaDailySql: String =
@@ -256,7 +256,7 @@ object TimeSeries {
         expr("st[0]").as("level"), expr("st[1]").as("trend"),
         expr("st[0] + st[1]").as("forecast_1"),
         expr("st[0] + 3 * st[1]").as("forecast_3"))
-      .orderBy(col("event_type"))
+      .sortSmall(col("event_type"))
   }
 
   val holtTrendSql: String = {
@@ -312,7 +312,7 @@ object TimeSeries {
         lit(4.0) * col("sd") * col("sd"))
       .select(col("event_type"), col("day"), col("n"),
         round((col("n") - col("mean")) / col("sd"), 6).as("z"))
-      .orderBy(col("event_type"), col("day"))
+      .sortSmall(col("event_type"), col("day"))
   }
 
   val anomalyZscoreSql: String =
@@ -378,7 +378,7 @@ object TimeSeries {
 
   def stlDecompose(spark: SparkSession, dir: String): DataFrame =
     stlComponents(spark, dir)
-      .orderBy(col("event_type"), col("day"))
+      .sortSmall(col("event_type"), col("day"))
 
   /** The decomposition CTE prefix (final table in `comp`) shared by the
     * stlDecompose and seasonalityStrength twins. */
@@ -458,7 +458,7 @@ object TimeSeries {
           greatest(lit(0.0), round(lit(1.0) -
             vn("s_r", "ss_r") / vn("s_tq", "ss_tq"), 6)))
           .as("trend_strength"))
-      .orderBy(col("event_type"))
+      .sortSmall(col("event_type"))
   }
 
   /** Oracle twin: the shared decomposition CTEs + the same exact
@@ -554,7 +554,7 @@ object TimeSeries {
     mom.select(col("a_type"), col("b_type"), col("lag"), col("n_days"),
         when(dx > 0.0 && dy > 0.0, round(num / sqrt(dx * dy), 6))
           .as("xcorr"))
-      .orderBy(col("a_type"), col("b_type"), col("lag"))
+      .sortSmall(col("a_type"), col("b_type"), col("lag"))
   }
 
   /** Oracle twin: same daily rollup, lag-shifted join (DATE − INTEGER),
@@ -624,7 +624,7 @@ object TimeSeries {
       .filter(col("rn") === 1)
       .select(col("event_type"), col("day").as("cp_day"),
         col("s").cast("double").as("cusum_peak"), col("mean"), col("n_days"))
-      .orderBy(col("event_type"))
+      .sortSmall(col("event_type"))
   }
 
   /** Oracle twin: same rounded-deviation decimal prefix sum and
@@ -685,7 +685,7 @@ object TimeSeries {
         first(col("n_days")).as("n_days"),
         sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
           .as("n_outliers"))
-      .orderBy(col("event_type"))
+      .sortSmall(col("event_type"))
   }
 
   val madOutliersSql: String =
@@ -739,7 +739,7 @@ object TimeSeries {
       .withColumn("observed", col("v").isNotNull)
       .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
       .select(col("event_type"), col("day"), col("observed"), col("v_filled"))
-      .orderBy(col("event_type"), col("day"))
+      .sortSmall(col("event_type"), col("day"))
   }
 
   /** Oracle twin: generate_series calendar + the same windowed

@@ -245,7 +245,7 @@ object Windows {
         min(col("o_totalprice")).as("lo_price"),
         max(col("o_totalprice")).as("hi_price"),
         dsum(col("o_totalprice")).as("sum_price"))
-      .orderBy(col("o_orderstatus"), col("decile"))
+      .sortSmall(col("o_orderstatus"), col("decile"))
   }
 
   val ntileDecilesSql: String =

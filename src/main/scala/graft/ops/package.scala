@@ -39,6 +39,26 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 package object ops {
 
+  /** Total-order finisher for SMALL (group-domain-sized) final outputs
+    * (r20, guide §2.4 — remove shuffles outright): `df.orderBy(cols)`
+    * plans an Exchange rangepartitioning, whose range-bounds come from a
+    * separate SAMPLING JOB over the child — one extra job per query plus
+    * a re-execution of the child's post-shuffle stages, paid to sort
+    * outputs that are often 3–10k rows. A single-partition exchange +
+    * local sort produces the IDENTICAL total order (every inventory
+    * orderBy carries a unique tiebreaker) in one job with no sampling
+    * pass. Use ONLY where the output is provably domain-sized (group
+    * censuses, top-k tables, curve artifacts): a data-sized result must
+    * keep the ranged global sort ([[graft.ops.SortsLimits]]'s
+    * sort_global_ranged pins that tier's shape). Measured min-of-7 at
+    * sf0.1: dedup_exact_normalized 0.220 → 0.167 s, merge_cdc_apply
+    * 0.697 → 0.519 s, before the callers were converted. */
+  implicit class SmallSortOps(private val df: org.apache.spark.sql.DataFrame)
+      extends AnyVal {
+    def sortSmall(cols: Column*): org.apache.spark.sql.DataFrame =
+      df.repartition(1).sortWithinPartitions(cols: _*)
+  }
+
   /** Order-independent, cross-engine-exact sum of a double expression. */
   def dsum(c: Column): Column =
     sum(c.cast(DecimalType(18, 4))).cast(DoubleType)

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.Tables
-import graft.ops.dsum
+import graft.ops.{dsum, SmallSortOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -40,7 +40,7 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
       .select(col("w.start").as("day_start"), col("event_type"),
         col("n_events"), col("sum_value"))
-      .orderBy(col("day_start"), col("event_type"))
+      .sortSmall(col("day_start"), col("event_type"))
 
   val tumblingDailySql: String =
     """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start, event_type,
@@ -64,7 +64,7 @@ object StreamingOps {
       .orderBy(col("n_events").desc, col("event_type"))
     counts.withColumn("rk", row_number().over(byDay))
       .filter(col("rk") <= 2)
-      .orderBy(col("day_start"), col("rk"))
+      .sortSmall(col("day_start"), col("rk"))
   }
 
   val topkWindowedSql: String =
@@ -86,7 +86,7 @@ object StreamingOps {
       .groupBy(window(col("ts"), "1 day", "12 hours").as("w"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("w.start").as("window_start"), col("n_events"))
-      .orderBy(col("window_start"))
+      .sortSmall(col("window_start"))
 
   // Spark's window(ts, 1d, 12h) is epoch-aligned: event t lands in windows
   // starting at floor12h(t) and floor12h(t) - 12h. Mirrored with integer
