@@ -36,25 +36,6 @@ object GoldenParity {
   def census(spark: SparkSession, dir: String): DataFrame = {
     val derived = Features(spark.read.parquet(s"$refRoot/01.parquet"))
     val golden = spark.read.parquet(s"$refRoot/02.parquet")
-    val aggCols =
-      (0 until 24).map(h =>
-        sum(col(s"Pickup_hour_is_$h")).cast("long").as(f"h$h%02d")) ++
-      (0 until 7).map(d =>
-        sum(col(s"Pickup_dow_is_$d")).cast("long").as(s"dow$d")) ++
-      Seq(
-        count(lit(1)).as("n_rows"),
-        sum(col("Pickup_or_dropoff_at_JFK")).cast("long").as("jfk_rows"),
-        sum(when(col("Duration_seconds") < 0, 1).otherwise(0)).cast("long")
-          .as("neg_durations"),
-        min(col("Duration_seconds")).as("min_duration"),
-        max(col("Duration_seconds")).as("max_duration"),
-        sum(when(col("Duration_seconds").isNull, 1).otherwise(0)).cast("long")
-          .as("null_durations"))
-    val wide = derived.agg(aggCols.head, aggCols.tail: _*)
-    val names = wide.columns
-    val census = wide.select(expr(
-      s"stack(${names.length}, ${names.map(n => s"'$n', $n").mkString(", ")})" +
-        " as (metric, value)"))
     // The two-way multiset diff runs on 64-bit row FINGERPRINTS
     // (xxhash64 over every column, golden column order on both sides):
     // identical diff-count semantics — a row is unmatched iff its
@@ -77,22 +58,64 @@ object GoldenParity {
     // Features 2× (census + fingerprint pass) and scans each input at
     // most twice: 10 scans/5 exchanges → 3 scans/3 small exchanges
     // (plans/r20/flagship_golden_parity_{before,after}.txt).
+    // r20b (guide §2.3/§2.4 again, after measuring the fused shape): the
+    // census now RIDES the derived side's fingerprint aggregate — the
+    // per-h partial census re-aggregates losslessly (sums of sums,
+    // sum(cd) for the count, min of mins, max of maxes), so the Features
+    // pipeline runs ONCE and 01.parquet is scanned ONCE (probe: the
+    // census-side scan+Features+stack was 0.15–0.2 s of pure repeat
+    // work; the reference files are single-partition, so every repeated
+    // pass is serial — a parallelizing repartition was probed and LOST,
+    // 0.286 → 0.356, the 53-column shuffle costs more than the serial
+    // compute it spreads). Everything assembles in one tree whose final
+    // 35-row sort is a sortSmall (no range-sampling job; this query has
+    // no memoized frames, so the eval-tier warmup caveat does not
+    // apply).
     val gcols = golden.columns.toSeq
-    def fp(df: DataFrame): DataFrame =
-      df.select(xxhash64(gcols.map(col): _*).as("h"))
-    val cd = fp(derived).groupBy(col("h")).agg(count(lit(1)).as("cd"))
-    val cg = fp(golden).groupBy(col("h")).agg(count(lit(1)).as("cg"))
-    val diffs = cd.join(cg, Seq("h"), "full_outer")
-      .select(coalesce(col("cd"), lit(0L)).as("cd"),
-        coalesce(col("cg"), lit(0L)).as("cg"))
-      .agg(
-        coalesce(sum(greatest(col("cd") - col("cg"), lit(0L))), lit(0L))
-          .as("dmg"),
-        coalesce(sum(greatest(col("cg") - col("cd"), lit(0L))), lit(0L))
-          .as("gmd"))
-      .select(expr("stack(2, 'diff_derived_minus_golden', dmg, " +
-        "'diff_golden_minus_derived', gmd) as (metric, value)"))
-    census.union(diffs).orderBy(col("metric"))
+    val censusAggs =
+      (0 until 24).map(h =>
+        sum(col(s"Pickup_hour_is_$h")).cast("long").as(f"h$h%02d")) ++
+      (0 until 7).map(d =>
+        sum(col(s"Pickup_dow_is_$d")).cast("long").as(s"dow$d")) ++
+      Seq(
+        sum(col("Pickup_or_dropoff_at_JFK")).cast("long").as("jfk_rows"),
+        sum(when(col("Duration_seconds") < 0, 1).otherwise(0)).cast("long")
+          .as("neg_durations"),
+        min(col("Duration_seconds")).as("min_duration"),
+        max(col("Duration_seconds")).as("max_duration"),
+        sum(when(col("Duration_seconds").isNull, 1).otherwise(0)).cast("long")
+          .as("null_durations"))
+    val byH = derived
+      .groupBy(xxhash64(gcols.map(col): _*).as("h"))
+      .agg(count(lit(1)).as("cd"), censusAggs: _*)
+    val cg = golden.select(xxhash64(gcols.map(col): _*).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("cg"))
+    // full-outer on the fingerprint: golden-only rows carry null census
+    // partials (sum/min/max skip them), derived-only rows carry null cg
+    val reAggs =
+      (0 until 24).map(h => sum(col(f"h$h%02d")).as(f"h$h%02d")) ++
+      (0 until 7).map(d => sum(col(s"dow$d")).as(s"dow$d")) ++
+      Seq(
+        coalesce(sum(col("cd")), lit(0L)).as("n_rows"),
+        sum(col("jfk_rows")).as("jfk_rows"),
+        sum(col("neg_durations")).as("neg_durations"),
+        min(col("min_duration")).as("min_duration"),
+        max(col("max_duration")).as("max_duration"),
+        sum(col("null_durations")).as("null_durations"),
+        coalesce(sum(greatest(
+          coalesce(col("cd"), lit(0L)) - coalesce(col("cg"), lit(0L)),
+          lit(0L))), lit(0L)).as("diff_derived_minus_golden"),
+        coalesce(sum(greatest(
+          coalesce(col("cg"), lit(0L)) - coalesce(col("cd"), lit(0L)),
+          lit(0L))), lit(0L)).as("diff_golden_minus_derived"))
+    val wide = byH.join(cg, Seq("h"), "full_outer")
+      .agg(reAggs.head, reAggs.tail: _*)
+    val names = wide.columns
+    import graft.ops.SmallSortOps
+    wide.select(expr(
+      s"stack(${names.length}, ${names.map(n => s"'$n', $n").mkString(", ")})" +
+        " as (metric, value)"))
+      .sortSmall(col("metric"))
   }
 
   /** Corrected-day-of-week flagship twin (SURVEY.md §2a S12, VERDICT r10
@@ -119,10 +142,11 @@ object GoldenParity {
         .reduce(_ + _).cast("long").as("encoded_rows"))
     val wide = derived.agg(aggCols.head, aggCols.tail: _*)
     val names = wide.columns
+    import graft.ops.SmallSortOps
     wide.select(expr(
       s"stack(${names.length}, ${names.map(n => s"'$n', $n").mkString(", ")})" +
         " as (metric, value)"))
-      .orderBy(col("metric"))
+      .sortSmall(col("metric"))
   }
 
   val fixedDowCensusSql: String = {
