@@ -1368,6 +1368,29 @@ object Similarity {
       .select(col("param"), col("query_id"), col("vec_id"))
     val ivfCost = ivfCandP.groupBy(col("param")).agg(count(lit(1)).as("cost"))
 
+    // r21 (VERDICT r20 task 1, guide §5): materialize BOTH per-rep
+    // persisted candidate frames in ONE bounded job BEFORE the final
+    // plan. Each frame has two consumers (the recall join's candidate
+    // union AND the cost aggregate, which rides the final's broadcast
+    // build), and those subtrees launch concurrently at plan-prepare
+    // time — with the frames uncached they race to populate the persist
+    // (duplicate candidate generation, "already cached" warnings). r20
+    // kept the final `orderBy` because its range-sampling job happened
+    // to run the pipeline once before the main job, warming the caches
+    // sequentially; this warming job does the same with ONLY the
+    // candidate work (no recall joins, no cost union), so the final can
+    // take the 1-job local sort. SPARK_GRAFT_AB_EVAL_FINAL=orderby
+    // re-measures the r20 arm (no warming, ranged final) in-window.
+    val legacyEvalFinal =
+      sys.env.get("SPARK_GRAFT_AB_EVAL_FINAL").contains("orderby")
+    if (!legacyEvalFinal)
+      Seq(lshCand.select(col("query_id")), ivfCand.select(col("query_id")))
+        .reduce(_ union _)
+        .write.format("noop").mode("overwrite").save()
+    def evalFinal(df: DataFrame): DataFrame =
+      if (legacyEvalFinal) df.orderBy(col("method"), col("param"))
+      else df.sortSmall(col("method"), col("param"))
+
     // ---- PQ family: one seed collect at max k; codebook k = row prefix.
     // The r11 A/B left the per-k chains UNFUSED (3.6 → 4.4 s then:
     // every fused stage was resource-bound and serialization lost).
@@ -1455,14 +1478,14 @@ object Similarity {
           col("cost")))
         .unionByName(pqCost.select(lit("pq").as("method"), col("param"),
           col("cost")))
-      rec.join(costAll, Seq("method", "param"))
+      // sortSmall is safe HERE because the candidate frames are warmed
+      // explicitly above (r20's A/B showed the naive single-job final
+      // losing 0.745 → 0.954 min exactly because the orderBy's sampling
+      // job doubled as the cache warmer; see the warming note). 9-row
+      // operating-point census — domain-sized by construction.
+      evalFinal(rec.join(costAll, Seq("method", "param"))
         .select(col("method"), col("param"), col("n_exact"), col("n_hits"),
-          expr("n_hits * 1000000 div n_exact").as("recall_fp"), col("cost"))
-        // NOT sortSmall (r20): the range exchange's sampling job warms
-        // the memoized index frames SEQUENTIALLY before the main job;
-        // single-job finals make the broadcast subtrees race to populate
-        // them instead (QBench A/B: 0.745 → 0.954 min). Keep orderBy.
-        .orderBy(col("method"), col("param"))
+          expr("n_hits * 1000000 div n_exact").as("recall_fp"), col("cost")))
     } else {
       // ---- unfused control arm (the r11 shape, re-measurable behind
       // SPARK_GRAFT_PQ_FUSED=off): per-family recall joins + per-k PQ
@@ -1509,8 +1532,7 @@ object Similarity {
             col("n_hits"), expr("n_hits * 1000000 div n_exact").as("recall_fp"),
             col("cost"))
       }
-      (Seq(lsh, ivf) ++ pqFamily).reduce(_ union _)
-        .orderBy(col("method"), col("param"))
+      evalFinal((Seq(lsh, ivf) ++ pqFamily).reduce(_ union _))
     }
   }
 
