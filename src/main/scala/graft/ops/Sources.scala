@@ -273,10 +273,30 @@ object Sources {
         sum(col("qty")).cast("double").as("sum_qty"))
   }
 
-  /** The nested write, shared with `NestedSourceSpec`'s pruning probe. */
+  /** The nested write, shared with `NestedSourceSpec`'s pruning probe.
+    *
+    * r21 (VERDICT r20 task 2): the collect_list object-agg is the
+    * entry's dominant constant. Repartitioning by the group key and
+    * sorting within partitions FIRST (one exchange either way — the
+    * groupBy reuses the repartition's hashpartitioning) feeds the
+    * ObjectHashAggregate contiguous groups: one partial buffer per key,
+    * consecutive same-key probes, no buffer-merge fan-in across map
+    * tasks shipping per-partition array fragments. Probe min-of-5 at
+    * sf0.1 (noop): 0.691 → 0.464 s for the aggregate; the SortAggregate
+    * arm (0.401) stays rejected — it needs a session-wide conf flip
+    * that is unsafe under the 8-stream throughput pass. sort_array is
+    * kept even though the pre-sort already delivers l_linenumber order
+    * (unique per order, first struct field): it pins the written array
+    * content against planner changes for ~30 ms. At 100 TB the local
+    * sort is a spillable SortExec and per-group buffers stay bounded by
+    * items-per-order. */
   private[graft] def nestedWrite(
       spark: SparkSession, dir: String, out: String): Unit =
     Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+      .repartition(col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_list(struct(col("l_linenumber"),
         col("l_quantity"), col("l_extendedprice")))).as("items"))
