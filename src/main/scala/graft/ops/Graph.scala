@@ -454,6 +454,14 @@ object Graph {
         .groupBy(col("l.b").as("u"), col("r.b").as("v"))
         .agg(count(lit(1)).as("common_neighbors"))
     else
+      // DISTINCT-NEIGHBOR INVARIANT (r20 ADVICE): this arm equals the
+      // join arm's strict l.b < r.b only because adjacency lists are
+      // duplicate-free — `adj` derives from cooccurrenceEdges' groupBy
+      // (a, b) (and the MaxNeighbors window keeps one row per (a, b)), so
+      // collect_list never sees a repeated neighbor. A duplicated b would
+      // emit u == v self-pairs here that the join arm excludes; any new
+      // caller must feed a deduplicated adjacency or switch to
+      // collect_set.
       adj.groupBy(col("a"))
         .agg(sort_array(collect_list(col("b"))).as("ds"))
         .filter(size(col("ds")) >= 2)
@@ -626,14 +634,22 @@ object Graph {
     // subtree every round would race to rebuild at plan-prepare time
     // (all BroadcastExchanges in a plan launch concurrently; the
     // all-lazy broadcast variant measured 17 s+ against ~2 s).
-    val h = d0.groupBy(col("d")).agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val halfDf = h.agg(expr("(sum(cnt) + 1) div 2").as("half"))
-    val kRow = h.as("x")
-      .join(broadcast(h.as("y")), col("y.d") <= col("x.d"))
-      .groupBy(col("x.d").as("d")).agg(sum(col("y.cnt")).as("cum"))
-      .crossJoin(broadcast(halfDf))
-      .filter(col("cum") >= col("half"))
+    // r21: the cumulative rides ONE single-partition window pass instead
+    // of the broadcast ≤-self-join + broadcast half-scalar (two broadcast
+    // exchange jobs launched at plan-prepare, plus the persisted h). A
+    // partitionBy-less window IS a single-partition sort — acceptable
+    // here for the same reason the ≤-self-join was: the histogram is
+    // degree-DOMAIN-sized (≪ nodes ≪ edges) at any SF. Same exact
+    // rank-(⌈n/2⌉) semantics: inclusive running count vs (total+1) div 2.
+    // QBench A/B (with the round-body change below): jobs 12 → 2.
+    val wCum = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val kRow = d0.groupBy(col("d")).agg(count(lit(1)).as("cnt"))
+      .select(col("d"), sum(col("cnt")).over(wCum).as("cum"),
+        sum(col("cnt")).over(wTot).as("tot"))
+      .filter(col("cum") >= expr("(tot + 1) div 2"))
       .agg(min(col("d")).as("k"))
       .head()
     // empty graph ⇒ no median; any k yields the same all-zero census
@@ -690,23 +706,39 @@ object Graph {
           col("min_degree"))
       if (i < KCoreRounds) {
         // Both endpoint filters are semi-joins against the SAME `keep`
-        // subtree. ReusedExchange would collapse them to one broadcast
-        // build — and does when the build side bottoms out in a file
-        // scan — but NOT here: canonical plan equality breaks across
-        // LogicalRDD leaves (the localCheckpoint boundary; verified
-        // empirically on Spark 4.1 — parquet-rooted twin reuses, the
-        // checkpoint-rooted one builds twice). The second build is still
-        // near-free: it re-reads the checkpointed `deg` RDD (one job at
-        // the scheduling floor), not the round chain. Ledger in
-        // BENCH_NOTES r15.
+        // subtree (filter+project over the checkpointed deg — do NOT
+        // checkpoint `keep` itself and broadcast it twice: broadcast()
+        // of one bare LogicalRDD used on both sides of a self-join
+        // silently drops the second semi-join on Spark 4.1, probed r21;
+        // the filter+project layer keeps resolution sound).
+        //
+        // r21 default: SHUFFLE-HASH semi-joins. The broadcast shape
+        // launched its 2 build jobs per round AT PLAN-PREPARE time (8
+        // jobs before the main job ever ran — ReusedExchange cannot
+        // collapse them across the LogicalRDD boundary, r15 ledger in
+        // BENCH_NOTES); the shuffle shape has NO prepare-time jobs, so
+        // the whole trajectory (plus the census union) runs as ONE job
+        // whose shuffle stages the scheduler dedups. QBench A/B
+        // min-of-7 at sf0.1: broadcast 0.738 s / 12 jobs → shuffle (see
+        // OPTIMIZATION_r21.md) / 2 jobs. At 100 TB the node-keyed
+        // exchanges are the documented degradation path anyway; on a
+        // cluster where the node table broadcasts, AQE's runtime
+        // broadcast switch restores the map-side join per round.
+        // SPARK_GRAFT_KCORE_SEMI=broadcast re-measures the r20 arm.
         val keep = deg.filter(col("d") >= lit(k)).select(col("a").as("__keep"))
-        e = e.join(broadcast(keep), col("a") === col("__keep"), "left_semi")
-          .join(broadcast(keep), col("b") === col("__keep"), "left_semi")
+        val kcoreBroadcast =
+          sys.env.get("SPARK_GRAFT_KCORE_SEMI").contains("broadcast")
+        def side() = if (kcoreBroadcast) broadcast(keep)
+          else keep.hint("shuffle_hash")
+        e = e.join(side(), col("a") === col("__keep"), "left_semi")
+          .join(side(), col("b") === col("__keep"), "left_semi")
           .localCheckpoint(false)
       }
       census
     }
-    censuses.reduce(_.union(_)).orderBy(col("round"))
+    // 5-row round trajectory — domain-sized by construction (sortSmall
+    // discipline), r21: the ranged orderBy paid a sampling job.
+    censuses.reduce(_.union(_)).sortSmall(col("round"))
   }
 
   val kcorePeelSql: String = {
