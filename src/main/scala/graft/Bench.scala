@@ -532,8 +532,24 @@ object Bench {
         s""","pair_matched":$pairMatched,"pair_age_sec":$pairAgeSec""" +
           (if (duckTimesRaw.nonEmpty) s""","duckdb_total":${f"$total%.3f"}""" else "")
       }
-      try w.println(s"""{"queries":$qs,"sf":"$sfDir0","tput_wall":${f"$tputWall%.3f"}$stalledJson,"tput_errors":$tputErrors,"streams":$streams,"load0":${f"$load0%.2f"},"load1":${f"$load1%.2f"}$pairJson$ratioJson}""")
+      val sideLine = s"""{"queries":$qs,"sf":"$sfDir0","tput_wall":${f"$tputWall%.3f"}$stalledJson,"tput_errors":$tputErrors,"streams":$streams,"load0":${f"$load0%.2f"},"load1":${f"$load1%.2f"}$pairJson$ratioJson}"""
+      try w.println(sideLine)
       finally w.close()
+      // r21 (VERDICT r20 task 6): ALSO drop a cpus-keyed copy. The driver
+      // benches at two core counts back-to-back in the same directory, so
+      // the later (low-core) run overwrote the 32-core per-query map and
+      // PERF_r20 could compute no per-query round-over-round speedups
+      // (`per_query: {}` both directions). Additions-only: the default
+      // side file and the stdout contract are unchanged; the keyed copy
+      // just survives the second run.
+      try {
+        val keyed =
+          if (sidePath.endsWith(".json"))
+            sidePath.stripSuffix(".json") + s"_c$cpus.json"
+          else sidePath + s"_c$cpus"
+        val w2 = new java.io.PrintWriter(keyed)
+        try w2.println(sideLine) finally w2.close()
+      } catch { case _: Throwable => () }
     } catch { case _: Throwable => () }
     val base = new java.io.File(sfDir0).getName.stripPrefix("sf")
     val sfJson =
