@@ -78,6 +78,12 @@ object GoldenParity {
       (0 until 7).map(d =>
         sum(col(s"Pickup_dow_is_$d")).cast("long").as(s"dow$d")) ++
       Seq(
+        // INTEGER-INDICATOR INVARIANT (r20 ADVICE): the long cast lands
+        // on per-fingerprint PARTIAL sums here (the legacy shape cast
+        // once after the final sum). Identical only because every summed
+        // column is an exact 0/1 integer indicator — a fractional column
+        // would truncate per group and diverge from the old census. Keep
+        // the inputs integer or move the cast to the re-aggregation.
         sum(col("Pickup_or_dropoff_at_JFK")).cast("long").as("jfk_rows"),
         sum(when(col("Duration_seconds") < 0, 1).otherwise(0)).cast("long")
           .as("neg_durations"),

@@ -52,7 +52,13 @@ package object ops {
     * keep the ranged global sort ([[graft.ops.SortsLimits]]'s
     * sort_global_ranged pins that tier's shape). Measured min-of-7 at
     * sf0.1: dedup_exact_normalized 0.220 → 0.167 s, merge_cdc_apply
-    * 0.697 → 0.519 s, before the callers were converted. */
+    * 0.697 → 0.519 s, before the callers were converted.
+    *
+    * The boundedness precondition is MACHINE-CHECKED (r21,
+    * `SortSmallAuditSpec`): every registered query's plan is walked and
+    * any single-partition REPARTITION_BY_NUM exchange must sit over a
+    * subtree rooted in aggregates/limits — a caller that puts a raw
+    * data-sized result through sortSmall fails CI, not review. */
   implicit class SmallSortOps(private val df: org.apache.spark.sql.DataFrame)
       extends AnyVal {
     def sortSmall(cols: Column*): org.apache.spark.sql.DataFrame =

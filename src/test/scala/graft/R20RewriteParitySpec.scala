@@ -73,6 +73,21 @@ class R20RewriteParitySpec extends AnyFunSuite {
     assert(ab > 0 && ba >= 0) // the asymmetry actually exercised the path
   }
 
+  test("sortSmall finisher emits the SAME ROW ORDER as a ranged orderBy") {
+    // r20 ADVICE: assertSame compares multisets, so the sbt-level pins
+    // did not cover output ROW ORDER — which the orderBy → sortSmall
+    // sweep also changed (order parity was only enforced by the external
+    // oracle's row-order-sensitive hash). Pin it in-JVM for a converted
+    // census: the collected sequence must equal the ranged global sort
+    // of the same frame, element for element.
+    val viaSmall = Aggregations.monthlyOrders(spark, dir).collect().toSeq
+    val viaRanged = Aggregations.monthlyOrders(spark, dir)
+      .orderBy(col("month_start"))
+      .collect().toSeq
+    assert(viaSmall.nonEmpty)
+    assert(viaSmall === viaRanged)
+  }
+
   test("golden-parity census still reports zero diffs and the pinned totals") {
     val m = graft.features.GoldenParity.census(spark, dir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
