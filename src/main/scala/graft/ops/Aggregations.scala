@@ -271,18 +271,41 @@ object Aggregations {
     // list accumulation: 2.4 s for a 3-row output; this shape ~0.8 s).
     // (r15) The exact plan's bounds pass no longer exists (fixed
     // sortable-bits buckets), so the GK buffers run as the sibling
-    // group aggregate extraAggs now provides — still one scan + one
-    // group-sized broadcast join on top of the rank plan.
-    val fused = exactPercentilesWith(li, "l_returnflag", Seq(
-      ("l_extendedprice", 0.5, "eq50"),
-      ("l_extendedprice", 0.9, "eq90"),
-      ("l_extendedprice", 0.99, "eq99"),
-      ("l_quantity", 0.5, "emq")),
-      Seq(
-        (expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 2000)"),
-          "aq"),
-        (expr("approx_percentile(l_quantity, 0.5, 2000)"), "amq"),
-        (count(lit(1)), "n_rows")))
+    // group aggregate extraAggs now provides.
+    // r21: the exact side moves to the NARROW-CHAIN plan
+    // (gridBucketPercentilesWith — the shape agg_percentiles adopted in
+    // r19: l_quantity is a 50-value grid resolved census-only,
+    // l_extendedprice keeps bucket census + refinement), and the GK
+    // sketch extras ride its join-free union fold instead of
+    // exactPercentilesWith's broadcast-join assembly: the broadcast
+    // build re-executed the extras subtree as a separate
+    // prepare-time job. Interleaved QBench min-of-7 at sf0.1:
+    // 0.626 → 0.461 s, jobs 3 → 2; SPARK_GRAFT_AB_AQ=unified keeps the
+    // r15 arm re-measurable.
+    val fused =
+      if (sys.env.get("SPARK_GRAFT_AB_AQ").contains("unified"))
+        exactPercentilesWith(li, "l_returnflag", Seq(
+          ("l_extendedprice", 0.5, "eq50"),
+          ("l_extendedprice", 0.9, "eq90"),
+          ("l_extendedprice", 0.99, "eq99"),
+          ("l_quantity", 0.5, "emq")),
+          Seq(
+            (expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 2000)"),
+              "aq"),
+            (expr("approx_percentile(l_quantity, 0.5, 2000)"), "amq"),
+            (count(lit(1)), "n_rows")))
+      else
+        gridBucketPercentilesWith(li, "l_returnflag",
+          gridSpecs = Seq(("l_quantity", 0.5, "emq")),
+          contSpecs = Seq(
+            ("l_extendedprice", 0.5, "eq50"),
+            ("l_extendedprice", 0.9, "eq90"),
+            ("l_extendedprice", 0.99, "eq99")),
+          extraAggs = Seq(
+            (expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 2000)"),
+              "aq"),
+            (expr("approx_percentile(l_quantity, 0.5, 2000)"), "amq"),
+            (count(lit(1)), "n_rows")))
     fused
       .select(col("l_returnflag"), col("n_rows"),
         (abs(col("aq")(0) - col("eq50")) / col("eq50") <= 0.05).as("q50_ok"),

@@ -273,7 +273,23 @@ package object ops {
     * Callers must have registered [[graft.functions.GraftFunctions]]. */
   def gridBucketPercentiles(df: org.apache.spark.sql.DataFrame, group: String,
       gridSpecs: Seq[(String, Double, String)],
-      contSpecs: Seq[(String, Double, String)]): org.apache.spark.sql.DataFrame = {
+      contSpecs: Seq[(String, Double, String)]): org.apache.spark.sql.DataFrame =
+    gridBucketPercentilesWith(df, group, gridSpecs, contSpecs, Nil)
+
+  /** [[gridBucketPercentiles]] plus extra per-group aggregates (sketches,
+    * counts) computed in a sibling map-side-combined chain over the same
+    * input. Unlike [[exactPercentilesWith]]'s broadcast-join assembly,
+    * the extras ride the SAME join-free union fold as the percentile
+    * chains (null-padded columns, max per group): no broadcast-exchange
+    * job, no re-execution of either side as a build pass — the r21
+    * motivation for moving agg_approx_quantiles here (3 → 2 jobs). Extra
+    * columns may be any orderable type (arrays included); exactly one
+    * non-null row per group survives the fold. */
+  def gridBucketPercentilesWith(df: org.apache.spark.sql.DataFrame,
+      group: String,
+      gridSpecs: Seq[(String, Double, String)],
+      contSpecs: Seq[(String, Double, String)],
+      extraAggs: Seq[(Column, String)]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val allOuts = (gridSpecs ++ contSpecs).map(_._3)
     val wBelow = Window.partitionBy(col(group), col("__vn")).orderBy(col("__k"))
@@ -353,8 +369,28 @@ package object ops {
         padded(res, specs.map(_._3))
     }
     // ---- join-free assembly: union the null-padded chains, fold by max
-    val unioned = (gridChains ++ contChains).reduce(_ unionByName _)
-    val folded = allOuts.map(o => max(col(o)).as(o))
+    val extChains =
+      if (extraAggs.isEmpty) Nil
+      else {
+        val extAggCols = extraAggs.map { case (c, n) => c.as(n) }
+        Seq(df.groupBy(col(group)).agg(extAggCols.head, extAggCols.tail: _*))
+      }
+    val extNames = extraAggs.map(_._2)
+    val extTypes: Map[String, org.apache.spark.sql.types.DataType] =
+      extChains.headOption
+        .map(_.schema.fields.map(f => f.name -> f.dataType).toMap)
+        .getOrElse(Map.empty)
+    val unionCols = allOuts ++ extNames
+    def padTo(res: org.apache.spark.sql.DataFrame) = {
+      val have = res.columns.toSet
+      res.select((col(group) +: unionCols.map { o =>
+        if (have.contains(o)) col(o)
+        else lit(null).cast(extTypes.getOrElse(o, DoubleType)).as(o)
+      }): _*)
+    }
+    val unioned = (gridChains ++ contChains ++ extChains)
+      .map(padTo).reduce(_ unionByName _)
+    val folded = unionCols.map(o => max(col(o)).as(o))
     unioned.groupBy(col(group)).agg(folded.head, folded.tail: _*)
   }
 }
