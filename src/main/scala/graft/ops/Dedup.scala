@@ -745,16 +745,21 @@ object Dedup {
     * to their corpus); big graphs take the distributed label-propagation
     * loop. Same output either way. */
   private[ops] def connectedComponentsFromPairs(rawPairs: DataFrame): DataFrame = {
-    // localCheckpoint (eager), NOT persist: the downstream is either an
-    // iterative loop (which must CUT the logical plan each round, or every
-    // action re-analyzes a tree that doubles per iteration — measured:
-    // 32 s → 61 s per round on a ~50-row label table before truncation,
-    // 0.1 s after) or a count + coalesce over the same materialized RDD.
-    // On a cluster with fault-tolerance requirements this becomes a
-    // reliable checkpoint; the shape is otherwise identical.
-    val pairs = rawPairs.localCheckpoint()
+    // r21: lazy persist + count (ONE job materializes the cache and
+    // sizes the graph) instead of eager localCheckpoint + count (TWO
+    // jobs — the checkpoint materialization and then a re-read to
+    // count). The plan-CUT the old comment demanded only matters for
+    // the ITERATIVE big-graph path (unfenced, every star-contraction
+    // round re-analyzes a tree that doubles per iteration — measured
+    // 32 s → 61 s per round before truncation), so the checkpoint moves
+    // INSIDE that branch; the union-find fast path is a single
+    // mapPartitions over the cached pairs, no iteration, no growth. On
+    // a cluster with fault-tolerance requirements the branch checkpoint
+    // becomes a reliable checkpoint; the shape is otherwise identical.
+    val pairs = rawPairs
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (pairs.count() <= SmallGraphMaxEdges) unionFindCC(pairs)
-    else starContractionCC(pairs)
+    else starContractionCC(pairs.localCheckpoint())
   }
 
   /** Single-task union-find (path compression + union-by-min, so the root

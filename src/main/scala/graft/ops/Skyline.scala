@@ -63,11 +63,16 @@ object Skyline {
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = parts.withColumn("local_strict", max(col("gmax")).over(wLocal))
     // pass 2: exclusive prefix-max of the per-partition totals — a
-    // partition-count-sized table, carried via bounded broadcast self-join
+    // PARTITION-COUNT-sized table (≤ defaultParallelism rows: bounded by
+    // cluster config at ANY data scale, stronger than census-bounded).
+    // r21: one partitionBy-less window pass (a single-partition sort of
+    // ≤ executor-count rows) instead of the broadcast ≤-self-join — the
+    // kcore median-k treatment; the self-join's broadcast build was one
+    // more plan-prepare job on a query that is ~95% scheduling floor.
     val pmax = parts.groupBy(col("pid")).agg(max(col("gmax")).as("pmax"))
-    val carry = pmax.as("x")
-      .join(broadcast(pmax.as("y")), col("y.pid") < col("x.pid"), "left")
-      .groupBy(col("x.pid")).agg(max(col("y.pmax")).as("carry"))
+    val wCarry = Window.orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = pmax.select(col("pid"), max(col("pmax")).over(wCarry).as("carry"))
     val bounds = local.join(broadcast(carry), Seq("pid"))
       .withColumn("strict_max", greatest(col("local_strict"), col("carry")))
       .withColumn("le_max", greatest(col("gmax"),
